@@ -1,0 +1,30 @@
+"""abyss_tpu — a TPU-native de novo short-read genome assembler.
+
+A from-scratch reimplementation of the capabilities of bcgsc/abyss
+(reference: /root/reference) designed TPU-first: batched, static-shape
+JAX/XLA/Pallas kernels over device-resident arrays, SPMD sharding over
+`jax.sharding.Mesh` instead of MPI, and host-side Python only for IO and
+orchestration.
+
+Subpackages
+-----------
+core      foundation types: alphabet, packed sequences, histograms, options
+io        FASTA/FASTQ/graph-format readers and writers
+ops       device kernels: ntHash rolling hash, (counting) Bloom filters
+dbg       de Bruijn graph engines (Bloom DBG, exact hash DBG)
+graph     contig-graph substrate + algorithms (adj, bubbles, paths)
+align     alignment kernels (NW/SW), read→contig mapper, distance est
+scaffold  scaffolding / path search
+parallel  mesh + sharding utilities (the MPI CommLayer replacement)
+pipeline  abyss-pe-equivalent stage driver
+stats     assembly statistics (abyss-fac equivalent)
+"""
+
+import jax as _jax
+
+# k-mer hashing and 2-bit packing use uint64 throughout; enable 64-bit types
+# before any tracing happens. (TPU emulates 64-bit integer ops with 32-bit
+# lanes; the hot kernels are later specialised to uint32 pairs in Pallas.)
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

@@ -1,0 +1,208 @@
+"""ntHash rolling DNA hash, reformulated for TPU as a parallel scan.
+
+The reference assembler hashes k-mers with ntHash
+(/root/reference/vendor/nthash/nthash.hpp): each base maps to a fixed
+64-bit seed, and the k-mer hash is the XOR of the seeds "split-rotated"
+by their distance from the k-mer end.  The split rotation `srol` rotates
+the low 33 bits and the high 31 bits of a 64-bit word independently
+(nthash.hpp rol1+swapbits033), so srol has period lcm(33, 31) = 1023.
+
+The reference computes hashes with a sequential O(1)-per-step roll
+(NTF64/NTR64/NTC64, nthash.hpp:219-305).  Sequential rolls are hostile
+to a vector machine, but srol distributes over XOR, giving a closed
+form for every window at once:
+
+    fwd(i) = XOR_{j<k} srol^(k-1-j) F[s(i+j)]
+           = srol^(k-1+i) ( XOR_{p in [i, i+k)} srol^(-p) F[s(p)] )
+    rev(i) = XOR_{j<k} srol^(j)     R[s(i+j)]
+           = srol^(-i)    ( XOR_{p in [i, i+k)} srol^(+p) R[s(p)] )
+
+where F/R are the forward/complement base seed tables.  A single
+prefix-XOR scan over the read therefore yields *all* window hashes in
+O(L) work with no sequential dependence except the scan itself —
+`jax.lax.associative_scan` runs it in O(log L) depth on device.
+
+Canonical hash = min(fwd, rev) and the extra Bloom hash functions are
+derived from the canonical value exactly as the reference does
+(RollingHash::getHashes → NTE64, /root/reference/BloomDBG/RollingHash.h:137-146),
+so hash values here are bit-identical to the reference (golden-tested in
+tests/test_nthash.py against vectors generated from the vendored header).
+
+O(1) incremental rolls (`roll_right`, `roll_left`) are also provided for
+the unitig-extension engine, mirroring NTC64/NTC64L semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# 64-bit per-base seeds of the published ntHash algorithm
+# (nthash.hpp:24-28; also in the ntHash paper, Mohamadi et al. 2016).
+SEED_A = 0x3C8BFBB395C60474
+SEED_C = 0x3193C18562A02B4C
+SEED_G = 0x20323ED082572324
+SEED_T = 0x295549F54BE24456
+
+MULTI_SEED = 0x90B45D39FB6DA1FA  # nthash.hpp multiSeed
+MULTI_SHIFT = 27  # nthash.hpp multiShift
+
+SROL_PERIOD = 1023  # lcm(33, 31)
+
+_M33 = np.uint64((1 << 33) - 1)
+_M31 = np.uint64((1 << 31) - 1)
+
+# index 4 (BAD) hashes to 0, like seedN in the reference table.
+_FWD_TAB = np.array([SEED_A, SEED_C, SEED_G, SEED_T, 0], dtype=np.uint64)
+# reverse-complement table: seed of the complement base (seedTab[c & cpOff])
+_REV_TAB = np.array([SEED_T, SEED_G, SEED_C, SEED_A, 0], dtype=np.uint64)
+
+
+def srol(v, n):
+    """Split-rotate left: rotate low 33 bits and high 31 bits independently.
+
+    Equivalent to n applications of the reference's rol1+swapbits033
+    (nthash.hpp:189-211).  `v` uint64 array; `n` int array or scalar
+    (any non-negative value; reduced mod 33/31 internally).
+    """
+    v = jnp.asarray(v, jnp.uint64)
+    n = jnp.asarray(n)
+    n33 = jnp.asarray(n % 33, jnp.uint64)
+    n31 = jnp.asarray(n % 31, jnp.uint64)
+    lo = v & _M33
+    hi = v >> jnp.uint64(33)
+    lo = ((lo << n33) | (lo >> (jnp.uint64(33) - n33))) & _M33
+    hi = ((hi << n31) | (hi >> (jnp.uint64(31) - n31))) & _M31
+    return (hi << jnp.uint64(33)) | lo
+
+
+def sror1(v):
+    """Inverse of one split-rotation (ror1+swapbits3263, nthash.hpp:193-216)."""
+    return srol(v, SROL_PERIOD - 1)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def kmer_hashes(codes, k: int):
+    """All k-mer window hashes of a batch of reads, in one parallel pass.
+
+    Args:
+      codes: [..., L] uint8 base codes (0..3; >=4 marks N/padding).
+      k: k-mer length (static).
+
+    Returns:
+      (fwd, rev, canon, valid): each [..., L-k+1]; `valid[..., i]` is True
+      iff window [i, i+k) contains only ACGT codes.  Hash values at
+      invalid windows are unspecified.
+    """
+    codes = jnp.asarray(codes)
+    L = codes.shape[-1]
+    W = L - k + 1
+    if W <= 0:
+        raise ValueError(f"read length {L} < k={k}")
+    safe = jnp.minimum(codes, 4).astype(jnp.int32)
+
+    p = jnp.arange(L)
+    # per-position pre-rotated seed terms
+    y = srol(jnp.take(jnp.asarray(_FWD_TAB), safe, axis=0),
+             (-p) % SROL_PERIOD)
+    z = srol(jnp.take(jnp.asarray(_REV_TAB), safe, axis=0),
+             p % SROL_PERIOD)
+
+    # exclusive prefix XOR along the read
+    def pxor(a):
+        s = jax.lax.associative_scan(jnp.bitwise_xor, a, axis=-1)
+        zerocol = jnp.zeros(a.shape[:-1] + (1,), a.dtype)
+        return jnp.concatenate([zerocol, s], axis=-1)  # [..., L+1]
+
+    Py = pxor(y)
+    Pz = pxor(z)
+
+    i = jnp.arange(W)
+    wy = Py[..., k:] ^ Py[..., :W]  # XOR over window [i, i+k)
+    wz = Pz[..., k:] ^ Pz[..., :W]
+    fwd = srol(wy, (k - 1 + i) % SROL_PERIOD)
+    rev = srol(wz, (SROL_PERIOD - i % SROL_PERIOD) % SROL_PERIOD)
+    canon = jnp.minimum(fwd, rev)
+
+    bad = (codes >= 4).astype(jnp.int32)
+    Pbad = jnp.cumsum(bad, axis=-1)
+    Pbad = jnp.concatenate(
+        [jnp.zeros(bad.shape[:-1] + (1,), Pbad.dtype), Pbad], axis=-1)
+    valid = (Pbad[..., k:] - Pbad[..., :W]) == 0
+    return fwd, rev, canon, valid
+
+
+def nte64(h, k: int, i):
+    """Extra hash #i from a base hash (NTE64, nthash.hpp:337-343)."""
+    h = jnp.asarray(h, jnp.uint64)
+    mult = jnp.asarray(i, jnp.uint64) ^ (
+        jnp.uint64(k) * jnp.uint64(MULTI_SEED))
+    t = h * mult
+    return t ^ (t >> jnp.uint64(MULTI_SHIFT))
+
+
+def multi_hashes(canon, k: int, num_hashes: int):
+    """[..., H] Bloom hash values: canonical hash + NTE64-derived extras.
+
+    Matches RollingHash::getHashes (/root/reference/BloomDBG/RollingHash.h:137).
+    """
+    canon = jnp.asarray(canon, jnp.uint64)
+    hs = [canon]
+    for i in range(1, num_hashes):
+        hs.append(nte64(canon, k, i))
+    return jnp.stack(hs, axis=-1)
+
+
+def hash_base(codes_k, k: int):
+    """(fwd, rev) hash of single k-mers given as [..., k] code arrays."""
+    f, r, _, _ = kmer_hashes(codes_k, k)
+    return f[..., 0], r[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# O(1) incremental rolls for the extension engine.
+# srol^k(seed) tables are tiny (4 entries) and depend only on k.
+
+
+def _rolled_tab(tab, k: int):
+    return np.asarray(
+        jax.device_get(srol(jnp.asarray(tab), k)), dtype=np.uint64)
+
+
+def roll_right(f, r, k: int, c_out, c_in):
+    """Roll hash state one base to the right (NTC64 sliding, nthash.hpp:275).
+
+    c_out: first base code of the current k-mer; c_in: incoming base code.
+    Returns (f', r').
+    """
+    ftab = jnp.asarray(_FWD_TAB)
+    rtab = jnp.asarray(_REV_TAB)
+    ftab_k = jnp.asarray(_rolled_tab(_FWD_TAB, k))
+    rtab_k = jnp.asarray(_rolled_tab(_REV_TAB, k))
+    c_out = jnp.minimum(jnp.asarray(c_out, jnp.int32), 4)
+    c_in = jnp.minimum(jnp.asarray(c_in, jnp.int32), 4)
+    f2 = srol(f, 1) ^ jnp.take(ftab, c_in) ^ jnp.take(ftab_k, c_out)
+    r2 = sror1(jnp.asarray(r, jnp.uint64)
+               ^ jnp.take(rtab_k, c_in) ^ jnp.take(rtab, c_out))
+    return f2, r2
+
+
+def roll_left(f, r, k: int, c_out, c_in):
+    """Roll hash state one base to the left (NTC64L, nthash.hpp:283-305).
+
+    c_out: last base code of the current k-mer; c_in: incoming base code
+    (new first base).  Returns (f', r').
+    """
+    ftab = jnp.asarray(_FWD_TAB)
+    rtab = jnp.asarray(_REV_TAB)
+    ftab_k = jnp.asarray(_rolled_tab(_FWD_TAB, k))
+    rtab_k = jnp.asarray(_rolled_tab(_REV_TAB, k))
+    c_out = jnp.minimum(jnp.asarray(c_out, jnp.int32), 4)
+    c_in = jnp.minimum(jnp.asarray(c_in, jnp.int32), 4)
+    f2 = sror1(jnp.asarray(f, jnp.uint64)
+               ^ jnp.take(ftab_k, c_in) ^ jnp.take(ftab, c_out))
+    r2 = srol(r, 1) ^ jnp.take(rtab, c_in) ^ jnp.take(rtab_k, c_out)
+    return f2, r2
