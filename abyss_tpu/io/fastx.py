@@ -1,0 +1,220 @@
+"""FASTA/FASTQ reading and writing with batched device-ready output.
+
+Covers the capability of the reference's DataLayer
+(/root/reference/DataLayer/FastaReader.{h,cpp}): FASTA and FASTQ input,
+transparent gzip decompression (cf. Common/Uncompress.cpp — the
+reference forks a decompressor; we use the gzip module), chastity
+filtering, and quality trimming (`q` option, DataLayer/Options.h).
+
+The device-facing API yields fixed-shape padded batches of base codes —
+the TPU equivalent of the reference's 1 MB OpenMP read chunks
+(BloomDBG/BloomIO.h:62-95).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+from ..core import alphabet
+
+
+@dataclass
+class FastxRecord:
+    id: str
+    seq: str
+    qual: str | None = None
+    comment: str = ""
+
+
+def _open_text(path: str):
+    if path == "-":
+        import sys
+        return sys.stdin
+    if path.endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(path, "rb"))
+    return open(path, "r")
+
+
+def read_fastx(path: str) -> Iterator[FastxRecord]:
+    """Iterate records of a FASTA or FASTQ file (format auto-detected)."""
+    f = _open_text(path)
+    try:
+        first = f.read(1)
+        if not first:
+            return
+        if first == ">":
+            yield from _read_fasta(f)
+        elif first == "@":
+            yield from _read_fastq(f)
+        else:
+            raise ValueError(f"{path}: unrecognized format (starts {first!r})")
+    finally:
+        if f is not None and path != "-":
+            f.close()
+
+
+def _split_header(line: str) -> tuple[str, str]:
+    line = line.rstrip("\n")
+    if " " in line:
+        i = line.index(" ")
+        return line[:i], line[i + 1:]
+    if "\t" in line:
+        i = line.index("\t")
+        return line[:i], line[i + 1:]
+    return line, ""
+
+
+def _read_fasta(f) -> Iterator[FastxRecord]:
+    header = f.readline()  # rest of first header line (">" consumed)
+    while header:
+        rid, comment = _split_header(header)
+        chunks = []
+        line = f.readline()
+        while line and not line.startswith(">"):
+            chunks.append(line.strip())
+            line = f.readline()
+        yield FastxRecord(rid, "".join(chunks), None, comment)
+        header = line[1:] if line else ""
+
+
+def _read_fastq(f) -> Iterator[FastxRecord]:
+    header = f.readline()  # rest of first header ("@" consumed)
+    while header:
+        rid, comment = _split_header(header)
+        seq = f.readline().strip()
+        plus = f.readline()
+        if not plus.startswith("+"):
+            raise ValueError("malformed FASTQ: expected '+' line")
+        qual = f.readline().strip()
+        yield FastxRecord(rid, seq, qual, comment)
+        line = f.readline()
+        header = line[1:] if line else ""
+
+
+def is_chaste(comment: str) -> bool:
+    """Illumina chastity filter (FastaReader::isChaste,
+    DataLayer/FastaReader.cpp): CASAVA 1.8 '<read>:<N|Y>:...' — Y means
+    filtered out; pre-1.8 qseq-style trailing 0/1 field — 1 is chaste."""
+    if not comment:
+        return True
+    fields = comment.split()
+    for fld in fields:
+        parts = fld.split(":")
+        if len(parts) >= 2 and parts[0] in ("1", "2", "3") and \
+                parts[1] in ("Y", "N"):
+            return parts[1] == "N"
+    last = fields[-1]
+    if last in ("0", "1"):
+        return last == "1"
+    return True
+
+
+def trim_quality(seq: str, qual: str | None, q: int, ascii_offset: int = 33,
+                 ) -> str:
+    """Trim low-quality bases (< q) from both ends of the read, like the
+    reference's -q option (DataLayer/FastaReader.cpp quality trimming)."""
+    if not qual or q <= 0:
+        return seq
+    lo, hi = 0, len(seq)
+    while lo < hi and ord(qual[lo]) - ascii_offset < q:
+        lo += 1
+    while hi > lo and ord(qual[hi - 1]) - ascii_offset < q:
+        hi -= 1
+    return seq[lo:hi]
+
+
+@dataclass
+class ReadBatch:
+    """Fixed-shape batch of encoded reads.
+
+    codes: uint8[B, L] base codes, BAD(4)-padded.
+    lengths: int32[B] true lengths (0 for padding rows).
+    ids: read names (len == number of real rows).
+    """
+
+    codes: np.ndarray
+    lengths: np.ndarray
+    ids: list
+
+    @property
+    def num_reads(self) -> int:
+        return len(self.ids)
+
+
+def read_batches(paths: Sequence[str] | str, batch_size: int = 16384,
+                 max_len: int = 512, q: int = 0, chastity: bool = True,
+                 ) -> Iterator[ReadBatch]:
+    """Stream fixed-shape batches of encoded reads from FASTA/FASTQ files.
+
+    Reads longer than max_len are split into max_len-sized pieces with a
+    (max_len // 2)-overlap so every k-mer (k <= max_len/2) is still seen.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+
+    buf_codes = np.full((batch_size, max_len), alphabet.BAD, np.uint8)
+    buf_len = np.zeros(batch_size, np.int32)
+    ids: list = []
+
+    def flush():
+        nonlocal buf_codes, buf_len, ids
+        out = ReadBatch(buf_codes, buf_len, ids)
+        buf_codes = np.full((batch_size, max_len), alphabet.BAD, np.uint8)
+        buf_len = np.zeros(batch_size, np.int32)
+        ids = []
+        return out
+
+    def add(rid: str, codes: np.ndarray):
+        nonlocal ids
+        n = len(ids)
+        L = min(len(codes), max_len)
+        buf_codes[n, :L] = codes[:L]
+        buf_len[n] = L
+        ids.append(rid)
+
+    for path in paths:
+        for rec in read_fastx(path):
+            if chastity and not is_chaste(rec.comment):
+                continue
+            seq = trim_quality(rec.seq, rec.qual, q)
+            if not seq:
+                continue
+            codes = alphabet.encode(seq)
+            if len(codes) <= max_len:
+                pieces = [(rec.id, codes)]
+            else:
+                step = max_len // 2
+                pieces = [
+                    (f"{rec.id}:{off}", codes[off:off + max_len])
+                    for off in range(0, len(codes) - max_len // 2, step)]
+            for rid, piece in pieces:
+                add(rid, piece)
+                if len(ids) == batch_size:
+                    yield flush()
+    if ids:
+        yield flush()
+
+
+def write_fasta(path_or_file, records: Iterable[tuple[str, str]],
+                wrap: int = 0):
+    """Write (header, seq) records as FASTA. wrap=0 → single-line seqs
+    (matching the reference's FastaWriter output used by assembly stages)."""
+    own = isinstance(path_or_file, (str, os.PathLike))
+    f = open(path_or_file, "w") if own else path_or_file
+    try:
+        for header, seq in records:
+            f.write(f">{header}\n")
+            if wrap and wrap > 0:
+                for i in range(0, len(seq), wrap):
+                    f.write(seq[i:i + wrap] + "\n")
+            else:
+                f.write(seq + "\n")
+    finally:
+        if own:
+            f.close()
