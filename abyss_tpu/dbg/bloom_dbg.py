@@ -1,0 +1,371 @@
+"""Bloom-filter de Bruijn graph unitig assembly (the `abyss-bloom-dbg` model).
+
+Two-pass streaming assembly mirroring the reference driver
+(/root/reference/BloomDBG/bloom-dbg.h:902-1077, bloom-dbg.cc:349-386):
+
+  pass 1  stream reads → counting Bloom filter of solid k-mers
+  pass 2  stream reads → classify (short / non-ACGT / blunt / not-solid /
+          already-assembled), seed eligible reads with their first
+          unassembled k-mer, extend seeds left+right through the filter
+          graph to unitig boundaries, trim branch k-mers, dedupe, emit.
+
+TPU-first restructuring: both passes are *batched* — classification runs
+as one fused hash+gather kernel per read batch, and extension advances
+thousands of seeds in lockstep (dbg/extend.py).  The reference's
+one-read-at-a-time OpenMP loop (bloom-dbg.h:1009-1077) becomes batch
+rounds: each round seeds every eligible read's leftmost k-mer not yet in
+the assembled filter, so a read spanning several unitigs gets its later
+seeds in later rounds (same effect as the reference's per-read seed loop
+at bloom-dbg.h:846-880, without the duplicate walks).
+
+Determinism: batches are processed in input order; within a batch,
+contigs are deduped by canonical sequence and emitted in (batch, row)
+order, so output is independent of device parallelism — the analogue of
+the reference's `j=1` reproducibility guarantee.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import alphabet
+from ..io import fastx
+from ..ops import bloom as bloom_ops
+from ..ops import nthash
+from . import extend as ext
+from .params import AssemblyParams
+
+
+@dataclass
+class AssemblyCounters:
+    """Reference: BloomDBG/AssemblyCounters.h."""
+    read_count: int = 0
+    solid_reads: int = 0
+    visited_reads: int = 0
+    blunt_reads: int = 0
+    contig_id: int = 0
+    bases_assembled: int = 0
+    kmers_loaded: int = 0
+
+
+@dataclass
+class Contig:
+    id: int
+    seq: str
+    coverage: int
+    read_id: str
+
+    @property
+    def header(self) -> str:
+        # printContig format: "<id> <length> <coverage> read:<readID>"
+        # (bloom-dbg.h:456-487)
+        return f"{self.id} {len(self.seq)} {self.coverage} read:{self.read_id}"
+
+
+def load_filter(batches: Iterable[fastx.ReadBatch], params: AssemblyParams,
+                counters: AssemblyCounters | None = None,
+                ) -> bloom_ops.CountingBloomFilter:
+    """Pass 1: build the counting Bloom filter of read k-mers (HOT LOOP 1,
+    cf. loadBloomFilter BloomDBG/BloomIO.h:97)."""
+    counting_size, _ = bloom_ops.recommended_sizes(params.bloom_bytes)
+    cbf = bloom_ops.CountingBloomFilter.create(
+        counting_size, params.k, params.num_hashes, params.min_cov)
+    for batch in batches:
+        _, _, canon, valid = nthash.kmer_hashes(
+            jnp.asarray(batch.codes), params.k)
+        cbf = cbf.insert(canon, valid)
+        if counters is not None:
+            counters.read_count += batch.num_reads
+            counters.kmers_loaded += int(np.asarray(valid).sum())
+    return cbf
+
+
+def _classify_batch(cbf, visited, codes, lengths, k, fp_look_ahead,
+                    lookahead_width):
+    """Per-read eligibility + first unassembled k-mer index.
+
+    Implements the processRead guards (bloom-dbg.h:804-846): length >= k,
+    all-ACGT, not blunt-ended, all k-mers solid, not all k-mers visited.
+
+    Returns dict of numpy arrays.
+    """
+    codes_j = jnp.asarray(codes)
+    _, _, canon, valid = nthash.kmer_hashes(codes_j, k)
+    W = codes.shape[1] - k + 1
+    widx = np.arange(W)
+    in_read = widx[None, :] < (lengths[:, None] - k + 1)
+    valid_np = np.asarray(valid) & in_read
+
+    long_enough = lengths >= k
+    # reference skips reads with ANY non-ACGT char (bloom-dbg.h:812)
+    n_windows = np.maximum(lengths - k + 1, 0)
+    all_acgt = (valid_np.sum(axis=1) == n_windows) & long_enough
+    solid = np.asarray(cbf.contains(canon))
+    all_solid = ((solid | ~valid_np).all(axis=1)) & all_acgt
+    vis = np.asarray(visited.contains(canon))
+    first_unvisited = np.where(
+        (~vis & valid_np).any(axis=1),
+        np.argmax(~vis & valid_np, axis=1), -1)
+    all_visited = first_unvisited < 0
+
+    # blunt-end check (hasBluntEnd, bloom-dbg.h:496-532): the read's first
+    # k-mer must extend backwards and its last k-mer forwards, each within
+    # fpLookAhead steps.  REVERSE lookahead from kmer == FORWARD from rc.
+    B = codes.shape[0]
+    first_rc = np.zeros((B, k), np.uint8)
+    last = np.zeros((B, k), np.uint8)
+    for i in range(B):
+        L = int(lengths[i])
+        if L >= k:
+            first_rc[i] = alphabet.revcomp_codes(codes[i, :k])
+            last[i] = codes[i, L - k:L]
+    ok_left = ext.lookahead_ok(cbf, first_rc, k, fp_look_ahead,
+                               width=lookahead_width)
+    ok_right = ext.lookahead_ok(cbf, last, k, fp_look_ahead,
+                                width=lookahead_width)
+    blunt = ~(ok_left & ok_right)
+
+    eligible = all_solid & ~all_visited & ~blunt
+    return dict(eligible=eligible, all_solid=all_solid, blunt=blunt,
+                all_visited=all_visited, first_unvisited=first_unvisited,
+                canon=np.asarray(canon), valid=valid_np)
+
+
+def _extend_both(cbf, seeds: np.ndarray, params: AssemblyParams):
+    """Extend [M, k] seeds both directions (REVERSE then FORWARD, like
+    processRead bloom-dbg.h:860-862).
+
+    Returns (seqs list[np.ndarray], left_status, right_status).
+    """
+    k, trim = params.k, params.trim_len
+    width, chunk = params.lookahead_width, params.chunk
+    # left extension: FORWARD walk on the reverse complement
+    rc_seeds = alphabet.revcomp_codes(seeds)
+    lbuf, llen, lstat = ext.extend_forward(
+        cbf, rc_seeds, k, trim, width, chunk, params.max_contig_len)
+    M = seeds.shape[0]
+    seqs = []
+    prev_base = np.zeros(M, np.uint8)
+    has_left = np.zeros(M, bool)
+    left_part = []
+    for i in range(M):
+        lp = alphabet.revcomp_codes(lbuf[i, :llen[i]])  # [left ... seed]
+        left_part.append(lp)
+        if llen[i] > k:
+            has_left[i] = True
+            prev_base[i] = lp[-k - 1]
+    # right extension: warm start with the base preceding the seed where
+    # the left walk extended (lookBehind with expected predecessor)
+    warm = has_left.any()
+    if warm:
+        rbuf, rlen, rstat = ext.extend_forward(
+            cbf, seeds, k, trim, width, chunk, params.max_contig_len,
+            prev_base=prev_base)
+        off = 1
+    else:
+        rbuf, rlen, rstat = ext.extend_forward(
+            cbf, seeds, k, trim, width, chunk, params.max_contig_len)
+        off = 0
+    for i in range(M):
+        right_ext = rbuf[i, off + k:rlen[i]]
+        seqs.append(np.concatenate([left_part[i], right_ext]))
+    return seqs, lstat, rstat
+
+
+def _is_tip(length_kmers, lstat, rstat, trim):
+    """isTip (bloom-dbg.h:759-776)."""
+    short = length_kmers <= trim
+    l_dead = lstat == ext.DEAD_END
+    r_dead = rstat == ext.DEAD_END
+    l_deadish = l_dead | (lstat == ext.AMBI_IN)
+    r_deadish = r_dead | (rstat == ext.AMBI_IN)
+    return short & ((l_dead & r_deadish) | (r_dead & l_deadish))
+
+
+def _ambiguous_end(cbf, end_kmer, expected_base, params, forward: bool):
+    """ambiguous(u, expected, dir) for one contig end
+    (ExtendPath.h:379-397): true if the successor search is AMBI_OUT or
+    resolves to a different vertex than the path neighbour."""
+    k, trim, width = params.k, params.trim_len, params.lookahead_width
+    root = end_kmer if forward else alphabet.revcomp_codes(end_kmer[None])[0]
+    roots = np.zeros((4, k), np.uint8)
+    for c in range(4):
+        roots[c] = np.concatenate([root[1:], np.asarray([c], np.uint8)])
+    rf, rr = nthash.hash_base(jnp.asarray(roots), k)
+    canon = np.asarray(jnp.minimum(rf, rr))
+    present = np.asarray(cbf.contains(jnp.asarray(canon)))[None, :]
+    depths = np.asarray(ext.branch_depths(
+        cbf, jnp.asarray(roots), (rf, rr), k, trim, width))[None, :]
+    code, base = ext.successor_decision(depths, present, trim)
+    if code[0] == ext.AMBI_OUT:
+        return True
+    if code[0] == ext.ACTIVE and base[0] != expected_base:
+        return True
+    return False
+
+
+def _trim_branch_kmers(cbf, seq: np.ndarray, params) -> np.ndarray:
+    """trimBranchKmers (bloom-dbg.h:738-770): drop a branch k-mer from a
+    contig end if the edge into it is ambiguous, so adjacent unitigs
+    overlap by exactly k-1 bases."""
+    k = params.k
+    if len(seq) < k + 1:
+        return seq
+    # forward-ambiguity of the first k-mer: expected next base = seq[k]
+    amb1 = _ambiguous_end(cbf, seq[:k], int(seq[k]), params, forward=True)
+    # reverse-ambiguity of the last k-mer: on rc, expected = comp(seq[-k-1])
+    amb2 = _ambiguous_end(cbf, seq[-k:], 3 - int(seq[-k - 1]), params,
+                          forward=False)
+    lo = 1 if amb1 else 0
+    hi = len(seq) - (1 if amb2 else 0)
+    if hi - lo < k:
+        return seq[lo:lo + k] if len(seq) >= k else seq
+    return seq[lo:hi]
+
+
+def _canonical_seq(seq: np.ndarray) -> bytes:
+    rc = alphabet.revcomp_codes(seq)
+    a, b = seq.tobytes(), rc.tobytes()
+    return a if a <= b else b
+
+
+class Assembler:
+    """Streaming Bloom-DBG assembler with visited-filter dedupe."""
+
+    def __init__(self, cbf, params: AssemblyParams,
+                 counters: AssemblyCounters | None = None):
+        self.cbf = cbf
+        self.params = params
+        _, visited_size = bloom_ops.recommended_sizes(params.bloom_bytes)
+        # reference visited filter is bits (1/9 of budget); we store a byte
+        # per bit, same *count* of bits as the reference
+        self.visited = bloom_ops.BitBloomFilter.create(
+            max(visited_size * 8, 1024), params.k, params.num_hashes)
+        self.contig_end_kmers: set[bytes] = set()
+        self.counters = counters or AssemblyCounters()
+
+    def _mark_assembled(self, seqs: list[np.ndarray]):
+        if not seqs:
+            return
+        k = self.params.k
+        total = sum(len(s) - k + 1 for s in seqs)
+        pad = 1 << max(total - 1, 1).bit_length()
+        canon = np.zeros(pad, np.uint64)
+        n = 0
+        for s in seqs:
+            _, _, c, _ = nthash.kmer_hashes(jnp.asarray(s[None]), k)
+            c = np.asarray(c)[0]
+            canon[n:n + len(c)] = c
+            n += len(c)
+        mask = np.arange(pad) < n
+        self.visited = self.visited.insert(jnp.asarray(canon),
+                                           jnp.asarray(mask))
+
+    def _coverage(self, seq: np.ndarray) -> int:
+        _, _, c, _ = nthash.kmer_hashes(jnp.asarray(seq[None]), self.params.k)
+        return int(np.asarray(self.cbf.count(c)).sum())
+
+    def process_batch(self, batch: fastx.ReadBatch) -> list[Contig]:
+        """Assemble one read batch; returns newly emitted contigs."""
+        p = self.params
+        k = p.k
+        out: list[Contig] = []
+        lengths = batch.lengths.copy()
+        lengths[batch.num_reads:] = 0
+
+        for round_no in range(64):
+            cls = _classify_batch(
+                self.cbf, self.visited, batch.codes, lengths, k,
+                p.fp_look_ahead, p.lookahead_width)
+            if round_no == 0:
+                self.counters.read_count += batch.num_reads
+                self.counters.solid_reads += int(cls["all_solid"].sum())
+                self.counters.blunt_reads += int(
+                    (cls["blunt"] & cls["all_solid"]).sum())
+                self.counters.visited_reads += int(
+                    (cls["all_visited"] & cls["all_solid"]).sum())
+            rows = np.nonzero(cls["eligible"])[0]
+            if not len(rows):
+                break
+            seeds = np.zeros((len(rows), k), np.uint8)
+            for j, i in enumerate(rows):
+                s = cls["first_unvisited"][i]
+                seeds[j] = batch.codes[i, s:s + k]
+            seqs, lstat, rstat = _extend_both(self.cbf, seeds, p)
+
+            tips = _is_tip(
+                np.asarray([len(s) - k + 1 for s in seqs]), lstat, rstat,
+                p.trim_len)
+
+            emitted: list[np.ndarray] = []
+            seen_in_batch: set[bytes] = set()
+            for j, i in enumerate(rows):
+                if tips[j]:
+                    continue
+                seq = _trim_branch_kmers(self.cbf, seqs[j], p)
+                if len(seq) < k:
+                    continue
+                key = _canonical_seq(seq)
+                if key in seen_in_batch:
+                    continue
+                seen_in_batch.add(key)
+                # redundancy check (outputContig, bloom-dbg.h:566-599)
+                if len(seq) < k + p.fp_look_ahead - 1:
+                    k1 = _canonical_seq(seq[:k])
+                    k2 = _canonical_seq(seq[-k:])
+                    if k1 in self.contig_end_kmers and \
+                            k2 in self.contig_end_kmers:
+                        continue
+                    self.contig_end_kmers.add(k1)
+                    self.contig_end_kmers.add(k2)
+                else:
+                    _, _, c, _ = nthash.kmer_hashes(jnp.asarray(seq[None]), k)
+                    if np.asarray(self.visited.contains(c)).all():
+                        continue
+                emitted.append(seq)
+                out.append(Contig(self.counters.contig_id,
+                                  alphabet.decode(seq),
+                                  self._coverage(seq),
+                                  batch.ids[i]))
+                self.counters.contig_id += 1
+                self.counters.bases_assembled += len(seq)
+            self._mark_assembled(emitted)
+            # next round re-classifies: reads whose k-mers are now covered
+            # drop out; remaining reads seed their next unassembled k-mer
+        return out
+
+
+def assemble(paths: Sequence[str] | str, params: AssemblyParams,
+             out=sys.stdout) -> AssemblyCounters:
+    """Full two-pass assembly: reads in, unitig FASTA out.
+
+    The TPU-native equivalent of `abyss-bloom-dbg` (bloom-dbg.cc:389).
+    """
+    counters = AssemblyCounters()
+    t0 = time.time()
+    cbf = load_filter(
+        fastx.read_batches(paths, params.batch_size, params.max_read_len,
+                           q=params.q),
+        params, counters)
+    if params.verbose:
+        print(f"[bloom-dbg] pass 1: {counters.kmers_loaded} k-mers from "
+              f"{counters.read_count} reads in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    counters.read_count = 0
+    asm = Assembler(cbf, params, counters)
+    t1 = time.time()
+    for batch in fastx.read_batches(paths, params.batch_size,
+                                    params.max_read_len, q=params.q):
+        for contig in asm.process_batch(batch):
+            fastx.write_fasta(out, [(contig.header, contig.seq)])
+    if params.verbose:
+        print(f"[bloom-dbg] pass 2: {counters.contig_id} contigs, "
+              f"{counters.bases_assembled} bases in {time.time() - t1:.1f}s",
+              file=sys.stderr)
+    return counters

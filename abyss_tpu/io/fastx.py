@@ -41,9 +41,14 @@ def _open_text(path: str):
     return open(path, "r")
 
 
-def read_fastx(path: str) -> Iterator[FastxRecord]:
-    """Iterate records of a FASTA or FASTQ file (format auto-detected)."""
-    f = _open_text(path)
+def read_fastx(path) -> Iterator[FastxRecord]:
+    """Iterate records of a FASTA or FASTQ file or file-like object
+    (format auto-detected)."""
+    if hasattr(path, "read"):
+        f = path
+        path = "-"
+    else:
+        f = _open_text(path)
     try:
         first = f.read(1)
         if not first:

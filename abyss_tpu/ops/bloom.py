@@ -30,8 +30,8 @@ this on the perf path).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple
+import dataclasses
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -50,13 +50,21 @@ def _check_pow2(size: int) -> int:
     return size
 
 
-class CountingBloomFilter(NamedTuple):
-    """Counting Bloom filter state (a pytree; methods return new states)."""
+@dataclass(frozen=True)
+class CountingBloomFilter:
+    """Counting Bloom filter state (a pytree; methods return new states).
+
+    `counters` is the only array leaf; k/num_hashes/threshold are static
+    metadata so the filter can cross jit boundaries.
+    """
 
     counters: jax.Array  # uint8[size + 1]; last slot is the masked-write sink
-    k: int
-    num_hashes: int
-    threshold: int
+    k: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_hashes: int = dataclasses.field(metadata=dict(static=True), default=4)
+    threshold: int = dataclasses.field(metadata=dict(static=True), default=2)
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
     @property
     def size(self) -> int:
@@ -143,7 +151,8 @@ class CountingBloomFilter(NamedTuple):
         return int(self.counters.shape[0] - 1)
 
 
-class BitBloomFilter(NamedTuple):
+@dataclass(frozen=True)
+class BitBloomFilter:
     """Plain Bloom filter (visited/assembled k-mer set).
 
     Byte-per-bit storage updated with scatter-max; replaces the
@@ -152,8 +161,11 @@ class BitBloomFilter(NamedTuple):
     """
 
     bits: jax.Array  # uint8[size + 1]
-    k: int
-    num_hashes: int
+    k: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_hashes: int = dataclasses.field(metadata=dict(static=True), default=4)
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
     @property
     def size(self) -> int:
@@ -196,3 +208,10 @@ def recommended_sizes(budget_bytes: int) -> tuple[int, int]:
         return 1 << (max(x, 2).bit_length() - 1)
 
     return pow2_floor(counting), pow2_floor(visited)
+
+
+jax.tree_util.register_dataclass(
+    CountingBloomFilter, data_fields=["counters"],
+    meta_fields=["k", "num_hashes", "threshold"])
+jax.tree_util.register_dataclass(
+    BitBloomFilter, data_fields=["bits"], meta_fields=["k", "num_hashes"])

@@ -167,9 +167,29 @@ def hash_base(codes_k, k: int):
 # srol^k(seed) tables are tiny (4 entries) and depend only on k.
 
 
+def _srol_np(v: np.ndarray, n: int) -> np.ndarray:
+    """Host-side split-rotate (for building constant tables)."""
+    v = v.astype(np.uint64)
+    n33, n31 = n % 33, n % 31
+    lo = v & np.uint64((1 << 33) - 1)
+    hi = v >> np.uint64(33)
+    if n33:
+        lo = ((lo << np.uint64(n33)) | (lo >> np.uint64(33 - n33))) \
+            & np.uint64((1 << 33) - 1)
+    if n31:
+        hi = ((hi << np.uint64(n31)) | (hi >> np.uint64(31 - n31))) \
+            & np.uint64((1 << 31) - 1)
+    return (hi << np.uint64(33)) | lo
+
+
+_ROLLED_TAB_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
 def _rolled_tab(tab, k: int):
-    return np.asarray(
-        jax.device_get(srol(jnp.asarray(tab), k)), dtype=np.uint64)
+    key = (id(tab), k)
+    if key not in _ROLLED_TAB_CACHE:
+        _ROLLED_TAB_CACHE[key] = _srol_np(np.asarray(tab), k)
+    return _ROLLED_TAB_CACHE[key]
 
 
 def roll_right(f, r, k: int, c_out, c_in):
