@@ -1,0 +1,209 @@
+"""Multi-device sharding: the TPU-native replacement for the reference's
+MPI CommLayer / NetworkSequenceCollection (SURVEY.md §2.5, §2.12).
+
+The reference distributes assembly by rank-sharding a k-mer hash table
+(`getCode() % numProc`, NetworkSequenceCollection.cpp:1499-1507) and
+routing vertex updates with buffered async MPI messages; scalar counts
+and the coverage histogram merge with MPI_Allreduce
+(CommLayer.cpp:106-137).
+
+Here the same roles map onto a 2-D `jax.sharding.Mesh`:
+
+  axis "data"   read batches are data-parallel (the OpenMP batch loop,
+                BloomIO.h:62-95, scaled across chips)
+  axis "shard"  the counting-filter array is sharded by index range —
+                the analogue of MPI rank-sharded ownership, except
+                "routing" is just a mask: every device applies only the
+                updates that land in its shard, and data-parallel
+                partial updates merge with a `psum` over "data" that
+                rides ICI.
+
+Counting-filter merges are expressed as *increment* psums: each device
+computes its conservative update against the current filter and
+contributes `new - old`; summed increments commute, so the result is
+deterministic and batch-split invariant (it can exceed the strictly
+sequential conservative value only when two shards race the same slot —
+the same nondeterminism window the reference's CAS loop has,
+CountingBloomFilter.hpp:118-181, but here it's deterministic).
+
+Probes of a sharded filter use mask + psum over "shard" instead of
+gathering remote memory — the collective replaces the reference's
+SeqDataRequest/Response RPC (Messages.h:9-214).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import nthash
+from ..ops.bloom import COUNTER_MAX, CountingBloomFilter
+
+
+def make_mesh(n_data: int, n_shard: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_shard, \
+        f"need {n_data * n_shard} devices, have {len(devices)}"
+    dev = np.asarray(devices[: n_data * n_shard]).reshape(n_data, n_shard)
+    return Mesh(dev, ("data", "shard"))
+
+
+def shard_batch(mesh: Mesh, codes: np.ndarray) -> jax.Array:
+    """Place a [B, L] read batch sharded over the data axis."""
+    return jax.device_put(
+        codes, NamedSharding(mesh, P("data", None)))
+
+
+def shard_counters(mesh: Mesh, counters: jax.Array) -> jax.Array:
+    """Place filter counters sharded by index range over the shard axis."""
+    return jax.device_put(
+        counters, NamedSharding(mesh, P("shard")))
+
+
+def _conservative_targets(counters, canon, counts, mask, k, num_hashes,
+                          size, lo_idx, hi_idx):
+    """Per-(kmer, hash) scatter targets for a conservative batch update,
+    restricted to slots in [lo_idx, hi_idx) (this device's shard)."""
+    hs = nthash.multi_hashes(canon, k, num_hashes)
+    idx = (hs & jnp.uint64(size - 1)).astype(jnp.int32)
+    # gather across shards: local value where owned, 0 elsewhere; psum'd
+    local = jnp.where((idx >= lo_idx) & (idx < hi_idx),
+                      counters[idx - lo_idx], 0).astype(jnp.int32)
+    cur = jax.lax.psum(local, "shard")
+    lo = jnp.min(cur, axis=-1)
+    tgt = jnp.minimum(lo + counts.astype(jnp.int32), COUNTER_MAX)
+    tgt = jnp.where(mask[..., None], tgt[..., None], 0)
+    return idx, jnp.broadcast_to(tgt, idx.shape)
+
+
+def _rle_unique(canon, mask):
+    """Sort + run-length-encode a batch of hashes (device-side)."""
+    canon = jnp.where(mask, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    s = jnp.sort(canon.reshape(-1))
+    start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    pos = jnp.arange(s.shape[0])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(start, pos, -1))
+    run_len = jax.ops.segment_sum(
+        jnp.ones_like(pos), run_start, num_segments=s.shape[0])
+    valid = start & (s != jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    return s, run_len, valid
+
+
+def make_load_step(mesh: Mesh, k: int, num_hashes: int, size: int):
+    """Jitted SPMD step: insert one sharded read batch into the sharded
+    counting filter.  counters: uint8[size] sharded over "shard";
+    codes: uint8[B, L] sharded over "data"."""
+    n_shard = mesh.shape["shard"]
+    shard_len = size // n_shard
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("shard"), P("data", None)),
+             out_specs=P("shard"))
+    def step(counters, codes):
+        shard_id = jax.lax.axis_index("shard")
+        lo_idx = shard_id * shard_len
+        hi_idx = lo_idx + shard_len
+        _, _, canon, valid = nthash.kmer_hashes(codes, k)
+        s, run_len, uniq = _rle_unique(canon, valid)
+        idx, tgt = _conservative_targets(
+            counters, s, run_len, uniq, k, num_hashes, size, lo_idx, hi_idx)
+        mine = (idx >= lo_idx) & (idx < hi_idx)
+        lidx = jnp.where(mine, idx - lo_idx, shard_len)  # OOB -> dropped
+        # Merge rule: each data shard scatters max(cur, lo + c_d) locally
+        # and the *increments* are psum'd over "data", so a k-mer whose
+        # occurrences are split across shards accumulates its full count
+        # (sum of per-shard increments at its min slots).  Slots shared by
+        # different k-mers can over-increment, but the per-k-mer min over
+        # H slots is unaffected unless all H slots collide — the standard
+        # counting-Bloom overestimate, same class as the reference's
+        # concurrent CAS updates (CountingBloomFilter.hpp:118-181).
+        cur = counters.astype(jnp.int32)
+        local_new = jnp.concatenate([cur, jnp.zeros(1, jnp.int32)]).at[
+            lidx.reshape(-1)].max(tgt.reshape(-1), mode="drop")[:shard_len]
+        delta = jax.lax.psum(jnp.maximum(local_new - cur, 0), "data")
+        return jnp.minimum(cur + delta, COUNTER_MAX).astype(jnp.uint8)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_probe_step(mesh: Mesh, k: int, num_hashes: int, size: int,
+                    threshold: int):
+    """Jitted SPMD step: min-count probe of a sharded filter for every
+    k-mer of a sharded read batch.  Returns ([B, W] counts, [B, W] valid)
+    replicated over "shard" and sharded over "data"."""
+    n_shard = mesh.shape["shard"]
+    shard_len = size // n_shard
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("shard"), P("data", None)),
+             out_specs=(P("data", None), P("data", None)))
+    def probe(counters, codes):
+        shard_id = jax.lax.axis_index("shard")
+        lo_idx = shard_id * shard_len
+        _, _, canon, valid = nthash.kmer_hashes(codes, k)
+        hs = nthash.multi_hashes(canon, k, num_hashes)
+        idx = (hs & jnp.uint64(size - 1)).astype(jnp.int32)
+        mine = (idx >= lo_idx) & (idx < lo_idx + shard_len)
+        local = jnp.where(mine, counters[
+            jnp.where(mine, idx - lo_idx, 0)], 0).astype(jnp.int32)
+        cur = jax.lax.psum(local, "shard")
+        counts = jnp.min(cur, axis=-1)
+        return counts, valid
+
+    return jax.jit(probe)
+
+
+def make_histogram_step(mesh: Mesh, k: int, num_hashes: int, size: int,
+                        threshold: int, max_count: int = 64):
+    """Jitted SPMD step: k-mer coverage histogram over a sharded batch,
+    all-reduced over the whole mesh — the analogue of the reference's
+    histogram MPI_Allreduce (CommLayer.cpp:106-137 used by
+    Assembly/CoverageAlgorithm)."""
+    probe = None  # build inline to reuse specs
+    n_shard = mesh.shape["shard"]
+    shard_len = size // n_shard
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("shard"), P("data", None)),
+             out_specs=P())
+    def hist(counters, codes):
+        shard_id = jax.lax.axis_index("shard")
+        lo_idx = shard_id * shard_len
+        _, _, canon, valid = nthash.kmer_hashes(codes, k)
+        hs = nthash.multi_hashes(canon, k, num_hashes)
+        idx = (hs & jnp.uint64(size - 1)).astype(jnp.int32)
+        mine = (idx >= lo_idx) & (idx < lo_idx + shard_len)
+        local = jnp.where(mine, counters[
+            jnp.where(mine, idx - lo_idx, 0)], 0).astype(jnp.int32)
+        counts = jnp.min(jax.lax.psum(local, "shard"), axis=-1)
+        counts = jnp.clip(counts, 0, max_count - 1)
+        h = jnp.zeros(max_count, jnp.int32).at[
+            jnp.where(valid, counts, 0).reshape(-1)].add(
+            valid.reshape(-1).astype(jnp.int32))
+        h = h.at[0].set(0)
+        # counts are already shard-invariant (inner psum); reduce over data
+        return jax.lax.psum(h, "data")
+
+    return jax.jit(hist)
+
+
+def distributed_filter_build(mesh: Mesh, batches, k: int,
+                             num_hashes: int = 4, threshold: int = 2,
+                             size: int = 1 << 24) -> CountingBloomFilter:
+    """Build a counting filter from an iterator of [B, L] code batches,
+    sharded over the mesh. Returns a host-replicated CountingBloomFilter."""
+    step = make_load_step(mesh, k, num_hashes, size)
+    counters = shard_counters(mesh, jnp.zeros(size, jnp.uint8))
+    for codes in batches:
+        counters = step(counters, shard_batch(mesh, codes))
+    full = np.asarray(jax.device_get(counters))
+    host = np.zeros(size + 1, np.uint8)
+    host[:size] = full
+    return CountingBloomFilter(
+        counters=jnp.asarray(host), k=k, num_hashes=num_hashes,
+        threshold=threshold)

@@ -1,0 +1,94 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh —
+closing the reference's multi-node test gap (SURVEY.md §4: MPI had no
+automated multi-rank tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from abyss_tpu.core import alphabet
+from abyss_tpu.ops import bloom, nthash
+from abyss_tpu.parallel import distributed as dist
+
+
+K = 21
+SIZE = 1 << 16
+
+
+def make_reads(n, L, seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 4, size=(n, L), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("n_data,n_shard", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_build_matches_single_device(n_data, n_shard):
+    codes = make_reads(64, 60, 1)
+    mesh = dist.make_mesh(n_data, n_shard)
+    cbf_dist = dist.distributed_filter_build(
+        mesh, [codes], K, num_hashes=4, threshold=2, size=SIZE)
+
+    cbf_ref = bloom.CountingBloomFilter.create(SIZE, K, 4, 2)
+    _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), K)
+    cbf_ref = cbf_ref.insert(canon, valid)
+
+    # raw slots shared by distinct k-mers may over-increment under data
+    # sharding, but the per-k-mer min-count (the semantic value) matches
+    # the sequential build exactly unless all H slots collide
+    got = np.asarray(cbf_dist.count(canon, valid))
+    expect = np.asarray(cbf_ref.count(canon, valid))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_probe_step_matches_local():
+    codes = make_reads(32, 60, 2)
+    mesh = dist.make_mesh(2, 4)
+    cbf = dist.distributed_filter_build(
+        mesh, [codes], K, size=SIZE)
+    probe = dist.make_probe_step(mesh, K, 4, SIZE, 2)
+    counters_sharded = dist.shard_counters(
+        mesh, jnp.asarray(np.asarray(cbf.counters)[:SIZE]))
+    counts, valid = probe(counters_sharded, dist.shard_batch(mesh, codes))
+    counts = np.asarray(counts)
+
+    _, _, canon, v = nthash.kmer_hashes(jnp.asarray(codes), K)
+    expect = np.asarray(cbf.count(canon))
+    np.testing.assert_array_equal(counts, expect)
+
+
+def test_histogram_allreduce():
+    codes = make_reads(32, 60, 3)
+    # duplicate every read so all k-mers have count >= 2
+    codes = np.concatenate([codes, codes], axis=0)
+    mesh = dist.make_mesh(4, 2)
+    cbf = dist.distributed_filter_build(mesh, [codes], K, size=SIZE)
+    hist_step = dist.make_histogram_step(mesh, K, 4, SIZE, 2)
+    counters_sharded = dist.shard_counters(
+        mesh, jnp.asarray(np.asarray(cbf.counters)[:SIZE]))
+    h = np.asarray(hist_step(counters_sharded, dist.shard_batch(mesh, codes)))
+    # every valid k-mer occurs exactly twice (collisions aside)
+    total = int(h.sum())
+    assert total == codes.shape[0] * (60 - K + 1)
+    assert h[2] > 0.95 * total
+
+
+def test_streaming_matches_one_shot():
+    codes = make_reads(64, 60, 4)
+    mesh = dist.make_mesh(8, 1)
+    one = dist.distributed_filter_build(mesh, [codes], K, size=SIZE)
+    two = dist.distributed_filter_build(
+        mesh, [codes[:32], codes[32:]], K, size=SIZE)
+    _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), K)
+    a = np.asarray(one.count(canon, valid))
+    b = np.asarray(two.count(canon, valid))
+    # exact true multiplicities
+    uniq, cnt = np.unique(np.asarray(canon)[np.asarray(valid)],
+                          return_counts=True)
+    true_of = dict(zip(uniq.tolist(), cnt.tolist()))
+    true = np.asarray([[true_of.get(int(c), 0) for c in row]
+                       for row in np.asarray(canon)])
+    true[~np.asarray(valid)] = 0
+    # both builds are conservative (>= true); rare all-H slot collisions
+    # may overestimate differently between batch splits
+    assert (a >= true).all() and (b >= true).all()
+    assert (a != b).mean() < 0.01
