@@ -1,0 +1,45 @@
+"""AdjList: build the contig overlap graph from unitig sequences.
+
+Reimplements /root/reference/AdjList/AdjList.cpp:44-60: an edge u -> v
+exists iff the last (k-1) bases of oriented contig u equal the first
+(k-1) bases of oriented contig v.  The reference hashes (k-1)-prefixes
+and suffixes; here the join is a dictionary on exact (k-1)-mer keys
+(device sort-merge join is a later optimization for >10^6 contigs;
+overlaps shorter than k-1 via suffix array, AdjList.cpp SAIS path, are
+not yet implemented).
+"""
+
+from __future__ import annotations
+
+from ..core import alphabet
+from .contig_graph import ContigGraph, flip, node
+
+
+def build_overlap_graph(contigs: list[tuple[str, str]], k: int,
+                        coverages: list[int] | None = None) -> ContigGraph:
+    """contigs: list of (name, sequence). Returns the ContigGraph with
+    l/C vertex properties and implicit d = -(k-1) edges."""
+    g = ContigGraph()
+    for i, (name, seq) in enumerate(contigs):
+        cov = coverages[i] if coverages else 0
+        g.add_contig(name, len(seq), cov)
+
+    o = k - 1
+    prefix_of: dict[bytes, list[int]] = {}
+    for i, (name, seq) in enumerate(contigs):
+        if len(seq) < o:
+            continue
+        fwd = seq[:o].encode()
+        rev = alphabet.revcomp(seq[-o:]).encode()
+        prefix_of.setdefault(fwd, []).append(node(i, 0))
+        prefix_of.setdefault(rev, []).append(node(i, 1))
+
+    for i, (name, seq) in enumerate(contigs):
+        if len(seq) < o:
+            continue
+        for s, suffix in ((0, seq[-o:]), (1, alphabet.revcomp(seq[:o]))):
+            u = node(i, s)
+            for v in prefix_of.get(suffix.encode(), ()):
+                if v not in g.out[u]:
+                    g.add_edge(u, v, {"d": -o})
+    return g

@@ -1,0 +1,148 @@
+"""Contig graph, IO, AdjList, and graph-algorithm tests (the style of
+Unittest/Graph/*)."""
+
+import io
+
+import numpy as np
+
+from abyss_tpu import sim
+from abyss_tpu.core import alphabet
+from abyss_tpu.graph import adjlist, algorithms, graphio
+from abyss_tpu.graph.contig_graph import ContigGraph, flip, node
+
+
+def simple_graph():
+    g = ContigGraph()
+    for i, L in enumerate([100, 200, 300]):
+        g.add_contig(str(i), L, 10 * (i + 1))
+    # 0+ -> 1+ -> 2+
+    g.add_edge(node(0, 0), node(1, 0), {"d": -24})
+    g.add_edge(node(1, 0), node(2, 0), {"d": -24})
+    return g
+
+
+def test_skew_symmetry():
+    g = simple_graph()
+    assert g.has_edge(node(0, 0), node(1, 0))
+    assert g.has_edge(node(1, 1), node(0, 1))  # complement edge
+    assert g.predecessors(node(1, 0)) == [node(0, 0)]
+    assert g.in_degree(node(2, 0)) == 1
+    g.remove_edge(node(0, 0), node(1, 0))
+    assert not g.has_edge(node(1, 1), node(0, 1))
+
+
+def test_remove_contig():
+    g = simple_graph()
+    g.remove_contig(1)
+    assert not g.has_edge(node(0, 0), node(1, 0))
+    assert g.out_degree(node(0, 0)) == 0
+    assert list(g.contigs()) == [0, 2]
+
+
+def test_dot_roundtrip():
+    g = simple_graph()
+    buf = io.StringIO()
+    graphio.write_dot(g, buf, k=25)
+    text = buf.getvalue()
+    assert 'digraph adj {' in text
+    assert '"0+" -> "1+"' in text
+    assert 'l=100' in text
+    g2, k = graphio.read_dot(io.StringIO(text))
+    assert k == 25
+    assert g2.has_edge(node(g2.id_of("0"), 0), node(g2.id_of("1"), 0))
+    assert g2.lengths[g2.id_of("2")] == 300
+    assert g2.out[node(g2.id_of("0"), 0)][node(g2.id_of("1"), 0)]["d"] == -24
+
+
+def test_adj_roundtrip():
+    g = simple_graph()
+    buf = io.StringIO()
+    graphio.write_adj(g, buf)
+    text = buf.getvalue()
+    g2 = graphio.read_adj(io.StringIO(text))
+    assert g2.has_edge(node(g2.id_of("0"), 0), node(g2.id_of("1"), 0))
+    assert g2.has_edge(node(g2.id_of("1"), 0), node(g2.id_of("2"), 0))
+    assert g2.lengths[g2.id_of("1")] == 200
+
+
+def test_gfa2_output():
+    g = simple_graph()
+    buf = io.StringIO()
+    graphio.write_gfa2(g, buf, k=25)
+    lines = buf.getvalue().splitlines()
+    assert lines[0].startswith("H\tVN:Z:2.0")
+    assert sum(1 for l in lines if l.startswith("S\t")) == 3
+    assert sum(1 for l in lines if l.startswith("E\t")) == 2
+
+
+def test_adjlist_overlap_graph():
+    k = 11
+    # a -> b with k-1 overlap; c reverse-complement overlaps b's end
+    rng = np.random.default_rng(1)
+    a = "".join("ACGT"[i] for i in rng.integers(0, 4, 40))
+    b = a[-(k - 1):] + "".join("ACGT"[i] for i in rng.integers(0, 4, 30))
+    c = alphabet.revcomp(b[-(k - 1):] +
+                         "".join("ACGT"[i] for i in rng.integers(0, 4, 20)))
+    g = adjlist.build_overlap_graph([("a", a), ("b", b), ("c", c)], k)
+    assert g.has_edge(node(0, 0), node(1, 0))       # a+ -> b+
+    assert g.has_edge(node(1, 0), node(2, 1))       # b+ -> c-
+    assert g.out[node(0, 0)][node(1, 0)]["d"] == -(k - 1)
+    # complements exist
+    assert g.has_edge(node(1, 1), node(0, 1))
+
+
+def test_assemble_chains_and_merge():
+    k = 11
+    rng = np.random.default_rng(2)
+    full = "".join("ACGT"[i] for i in rng.integers(0, 4, 100))
+    # split into 3 overlapping pieces
+    a, b, c = full[:40], full[30:70], full[60:]
+    o = k - 1
+    pieces = [("0", full[:40]), ("1", full[40 - o:70]),
+              ("2", full[70 - o:])]
+    g = adjlist.build_overlap_graph(pieces, k)
+    seqs = dict(pieces)
+    g2, seqs2, chains = algorithms.merge_linear_chains(g, seqs)
+    assert len(chains) == 1 and len(chains[0]) == 3
+    merged = [s for s in seqs2.values() if len(s) == 100]
+    assert merged and (merged[0] == full or
+                       merged[0] == alphabet.revcomp(full))
+
+
+def test_prune_tips():
+    g = ContigGraph()
+    for i, L in enumerate([500, 30, 500]):
+        g.add_contig(str(i), L, 10)
+    # 0+ -> 1+ (short tip), 0+ -> 2+ (real continuation)
+    g.add_edge(node(0, 0), node(1, 0), None)
+    g.add_edge(node(0, 0), node(2, 0), None)
+    removed = algorithms.prune_tips(g, max_len=100)
+    assert removed == [1]
+    assert g.out_degree(node(0, 0)) == 1
+
+
+def test_remove_islands():
+    g = ContigGraph()
+    g.add_contig("0", 1000, 1)
+    g.add_contig("1", 50, 1)
+    removed = algorithms.remove_islands(g, min_len=200)
+    assert removed == [1]
+    assert list(g.contigs()) == [0]
+
+
+def test_pop_bubbles():
+    g = ContigGraph()
+    for i, (L, C) in enumerate([(500, 50), (49, 40), (49, 3), (500, 50)]):
+        g.add_contig(str(i), L, C)
+    # 0+ -> {1+, 2+} -> 3+
+    g.add_edge(node(0, 0), node(1, 0), None)
+    g.add_edge(node(0, 0), node(2, 0), None)
+    g.add_edge(node(1, 0), node(3, 0), None)
+    g.add_edge(node(2, 0), node(3, 0), None)
+    bubbles = algorithms.find_bubbles(g)
+    assert len(bubbles) >= 1
+    removed = algorithms.pop_bubbles(g)
+    assert removed == [2]  # low-coverage branch removed
+    # now the graph is a clean chain
+    chains = algorithms.assemble_chains(g)
+    assert len(chains) == 1 and len(chains[0]) == 3
