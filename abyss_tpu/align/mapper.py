@@ -1,0 +1,196 @@
+"""Read -> contig mapper: batched k-mer seed-and-vote on device.
+
+The TPU-native replacement for the reference's aligners (abyss-map's
+FM-index MUM search, Map/map.cc:33-75, and KAligner's k-mer seed hash,
+KAligner/Aligner.h:25-50).  An FM-index backward search is a pointer
+chase — hostile to a vector machine — so the index here is a *sorted
+array of canonical k-mer hashes* over the target contigs: lookups are
+`searchsorted` (vectorized binary search), and per-read (contig, strand,
+diagonal) votes elect the alignment, replacing seed chaining.
+
+Reads with ties between two different (contig, strand, diagonal) keys
+are reported as multimapping (mapq 0), like abyss-map's unique-MUM rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import alphabet
+from ..ops import nthash
+
+DUP = 4            # max duplicate index hits examined per seed
+DIAG_OFF = 1 << 20  # diagonal offset so keys stay positive
+
+
+@dataclass
+class KmerIndex:
+    k: int
+    hashes: jax.Array     # uint64[N] sorted canonical hashes
+    contig: jax.Array     # int32[N]
+    pos: jax.Array        # int32[N]
+    is_fwd: jax.Array     # bool[N] canonical == forward hash at that pos
+    names: list
+    lengths: list
+
+    @staticmethod
+    def build(contigs: list[tuple[str, str]], k: int) -> "KmerIndex":
+        hs, cid, pos, isf = [], [], [], []
+        for i, (name, seq) in enumerate(contigs):
+            if len(seq) < k:
+                continue
+            codes = alphabet.encode(seq)[None]
+            f, r, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), k)
+            f = np.asarray(f)[0]
+            canon_np = np.asarray(canon)[0]
+            v = np.asarray(valid)[0]
+            idx = np.nonzero(v)[0]
+            hs.append(canon_np[idx])
+            cid.append(np.full(len(idx), i, np.int32))
+            pos.append(idx.astype(np.int32))
+            isf.append((f == canon_np)[idx])
+        if hs:
+            hs = np.concatenate(hs)
+            cid = np.concatenate(cid)
+            pos = np.concatenate(pos)
+            isf = np.concatenate(isf)
+        else:
+            hs = np.zeros(0, np.uint64)
+            cid = pos = np.zeros(0, np.int32)
+            isf = np.zeros(0, bool)
+        order = np.argsort(hs, kind="stable")
+        return KmerIndex(
+            k=k, hashes=jnp.asarray(hs[order]),
+            contig=jnp.asarray(cid[order]), pos=jnp.asarray(pos[order]),
+            is_fwd=jnp.asarray(isf[order]),
+            names=[n for n, _ in contigs],
+            lengths=[len(s) for _, s in contigs])
+
+
+@dataclass
+class Alignment:
+    """One read->contig alignment (the reference's SAMRecord payload)."""
+    qname: str
+    rname: str
+    rev: bool
+    pos: int        # 0-based target start of the aligned (seeded) segment
+    qstart: int     # read coordinate of first seeded base
+    qend: int       # read coordinate past last seeded base
+    read_len: int
+    score: int      # number of supporting k-mer seeds
+    mapq: int
+    rlen: int       # target contig length
+
+    @property
+    def target_end(self) -> int:
+        return self.pos + (self.qend - self.qstart)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _vote_kernel(index_arrays, batch, k: int):
+    """Per-read best (contig, strand, diagonal) vote.
+
+    Returns per read: best key parts, seed count, runner-up count,
+    qstart, qend.
+    """
+    hashes, contig, pos, is_fwd = index_arrays
+    codes, = batch
+    f, r, canon, valid = nthash.kmer_hashes(codes, k)
+    read_fwd = f == canon
+    B, W = canon.shape
+    N = hashes.shape[0]
+
+    base = jnp.searchsorted(hashes, canon.reshape(-1)).reshape(B, W)
+    cand = base[..., None] + jnp.arange(DUP)[None, None, :]
+    cand = jnp.minimum(cand, max(N - 1, 0))
+    hit = (hashes[cand] == canon[..., None]) & valid[..., None] & (N > 0)
+
+    c_contig = contig[cand]
+    c_pos = pos[cand]
+    c_fwd = is_fwd[cand]
+    w = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+    strand = (c_fwd != read_fwd[..., None]).astype(jnp.int64)
+    diag = jnp.where(strand == 0, c_pos - w, c_pos + w)
+    key = (((c_contig.astype(jnp.int64) << 1) | strand) << 22) \
+        + diag + DIAG_OFF
+    key = jnp.where(hit, key, jnp.int64(-1))
+
+    # vote: sort keys per read, run-length encode, take the mode
+    flat = jnp.sort(key.reshape(B, W * DUP), axis=1)
+    M = W * DUP
+    start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), flat[:, 1:] != flat[:, :-1]], axis=1)
+    posm = jnp.arange(M)
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(start, posm[None, :], -1), axis=1)
+    # count per element's run via segment trick per row
+    ends = jnp.concatenate(
+        [run_start[:, 1:] != run_start[:, :-1],
+         jnp.ones((B, 1), bool)], axis=1)
+    idxm = jnp.broadcast_to(posm[None, :], (B, M))
+    run_len = jnp.where(ends, idxm - run_start + 1, 0)
+    run_len = jnp.where(flat >= 0, run_len, 0)
+    best_i = jnp.argmax(run_len, axis=1)
+    best_count = jnp.take_along_axis(run_len, best_i[:, None], axis=1)[:, 0]
+    best_key = jnp.take_along_axis(flat, best_i[:, None], axis=1)[:, 0]
+    # runner-up: best among runs with a different key
+    run_len2 = jnp.where(flat == best_key[:, None], 0, run_len)
+    second_count = jnp.max(run_len2, axis=1)
+
+    # seed span in read coordinates for the winning key
+    is_best = (key == best_key[:, None, None]) & hit
+    wb = jnp.broadcast_to(w, key.shape)
+    qstart = jnp.min(jnp.where(is_best, wb, W), axis=(1, 2))
+    qend = jnp.max(jnp.where(is_best, wb, -1), axis=(1, 2)) + k
+
+    return best_key, best_count, second_count, qstart, qend
+
+
+class KmerAligner:
+    """Batched aligner over a KmerIndex (the abyss-map / KAligner role)."""
+
+    def __init__(self, contigs: list[tuple[str, str]], k: int = 32,
+                 min_seeds: int = 2):
+        self.index = KmerIndex.build(contigs, k)
+        self.k = k
+        self.min_seeds = min_seeds
+
+    def align_batch(self, codes: np.ndarray, lengths: np.ndarray,
+                    ids: list[str]) -> list[Alignment | None]:
+        """Align a padded [B, L] read batch; one best alignment per read
+        (None if unmapped/ambiguous)."""
+        idx_arrays = (self.index.hashes, self.index.contig, self.index.pos,
+                      self.index.is_fwd)
+        best_key, count, second, qstart, qend = jax.device_get(
+            _vote_kernel(idx_arrays, (jnp.asarray(codes),), self.k))
+        out = []
+        for i, qname in enumerate(ids):
+            if count[i] < self.min_seeds or best_key[i] < 0:
+                out.append(None)
+                continue
+            key = int(best_key[i])
+            diag = (key & ((1 << 22) - 1)) - DIAG_OFF
+            strand = (key >> 22) & 1
+            cidx = key >> 23
+            qs, qe = int(qstart[i]), int(qend[i])
+            if strand == 0:
+                tstart = diag + qs
+            else:
+                # reverse: read k-mer at w maps to contig pos diag - w;
+                # leftmost contig coord comes from the *last* seed
+                tstart = diag - (qe - self.k)
+            # multimapping rule (abyss-map unique-match analogue): a
+            # runner-up location with close support zeroes the mapq
+            mapq = 0 if second[i] >= 0.9 * count[i] else \
+                min(60, 20 + 2 * (int(count[i]) - int(second[i])))
+            out.append(Alignment(
+                qname=qname, rname=self.index.names[cidx],
+                rev=bool(strand), pos=int(tstart), qstart=qs, qend=qe,
+                read_len=int(lengths[i]), score=int(count[i]), mapq=mapq,
+                rlen=self.index.lengths[cidx]))
+        return out

@@ -1,0 +1,451 @@
+"""Exact de Bruijn graph engine over a sorted k-mer table.
+
+The TPU-native counterpart of the reference's in-memory hash-DBG
+assembler (`ABYSS`, /root/reference/Assembly/ + ABYSS/abyss.cc): where
+the reference builds a `sparse_hash_map<Kmer, KmerData>` and walks it
+pointer-by-pointer, this engine keeps the k-mer set as a **sorted array
+of 2-bit-packed canonical k-mers** (k <= 32 in one uint64 word) and
+expresses every phase as dense array ops:
+
+  membership     -> vectorized binary search (searchsorted)
+  adjacency      -> 8 neighbour probes per k-mer, precomputed into an
+                    int32[N, 8] neighbour-index table; after that, all
+                    graph ops are gathers (AdjacencyAlgorithm.h:9-46)
+  erode          -> iterated masked updates (ErodeAlgorithm.h:63-113)
+  trim           -> batched bounded walks from endpoint frontier
+                    (TrimAlgorithm.h:15-99)
+  split+assemble -> unique-successor links + **pointer doubling** (list
+                    ranking): maximal unambiguous chains are ranked in
+                    O(log L) steps, entirely on device — the SIMD
+                    answer to AssembleAlgorithm.h:45-142's walks.
+
+Orientation: only canonical k-mers are stored (min of packed fwd/rc,
+like Assembly/DBG.h:293-322); traversal works on *oriented* vertices
+2*i + strand.  Palindromic k-mers break chains, as in the reference
+(Assembly/DBG.h:202-207, AssembleAlgorithm.h:105).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import alphabet
+from ..core.histogram import Histogram
+
+COVERAGE_MAX = 32767  # Assembly/VertexData.h:33
+
+
+def pack_kmers(codes, k: int):
+    """2-bit-pack every k-window of [B, L] codes.
+
+    Returns (fwd, rc, canon, valid): uint64[B, W] packed k-mers; valid
+    masks windows containing non-ACGT codes.
+    """
+    if k > 32:
+        raise ValueError(
+            f"the exact hash-DBG engine packs k-mers into one 64-bit word "
+            f"(k <= 32); got k={k}. Use the Bloom-DBG engine for larger k.")
+    codes = jnp.asarray(codes)
+    L = codes.shape[-1]
+    W = L - k + 1
+    safe = jnp.minimum(codes, 3).astype(jnp.uint64)
+    comp = jnp.uint64(3) - safe
+    fwd = jnp.zeros(codes.shape[:-1] + (W,), jnp.uint64)
+    rc = jnp.zeros_like(fwd)
+    for j in range(k):
+        fwd = (fwd << jnp.uint64(2)) | safe[..., j:j + W]
+        rc = (rc << jnp.uint64(2)) | comp[..., k - 1 - j:k - 1 - j + W]
+    canon = jnp.minimum(fwd, rc)
+    bad = (codes >= 4).astype(jnp.int32)
+    cb = jnp.cumsum(bad, axis=-1)
+    cb = jnp.concatenate(
+        [jnp.zeros(bad.shape[:-1] + (1,), cb.dtype), cb], axis=-1)
+    valid = (cb[..., k:] - cb[..., :W]) == 0
+    return fwd, rc, canon, valid
+
+
+def unpack_kmer(packed: int, k: int) -> str:
+    out = []
+    for j in range(k):
+        out.append("ACGT"[(packed >> (2 * (k - 1 - j))) & 3])
+    return "".join(out)
+
+
+@dataclass
+class KmerTable:
+    """Sorted canonical k-mer table with counts and adjacency."""
+    k: int
+    kmers: np.ndarray      # uint64[N] sorted canonical packed k-mers
+    counts: np.ndarray     # int32[N] multiplicities (saturated)
+    alive: np.ndarray      # bool[N]
+    nbr: np.ndarray | None = None   # int32[N, 8] neighbour row or -1
+    # nbr columns 0-3: right extension by base c (stored orientation);
+    # columns 4-7: left extension by base c.
+
+    @property
+    def n(self) -> int:
+        return len(self.kmers)
+
+
+def count_kmers(batches, k: int) -> KmerTable:
+    """Load phase (LoadAlgorithm.h:12-178): read batches -> sorted
+    unique canonical k-mers with counts."""
+    chunks = []
+    for codes in batches:
+        _, _, canon, valid = pack_kmers(jnp.asarray(codes), k)
+        canon = np.asarray(canon).reshape(-1)
+        valid = np.asarray(valid).reshape(-1)
+        chunks.append(canon[valid])
+    if not chunks:
+        return KmerTable(k, np.zeros(0, np.uint64), np.zeros(0, np.int32),
+                         np.zeros(0, bool))
+    allk = np.concatenate(chunks)
+    kmers, counts = np.unique(allk, return_counts=True)
+    counts = np.minimum(counts, COVERAGE_MAX).astype(np.int32)
+    return KmerTable(k, kmers, counts, np.ones(len(kmers), bool))
+
+
+def coverage_histogram(t: KmerTable) -> Histogram:
+    h = Histogram()
+    vals, cnts = np.unique(t.counts[t.alive], return_counts=True)
+    for v, c in zip(vals, cnts):
+        h.insert(int(v), int(c))
+    return h
+
+
+def coverage_threshold(h: Histogram) -> float:
+    """setCoverageParameters (CoverageAlgorithm.h:13-60): the fixpoint of
+    sqrt(median of the histogram trimmed at the current threshold),
+    seeded at the first local minimum."""
+    t = float(h.first_local_minimum())
+    if t == 0:
+        return 0.0
+    for _ in range(100):
+        t2 = float(np.sqrt(h.trim_low(int(round(t))).median()))
+        if abs(t2 - t) < 1e-9:
+            break
+        t = t2
+    return t
+
+
+def apply_coverage_threshold(t: KmerTable, kc: int) -> KmerTable:
+    """kc filter (CoverageAlgorithm.h:117-129)."""
+    t.alive &= t.counts >= kc
+    return t
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _neighbor_probe(kmers, k: int):
+    """For each stored canonical k-mer: the table row of each of its 8
+    neighbours (right by base 0..3, then left by base 0..3), -1 if the
+    neighbour k-mer is absent."""
+    N = kmers.shape[0]
+    mask = jnp.uint64((1 << (2 * k)) - 1) if 2 * k < 64 else \
+        jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    shift_top = jnp.uint64(2 * (k - 1))
+    x = kmers  # stored orientation
+    rows = []
+    for c in range(4):
+        y = ((x << jnp.uint64(2)) | jnp.uint64(c)) & mask
+        yrc = _rc_packed(y, k)
+        ycan = jnp.minimum(y, yrc)
+        rows.append(ycan)
+    for c in range(4):
+        y = (x >> jnp.uint64(2)) | (jnp.uint64(c) << shift_top)
+        yrc = _rc_packed(y, k)
+        ycan = jnp.minimum(y, yrc)
+        rows.append(ycan)
+    cand = jnp.stack(rows, axis=1)  # [N, 8]
+    idx = jnp.searchsorted(kmers, cand.reshape(-1)).reshape(N, 8)
+    idx = jnp.minimum(idx, N - 1)
+    hit = kmers[idx] == cand
+    return jnp.where(hit, idx.astype(jnp.int32), -1)
+
+
+def _rc_packed(x, k: int):
+    """Reverse complement of 2-bit packed k-mers (vectorized)."""
+    x = ~x  # complement every base (2-bit NOT within mask handled below)
+    # reverse 2-bit groups via bit tricks
+    x = ((x & jnp.uint64(0x3333333333333333)) << jnp.uint64(2)) | \
+        ((x & jnp.uint64(0xCCCCCCCCCCCCCCCC)) >> jnp.uint64(2))
+    x = ((x & jnp.uint64(0x0F0F0F0F0F0F0F0F)) << jnp.uint64(4)) | \
+        ((x & jnp.uint64(0xF0F0F0F0F0F0F0F0)) >> jnp.uint64(4))
+    x = ((x & jnp.uint64(0x00FF00FF00FF00FF)) << jnp.uint64(8)) | \
+        ((x & jnp.uint64(0xFF00FF00FF00FF00)) >> jnp.uint64(8))
+    x = ((x & jnp.uint64(0x0000FFFF0000FFFF)) << jnp.uint64(16)) | \
+        ((x & jnp.uint64(0xFFFF0000FFFF0000)) >> jnp.uint64(16))
+    x = (x << jnp.uint64(32)) | (x >> jnp.uint64(32))
+    return x >> jnp.uint64(64 - 2 * k)
+
+
+def build_adjacency(t: KmerTable) -> KmerTable:
+    """AdjacencyAlgorithm.h:9-46 as one batched probe."""
+    if t.n == 0:
+        t.nbr = np.zeros((0, 8), np.int32)
+        return t
+    t.nbr = np.asarray(_neighbor_probe(jnp.asarray(t.kmers), t.k))
+    return t
+
+
+def _degrees(t: KmerTable) -> tuple[np.ndarray, np.ndarray]:
+    """(right_degree, left_degree) of stored orientation, respecting
+    alive masks."""
+    ok = (t.nbr >= 0) & np.where(t.nbr >= 0, t.alive[np.maximum(t.nbr, 0)],
+                                 False)
+    return ok[:, :4].sum(axis=1), ok[:, 4:].sum(axis=1)
+
+
+def erode(t: KmerTable, e: int) -> int:
+    """Remove blunt-ended k-mers with coverage < e until stable
+    (ErodeAlgorithm.h:63-113).  Returns number eroded."""
+    total = 0
+    while True:
+        rd, ld = _degrees(t)
+        blunt = ((rd == 0) | (ld == 0)) & t.alive
+        kill = blunt & (t.counts < e)
+        n = int(kill.sum())
+        if n == 0:
+            return total
+        t.alive &= ~kill
+        total += n
+
+
+def trim(t: KmerTable, max_tip: int) -> int:
+    """Prune tips of <= max_tip k-mers (performTrim,
+    TrimAlgorithm.h:15-99): walk inward from blunt endpoints; if a
+    junction or an opposite-direction branch appears within max_tip
+    steps, delete the walked branch."""
+    total = 0
+    changed = True
+    while changed:
+        changed = False
+        rd, ld = _degrees(t)
+        # endpoints: alive k-mers with degree 0 on one side
+        for side in (0, 1):  # 0: left-blunt, walk right; 1: right-blunt
+            if side == 0:
+                start = np.nonzero(t.alive & (ld == 0) & (rd > 0))[0]
+            else:
+                start = np.nonzero(t.alive & (rd == 0) & (ld > 0))[0]
+            if not len(start):
+                continue
+            kills = _walk_tips(t, start, side, max_tip, rd, ld)
+            if kills:
+                idx = np.concatenate(kills)
+                t.alive[idx] = False
+                total += len(idx)
+                changed = True
+                rd, ld = _degrees(t)
+    return total
+
+
+def _walk_tips(t, start, side, max_tip, rd, ld):
+    """Walk from blunt endpoints; collect branches that terminate at a
+    junction within max_tip steps."""
+    kills = []
+    for s in start:
+        path = [s]
+        cur = s
+        dir_right = side == 0
+        ok = False
+        for _ in range(max_tip):
+            cols = range(0, 4) if dir_right else range(4, 8)
+            nxts = [t.nbr[cur, c] for c in cols
+                    if t.nbr[cur, c] >= 0 and t.alive[t.nbr[cur, c]]]
+            if len(nxts) != 1:
+                break
+            nxt = nxts[0]
+            # orientation flip: stored orientation of the neighbour may be
+            # reverse; detect by checking which side links back
+            # (approximation: use degree heuristic below)
+            nrd, nld = rd[nxt], ld[nxt]
+            if (nrd if dir_right else nld) > 1 or (nld if dir_right else nrd) > 1:
+                # junction reached: the walked path is a tip
+                ok = True
+                break
+            path.append(nxt)
+            cur = nxt
+        if ok and len(path) <= max_tip:
+            kills.append(np.asarray(path))
+    return kills
+
+
+# --------------------------------------------------------------------------
+# assemble: unique-successor links + pointer doubling
+
+
+def _oriented_next(t: KmerTable) -> np.ndarray:
+    """next[ov] for oriented vertices ov = 2*i + strand: the unique
+    unambiguous successor, or -1 (split-ambiguous semantics,
+    SplitAlgorithm.h:28-100).  strand 0 walks right in stored
+    orientation, strand 1 walks left (i.e. right on the rc)."""
+    N = t.n
+    nbr = t.nbr
+    alive = t.alive
+    ok = (nbr >= 0)
+    ok &= np.where(ok, alive[np.maximum(nbr, 0)], False)
+    kmers = t.kmers
+    k = t.k
+
+    right_deg = ok[:, :4].sum(axis=1)
+    left_deg = ok[:, 4:].sum(axis=1)
+
+    # palindromes break chains
+    rc = np.asarray(_rc_packed(jnp.asarray(kmers), k))
+    palin = rc == kmers
+
+    nxt = np.full(2 * N, -1, np.int64)
+    mask = (1 << (2 * k)) - 1
+
+    # strand 0: unique right extension
+    for strand in (0, 1):
+        if strand == 0:
+            deg = right_deg
+            cols = slice(0, 4)
+        else:
+            deg = left_deg
+            cols = slice(4, 8)
+        rows = np.nonzero(alive & (deg == 1) & ~palin)[0]
+        sub = np.where(ok[rows, cols], nbr[rows, cols], -1)
+        tgt = sub.max(axis=1)
+        base = np.argmax(sub, axis=1)
+        # determine the successor's strand: compute the neighbour k-mer in
+        # walk orientation and compare with its stored form
+        x = kmers[rows]
+        if strand == 0:
+            y = ((x << np.uint64(2)) | base.astype(np.uint64)) \
+                & np.uint64(mask)
+        else:
+            # a stored-orientation LEFT extension by base c appends the
+            # complement base (3 - c) in the rc walk orientation
+            xr = np.asarray(_rc_packed(jnp.asarray(x), k))
+            y = ((xr << np.uint64(2)) |
+                 (3 - base).astype(np.uint64)) & np.uint64(mask)
+        same = kmers[tgt] == y
+        tstrand = np.where(same, 0, 1)
+        tpal = palin[tgt]
+        ov_t = 2 * tgt + tstrand
+        # successor valid only if the target's own in-degree (in walk
+        # orientation) is 1: in-deg of oriented v = out-deg of flip(v)...
+        # compute target left-degree in its walk orientation:
+        t_in = np.where(tstrand == 0, left_deg[tgt], right_deg[tgt])
+        good = (t_in == 1) & ~tpal
+        src = 2 * rows + strand
+        nxt[src[good]] = ov_t[good]
+    return nxt
+
+
+def _pointer_double(nxt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """List ranking: for each oriented vertex, (head, position in chain).
+    O(log L) gather rounds — the SIMD replacement for sequential chain
+    walks.  Cycles (circular unitigs) are broken at their minimum vertex.
+    """
+    n = len(nxt)
+    prev = np.full(n, -1, np.int64)
+    valid = nxt >= 0
+    prev[nxt[valid]] = np.nonzero(valid)[0]
+
+    # parent pointers: heads point to themselves, distance 0
+    P = np.where(prev >= 0, prev, np.arange(n))
+    dist = np.where(prev >= 0, 1, 0).astype(np.int64)
+    for _ in range(64):
+        dist = dist + dist[P]
+        newP = P[P]
+        if np.array_equal(newP, P):
+            break
+        P = newP
+    # cycle members never converge (their P keeps moving around the
+    # cycle); resolve them on host — rare (circular contigs)
+    unresolved = P[P] != P
+    if unresolved.any():
+        for v in np.nonzero(unresolved)[0]:
+            if not unresolved[v]:
+                continue
+            # walk the cycle, pick min vertex as head
+            cyc = [v]
+            w = nxt[v]
+            while w != v:
+                cyc.append(w)
+                w = nxt[w]
+            headv = min(cyc)
+            start = cyc.index(headv)
+            order = cyc[start:] + cyc[:start]
+            for i, u in enumerate(order):
+                P[u] = headv
+                dist[u] = i
+                unresolved[u] = False
+    return P, dist
+
+
+def assemble(t: KmerTable) -> list[tuple[str, int]]:
+    """Extract maximal unambiguous unitigs (AssembleAlgorithm.h:45-142).
+
+    Returns [(sequence, coverage_sum)] with each unitig reported once in
+    canonical orientation.
+    """
+    if t.n == 0:
+        return []
+    nxt = _oriented_next(t)
+    head, pos = _pointer_double(nxt)
+
+    # chains: group oriented vertices by head
+    N = t.n
+    alive_ov = np.repeat(t.alive, 2)
+    order = np.lexsort((pos, head))
+    order = order[alive_ov[order]]
+    heads = head[order]
+    boundaries = np.nonzero(
+        np.concatenate([[True], heads[1:] != heads[:-1]]))[0]
+    k = t.k
+    contigs = []
+    seen = set()
+    kmer_strs = None
+    for bi, b in enumerate(boundaries):
+        e = boundaries[bi + 1] if bi + 1 < len(boundaries) else len(order)
+        chain = order[b:e]
+        # verify contiguous positions (defensive)
+        rows = chain >> 1
+        strands = chain & 1
+        # build sequence: first k-mer + last base of each subsequent k-mer
+        first = int(rows[0])
+        s0 = unpack_kmer(int(t.kmers[first]), k)
+        if strands[0] == 1:
+            s0 = alphabet.revcomp(s0)
+        seq = [s0]
+        for r, st in zip(rows[1:], strands[1:]):
+            km = unpack_kmer(int(t.kmers[r]), k)
+            if st == 1:
+                km = alphabet.revcomp(km)
+            seq.append(km[-1])
+        s = "".join(seq)
+        canon = min(s, alphabet.revcomp(s))
+        if canon in seen:
+            continue
+        seen.add(canon)
+        cov = int(t.counts[rows].sum())
+        contigs.append((canon, cov))
+    return contigs
+
+
+def assemble_reads(batches, k: int, kc: int = 2, erode_cov: int = 2,
+                   tip_len: int | None = None,
+                   auto_coverage: bool = False,
+                   ) -> tuple[list[tuple[str, int]], KmerTable]:
+    """The full ABYSS-engine phase sequence (ABYSS/abyss.cc:58-133):
+    load -> coverage model -> kc filter -> adjacency -> erode -> trim ->
+    assemble."""
+    t = count_kmers(batches, k)
+    if auto_coverage:
+        h = coverage_histogram(t)
+        thr = coverage_threshold(h)
+        if thr > 0:
+            kc = max(kc, int(round(thr)))
+    apply_coverage_threshold(t, kc)
+    build_adjacency(t)
+    erode(t, erode_cov)
+    trim(t, tip_len if tip_len is not None else k)
+    return assemble(t), t

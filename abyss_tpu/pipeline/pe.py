@@ -1,0 +1,319 @@
+"""Pipeline driver: the abyss-pe equivalent (reference: bin/abyss-pe).
+
+Runs the stage DAG unitigs -> contigs -> scaffolds -> stats through
+filesystem artifacts named like the reference's
+(`name-1.fa ... name-8.fa`, `name-3.dist.dot`, `name-stats.tab`), with
+Make-style resumability: a stage is skipped when its output already
+exists (like abyss-pe's dependency semantics, bin/abyss-pe:553-973).
+
+Stage map (bloom mode, cf. SURVEY.md §3.1):
+  stage 1   abyss-bloom-dbg        reads -> name-1.fa (+ -1.dot AdjList)
+  stage 2   abyss-filtergraph      tips/islands pruned, chains merged
+  stage 3   PopBubbles             name-3.fa = unitigs
+  stage 4-5 map + fixmate + DistanceEst -> name-3.hist, name-3.dist.dot
+  stage 6   SimpleGraph + MergePaths + MergeContigs -> name-6.fa = contigs
+  stage 7   map(mp) + DistanceEst  -> name-6.dist.dot
+  stage 8   abyss-scaffold         -> name-8.fa = scaffolds
+  stats     abyss-fac              -> name-stats.tab
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..align import distance_est, fixmate, mapper, nw
+from ..core import alphabet
+from ..core.histogram import Histogram, contiguity_stats, format_stats_table
+from ..dbg import bloom_dbg
+from ..dbg.params import AssemblyParams
+from ..graph import adjlist, algorithms, graphio
+from ..graph.contig_graph import ContigGraph, node
+from ..io import fastx
+from ..scaffold import paths as pathtools
+
+
+@dataclass
+class PipelineParams:
+    name: str = "abyss"
+    k: int = 25
+    in_files: list = field(default_factory=list)
+    bloom_bytes: int = 64 << 20
+    kc: int = 2
+    num_hashes: int = 4
+    q: int = 3
+    # graph cleaning
+    tip_len: int | None = None      # default 2k
+    island_len: int | None = None   # default 2k
+    bubble_identity: float = 0.9    # p
+    # distance estimation / paths
+    align_k: int = 32               # seed length for the mapper (l analogue)
+    min_pairs: int = 10             # n
+    min_len: int = 200              # s (scaffolding min contig len)
+    outdir: str = "."
+    verbose: int = 1
+    batch_size: int = 4096
+    max_read_len: int = 256
+
+    def path(self, suffix: str) -> str:
+        return os.path.join(self.outdir, f"{self.name}-{suffix}")
+
+
+def _log(p: PipelineParams, msg: str):
+    if p.verbose:
+        print(f"[abyss-tpu-pe] {msg}", file=sys.stderr)
+
+
+def _read_contigs(path: str) -> tuple[list, list]:
+    recs = list(fastx.read_fastx(path))
+    contigs = [(r.id, r.seq) for r in recs]
+    covs = []
+    for r in recs:
+        parts = r.comment.split()
+        covs.append(int(parts[1]) if len(parts) >= 2 and
+                    parts[1].isdigit() else 0)
+    return contigs, covs
+
+
+def _write_contigs(path: str, contigs: list[tuple[str, str]],
+                   covs: list[int] | None = None):
+    recs = []
+    for i, (name, seq) in enumerate(contigs):
+        cov = covs[i] if covs else 0
+        recs.append((f"{name} {len(seq)} {cov}", seq))
+    fastx.write_fasta(path, recs)
+
+
+def _fresh(p: PipelineParams, out: str) -> bool:
+    return not os.path.exists(out)
+
+
+def stage_unitigs_1(p: PipelineParams) -> str:
+    out = p.path("1.fa")
+    if not _fresh(p, out):
+        return out
+    _log(p, f"stage 1: bloom-dbg assembly -> {out}")
+    params = AssemblyParams(k=p.k, num_hashes=p.num_hashes, min_cov=p.kc,
+                            bloom_bytes=p.bloom_bytes, q=p.q,
+                            batch_size=p.batch_size,
+                            max_read_len=p.max_read_len,
+                            verbose=p.verbose)
+    with open(out + ".tmp", "w") as f:
+        bloom_dbg.assemble(p.in_files, params, out=f)
+    os.rename(out + ".tmp", out)
+    return out
+
+
+def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
+    """AdjList + filtergraph + PopBubbles -> name-3.fa (unitigs)."""
+    out_fa = p.path("3.fa")
+    out_dot = p.path("3.dot")
+    if not _fresh(p, out_fa):
+        return out_fa, out_dot
+    contigs, covs = _read_contigs(p.path("1.fa"))
+    _log(p, f"stage 2-3: graph cleanup of {len(contigs)} contigs")
+    g = adjlist.build_overlap_graph(contigs, p.k, covs)
+    graphio.write_dot(g, p.path("1.dot"), k=p.k)
+    seqs = dict(contigs)
+
+    tip_len = p.tip_len if p.tip_len is not None else 2 * p.k
+    island_len = p.island_len if p.island_len is not None else 2 * p.k
+    algorithms.prune_tips(g, tip_len)
+    algorithms.remove_islands(g, island_len)
+    check = nw.identity_check_factory(seqs, g.names, p.bubble_identity)
+    popped = algorithms.pop_bubbles(g, identity_check=check)
+    _log(p, f"stage 3: popped {len(popped)} bubbles")
+    g2, seqs2, chains = algorithms.merge_linear_chains(g, seqs)
+    out_contigs = [(n, seqs2[n]) for n in
+                   (g2.names[c] for c in g2.contigs())]
+    out_covs = [g2.coverages[c] for c in g2.contigs()]
+    _write_contigs(out_fa, out_contigs, out_covs)
+    graphio.write_dot(g2, out_dot, k=p.k)
+    return out_fa, out_dot
+
+
+def _map_all(p: PipelineParams, target_fa: str):
+    """Map all reads to the target contigs; returns (hist, links)."""
+    contigs, _ = _read_contigs(target_fa)
+    al = mapper.KmerAligner(contigs, k=p.align_k)
+    all_alns = []
+    for batch in fastx.read_batches(p.in_files, p.batch_size,
+                                    p.max_read_len, q=p.q):
+        alns = al.align_batch(batch.codes[:batch.num_reads],
+                              batch.lengths[:batch.num_reads], batch.ids)
+        all_alns.extend(alns)
+    return fixmate.fixmate(all_alns)
+
+
+def stage_dist_5(p: PipelineParams) -> str:
+    out = p.path("3.dist.dot")
+    if not _fresh(p, out):
+        return out
+    _log(p, "stage 4-5: mapping reads + distance estimation")
+    hist, links = _map_all(p, p.path("3.fa"))
+    with open(p.path("3.hist"), "w") as f:
+        f.write(hist.to_text())
+    est = distance_est.estimate_distances(
+        links, hist, min_pairs=p.min_pairs, min_align=p.align_k)
+    contigs, _ = _read_contigs(p.path("3.fa"))
+    distance_est.write_dist_dot(
+        est, {n: len(s) for n, s in contigs}, out, k=p.k)
+    return out
+
+
+def stage_contigs_6(p: PipelineParams) -> str:
+    out = p.path("6.fa")
+    if not _fresh(p, out):
+        return out
+    contigs, covs = _read_contigs(p.path("3.fa"))
+    seqs = dict(contigs)
+    g = adjlist.build_overlap_graph(contigs, p.k, covs)
+    dist_g, _ = graphio.read_dot(p.path("3.dist.dot"))
+    estimates = {}
+    ss = {"+": 0, "-": 1}
+    for u in dist_g.vertices():
+        for v, prop in dist_g.out_edges(u):
+            if not prop or "n" not in prop:
+                continue
+            estimates[(dist_g.names[u >> 1], u & 1,
+                       dist_g.names[v >> 1], v & 1)] = \
+                distance_est.DistanceEstimate(
+                    prop.get("d", 0), prop.get("n", 0),
+                    float(prop.get("e", 0.0)))
+    _log(p, f"stage 6: path search over {len(estimates)} distance edges")
+    names_index = {n: g.id_of(n) for n, _ in contigs}
+    sg_paths = pathtools.simple_graph_paths(g, estimates, names_index)
+    merged = pathtools.merge_consistent_paths(sg_paths)
+    pathtools.write_paths(merged, g, p.path("4.path"), start_id=0)
+    _log(p, f"stage 6: {len(sg_paths)} seed paths -> {len(merged)} merged")
+
+    used = set()
+    out_contigs = []
+    out_covs = []
+    next_id = max((int(n) for n, _ in contigs if n.isdigit()), default=-1) + 1
+    for path in merged:
+        seq = pathtools.materialize_path(path, g, seqs)
+        cov = sum(g.coverages[v >> 1] for v in path)
+        out_contigs.append((str(next_id), seq))
+        out_covs.append(cov)
+        next_id += 1
+        used.update(v >> 1 for v in path)
+    for cid in g.contigs():
+        if cid not in used:
+            n = g.names[cid]
+            out_contigs.append((n, seqs[n]))
+            out_covs.append(g.coverages[cid])
+    _write_contigs(out, out_contigs, out_covs)
+    return out
+
+
+def stage_scaffolds_8(p: PipelineParams) -> str:
+    out = p.path("8.fa")
+    if not _fresh(p, out):
+        return out
+    _log(p, "stage 7-8: scaffolding")
+    contigs, covs = _read_contigs(p.path("6.fa"))
+    seqs = dict(contigs)
+    hist, links = _map_all(p, p.path("6.fa"))
+    est = distance_est.estimate_distances(
+        links, hist, min_pairs=p.min_pairs, min_align=p.align_k)
+    # distance graph over contigs
+    dg = ContigGraph()
+    for name, seq in contigs:
+        dg.add_contig(name, len(seq))
+    for (un, su, vn, sv), e in est.items():
+        dg.add_edge(node(dg.id_of(un), su), node(dg.id_of(vn), sv),
+                    {"d": e.distance, "n": e.num_pairs,
+                     "sd": e.std_dev})
+    distance_est.write_dist_dot(
+        est, {n: len(s) for n, s in contigs}, p.path("6.dist.dot"), k=p.k)
+    chains = pathtools.scaffold_paths(dg, p.min_pairs, p.min_len)
+    used = set()
+    out_contigs = []
+    next_id = max((int(n) for n, _ in contigs if n.isdigit()), default=-1) + 1
+    for path in chains:
+        seq = pathtools.materialize_path(path, dg, seqs)
+        out_contigs.append((str(next_id), seq))
+        next_id += 1
+        used.update(v >> 1 for v in path)
+    for cid in dg.contigs():
+        if cid not in used:
+            n = dg.names[cid]
+            out_contigs.append((n, seqs[n]))
+    _write_contigs(out, out_contigs)
+    _log(p, f"stage 8: {len(chains)} scaffolds + "
+            f"{len(out_contigs) - len(chains)} singletons")
+    return out
+
+
+def stage_stats(p: PipelineParams) -> str:
+    out = p.path("stats.tab")
+    rows = []
+    for suffix, label in [("3.fa", "unitigs"), ("6.fa", "contigs"),
+                          ("8.fa", "scaffolds")]:
+        path = p.path(suffix)
+        if os.path.exists(path):
+            lengths = [len(r.seq) for r in fastx.read_fastx(path)]
+            rows.append(contiguity_stats(lengths, min_size=500, name=label))
+    with open(out, "w") as f:
+        f.write(format_stats_table(rows))
+    return out
+
+
+def run(p: PipelineParams) -> dict[str, str]:
+    """Run the full pipeline; returns artifact paths."""
+    t0 = time.time()
+    os.makedirs(p.outdir, exist_ok=True)
+    artifacts = {}
+    artifacts["unitigs1"] = stage_unitigs_1(p)
+    artifacts["unitigs"], _ = stage_graph_2_3(p)
+    artifacts["dist"] = stage_dist_5(p)
+    artifacts["contigs"] = stage_contigs_6(p)
+    artifacts["scaffolds"] = stage_scaffolds_8(p)
+    artifacts["stats"] = stage_stats(p)
+    _log(p, f"done in {time.time() - t0:.1f}s")
+    return artifacts
+
+
+def main(argv=None):
+    """abyss-pe-style CLI: `name=out k=25 in='r1.fq r2.fq'`."""
+    argv = argv if argv is not None else sys.argv[1:]
+    kv = {}
+    for a in argv:
+        if "=" not in a:
+            raise SystemExit(f"expected key=value, got {a!r}")
+        k_, v = a.split("=", 1)
+        kv[k_] = v
+    p = PipelineParams(
+        name=kv.get("name", "abyss"),
+        k=int(kv.get("k", 25)),
+        in_files=kv.get("in", "").split(),
+        kc=int(kv.get("kc", 2)),
+        q=int(kv.get("q", 3)),
+        min_pairs=int(kv.get("n", 10)),
+        min_len=int(kv.get("s", 200)),
+        outdir=kv.get("outdir", "."),
+        verbose=int(kv.get("v", 1)),
+    )
+    if "B" in kv:
+        size = kv["B"].upper()
+        mult = 1
+        if size.endswith("G"):
+            mult, size = 1 << 30, size[:-1]
+        elif size.endswith("M"):
+            mult, size = 1 << 20, size[:-1]
+        elif size.endswith("K"):
+            mult, size = 1 << 10, size[:-1]
+        p.bloom_bytes = int(float(size) * mult)
+    if not p.in_files:
+        raise SystemExit("no input files: pass in='reads1.fq reads2.fq'")
+    run(p)
+    sys.stdout.write(open(p.path("stats.tab")).read())
+
+
+if __name__ == "__main__":
+    main()

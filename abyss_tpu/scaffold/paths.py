@@ -1,0 +1,240 @@
+"""Distance-constrained path search, path merging, and scaffolding.
+
+Covers the roles of three reference tools:
+  * SimpleGraph (SimpleGraph/SimpleGraph.cpp, Graph/ConstrainedSearch.h):
+    find the unique contig path consistent with a contig's distance
+    estimates;
+  * MergePaths (MergePaths/MergePaths.cpp): merge consistent per-seed
+    paths;
+  * abyss-scaffold (Scaffold/scaffold.cc): build scaffold paths from the
+    mate-pair distance graph, cutting ambiguities and emitting N-gaps.
+
+Conventions: a distance d between oriented contigs u -> v means v starts
+d bases after u ends (negative = overlap), matching the reference's
+Distance edge property.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..graph.contig_graph import ContigGraph, flip, node
+
+
+@dataclass
+class Constraint:
+    target: int     # vertex
+    distance: int   # expected start of target relative to end of seed
+    error: int      # allowed absolute deviation
+    num_pairs: int = 0
+
+
+def constrained_search(g: ContigGraph, start: int,
+                       constraints: list[Constraint],
+                       max_paths: int = 200, max_depth: int = 30,
+                       ) -> list[list[int]]:
+    """All paths from `start` that place every constraint target within
+    its distance window (ConstrainedSearch.h:57-141).  A path may end as
+    soon as all constraints are satisfied.  Returns up to max_paths
+    satisfying paths (vertex lists beginning at start)."""
+    if not constraints:
+        return []
+    want = {c.target: c for c in constraints}
+    max_reach = max(c.distance + c.error for c in constraints)
+    solutions: list[list[int]] = []
+    overflow = [False]
+
+    def dfs(path: list[int], pos: int, satisfied: dict[int, bool],
+            depth: int):
+        """pos = start coordinate of path[-1] relative to end of start."""
+        if overflow[0]:
+            return
+        if len(solutions) >= max_paths:
+            overflow[0] = True
+            return
+        if all(satisfied.values()):
+            solutions.append(list(path))
+            return
+        if depth >= max_depth:
+            return
+        u = path[-1]
+        for v, prop in sorted(g.out_edges(u)):
+            d = (prop or {}).get("d", 0)
+            # position of v's start relative to the end of the seed:
+            # the seed's end is coordinate 0
+            if len(path) == 1:
+                v_start = d
+            else:
+                v_start = pos + g.length(u) + d
+            if v_start > max_reach:
+                continue
+            sat2 = satisfied
+            if v in want and not satisfied[v]:
+                c = want[v]
+                if abs(v_start - c.distance) <= c.error:
+                    sat2 = dict(satisfied)
+                    sat2[v] = True
+            path.append(v)
+            dfs(path, v_start, sat2, depth + 1)
+            path.pop()
+
+    dfs([start], 0, {c.target: False for c in constraints}, 0)
+    if overflow[0]:
+        return []
+    return solutions
+
+
+def allowed_error(sd: float, min_error: int = 6, n_sd: float = 3.0) -> int:
+    """Distance window half-width (SimpleGraph's allowedError)."""
+    return max(min_error, int(n_sd * sd + 0.5))
+
+
+def simple_graph_paths(g: ContigGraph, estimates: dict, names_index: dict,
+                       max_paths: int = 200) -> list[list[int]]:
+    """For each oriented contig with distance estimates, search for the
+    unique consistent path (SimpleGraph.cpp main loop).  `estimates`
+    maps (u_name, su, v_name, sv) -> DistanceEstimate."""
+    by_seed: dict[int, list[Constraint]] = {}
+    for (un, su, vn, sv), e in estimates.items():
+        if un not in names_index or vn not in names_index:
+            continue
+        u = node(names_index[un], su)
+        v = node(names_index[vn], sv)
+        by_seed.setdefault(u, []).append(Constraint(
+            target=v, distance=e.distance, error=allowed_error(e.std_dev),
+            num_pairs=e.num_pairs))
+    paths = []
+    for u, cons in sorted(by_seed.items()):
+        sols = constrained_search(g, u, cons, max_paths=max_paths)
+        if len(sols) == 1:
+            paths.append(sols[0])
+        elif len(sols) > 1:
+            # keep the shared prefix if all solutions agree on it
+            first = sols[0]
+            prefix = []
+            for i, v in enumerate(first):
+                if all(len(s) > i and s[i] == v for s in sols):
+                    prefix.append(v)
+                else:
+                    break
+            if len(prefix) >= 2:
+                paths.append(prefix)
+    return paths
+
+
+def _is_subpath(small: list[int], big: list[int]) -> bool:
+    n, m = len(small), len(big)
+    if n > m:
+        return False
+    for i in range(m - n + 1):
+        if big[i:i + n] == small:
+            return True
+    return False
+
+
+def merge_consistent_paths(paths: list[list[int]]) -> list[list[int]]:
+    """Greedy merge of per-seed paths (MergePaths.cpp greedy mode):
+    overlapping paths that agree on their overlap are chained; paths
+    contained in others are dropped; conflicting overlaps leave paths
+    separate."""
+    def canon(p: list[int]) -> list[int]:
+        q = [flip(v) for v in reversed(p)]
+        return p if p <= q else q
+
+    work = [canon(p) for p in paths if len(p) >= 2]
+    # drop duplicates and contained paths
+    work = sorted(set(map(tuple, work)), key=len, reverse=True)
+    kept: list[list[int]] = []
+    for p in work:
+        p = list(p)
+        pf = [flip(v) for v in reversed(p)]
+        if any(_is_subpath(p, q) or _is_subpath(pf, q) for q in kept):
+            continue
+        kept.append(p)
+
+    # chain paths whose suffix matches another's prefix
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(kept)):
+            for j in range(len(kept)):
+                if i == j:
+                    continue
+                a, b = kept[i], kept[j]
+                best = 0
+                for o in range(min(len(a), len(b)) - 1, 0, -1):
+                    if a[-o:] == b[:o]:
+                        best = o
+                        break
+                if best:
+                    kept[i] = a + b[best:]
+                    del kept[j]
+                    merged = True
+                    break
+            if merged:
+                break
+    return kept
+
+
+def scaffold_paths(dist_graph: ContigGraph, min_pairs: int = 10,
+                   min_len: int = 200) -> list[list[int]]:
+    """Scaffold over a mate-pair distance graph (scaffold.cc:220-795):
+    drop weak edges (n < min_pairs) and short contigs (< min_len), cut
+    ambiguous vertices, and read off the remaining linear chains."""
+    g = dist_graph.copy()
+    for u in list(g.vertices()):
+        for v, prop in g.out_edges(u):
+            n = (prop or {}).get("n", 0)
+            if n < min_pairs:
+                g.remove_edge(u, v)
+    for cid in list(g.contigs()):
+        if g.lengths[cid] < min_len:
+            g.remove_contig(cid)
+    # cut ambiguity: remove out-edges of branching vertices
+    for u in list(g.vertices()):
+        if g.out_degree(u) > 1:
+            for v, _ in g.out_edges(u):
+                g.remove_edge(u, v)
+    for u in list(g.vertices()):
+        if g.in_degree(u) > 1:
+            for w in g.predecessors(u):
+                g.remove_edge(w, u)
+    from ..graph.algorithms import assemble_chains
+    return assemble_chains(g)
+
+
+def materialize_path(path: list[int], g: ContigGraph, seqs: dict[str, str],
+                     default_overlap: int = 0, min_gap: int = 1) -> str:
+    """Path -> sequence with 'N' gaps for positive distances
+    (MergeContigs.cpp for scaffold paths)."""
+    from ..core import alphabet
+
+    def oriented(v):
+        s = seqs[g.names[v >> 1]]
+        return s if (v & 1) == 0 else alphabet.revcomp(s)
+
+    out = [oriented(path[0])]
+    for a, b in zip(path, path[1:]):
+        prop = g.out[a].get(b) or {}
+        d = prop.get("d", default_overlap)
+        s = oriented(b)
+        if d < 0:
+            out.append(s[-d:] if -d <= len(s) else "")
+        else:
+            out.append("N" * max(int(d), min_gap) + s)
+    return "".join(out)
+
+
+def write_paths(paths: list[list[int]], g: ContigGraph, out, start_id: int):
+    """ContigPath file: `<new-name>\\t<v1> <v2> ...`
+    (Common/ContigPath.h operator<<)."""
+    import os
+    own = isinstance(out, (str, os.PathLike))
+    f = open(out, "w") if own else out
+    try:
+        for i, p in enumerate(paths):
+            f.write(f"{start_id + i}\t" +
+                    " ".join(g.name(v) for v in p) + "\n")
+    finally:
+        if own:
+            f.close()

@@ -1,0 +1,138 @@
+"""Alignment stack tests: mapper, fixmate, distance estimation.
+
+The distance-estimation integration test mirrors the reference pipeline:
+cut a genome into two contigs with a known gap, map simulated pairs,
+and require the MLE to recover the true gap."""
+
+import numpy as np
+import pytest
+
+from abyss_tpu import sim
+from abyss_tpu.core import alphabet
+from abyss_tpu.core.histogram import Histogram
+from abyss_tpu.align import distance_est, fixmate, mapper
+
+
+def pad_batch(seqs, ids, max_len=128):
+    codes = np.full((len(seqs), max_len), alphabet.BAD, np.uint8)
+    lengths = np.zeros(len(seqs), np.int32)
+    for i, s in enumerate(seqs):
+        c = alphabet.encode(s)[:max_len]
+        codes[i, :len(c)] = c
+        lengths[i] = len(c)
+    return codes, lengths, ids
+
+
+def test_mapper_exact_positions():
+    genome = sim.random_genome(3000, seed=50)
+    contigs = [("c0", genome)]
+    al = mapper.KmerAligner(contigs, k=32)
+    # forward reads at known positions
+    seqs, ids, truth = [], [], []
+    rng = np.random.default_rng(51)
+    for i in range(20):
+        p = int(rng.integers(0, 2900))
+        seqs.append(genome[p:p + 100])
+        ids.append(f"r{i}")
+        truth.append(p)
+    codes, lengths, ids = pad_batch(seqs, ids)
+    out = al.align_batch(codes, lengths, ids)
+    for a, p in zip(out, truth):
+        assert a is not None and a.rname == "c0" and not a.rev
+        assert a.pos - a.qstart == p  # full-read start
+        assert a.mapq > 0
+
+
+def test_mapper_reverse_strand():
+    genome = sim.random_genome(2000, seed=52)
+    al = mapper.KmerAligner([("c0", genome)], k=32)
+    p = 500
+    read = alphabet.revcomp(genome[p:p + 100])
+    codes, lengths, ids = pad_batch([read], ["r0"])
+    a = al.align_batch(codes, lengths, ids)[0]
+    assert a is not None and a.rev
+    # aligned segment must start at p
+    assert a.pos == p + (a.read_len - a.qend)
+
+
+def test_mapper_unmapped_and_repeat():
+    genome = sim.random_genome(2000, seed=53)
+    rep = genome[:300] + genome[1000:1300]  # duplicate a segment
+    al = mapper.KmerAligner([("c0", genome[:1000]), ("c1", genome[:1000])],
+                            k=32)
+    # read from the duplicated region is ambiguous -> mapq 0 or dropped
+    codes, lengths, ids = pad_batch([genome[100:200],
+                                     sim.random_genome(100, seed=99)],
+                                    ["dup", "junk"])
+    out = al.align_batch(codes, lengths, ids)
+    assert out[0] is None or out[0].mapq == 0
+    assert out[1] is None
+
+
+def test_fixmate_hist():
+    genome = sim.random_genome(4000, seed=54)
+    al = mapper.KmerAligner([("c0", genome)], k=32)
+    pr = sim.simulate_paired_reads(genome, coverage=10, read_len=100,
+                                   fragment_mean=400, fragment_sd=30,
+                                   seed=55)
+    seqs = [s for _, s, _ in pr.reads1] + [s for _, s, _ in pr.reads2]
+    ids = [i for i, _, _ in pr.reads1] + [i for i, _, _ in pr.reads2]
+    codes, lengths, ids = pad_batch(seqs, ids)
+    alns = al.align_batch(codes, lengths, ids)
+    hist, links = fixmate.fixmate(alns)
+    assert not links  # single contig: no cross links
+    assert hist.size() > 100
+    med = hist.median()
+    assert 360 <= med <= 440, med
+
+
+def test_distance_estimation_recovers_gap():
+    rng_genome = sim.random_genome(6000, seed=56)
+    gap = 120
+    c0 = rng_genome[:2800]
+    c1 = rng_genome[2800 + gap:]
+    al = mapper.KmerAligner([("0", c0), ("1", c1)], k=32)
+    pr = sim.simulate_paired_reads(rng_genome, coverage=40, read_len=100,
+                                   fragment_mean=500, fragment_sd=50,
+                                   seed=57)
+    seqs = [s for _, s, _ in pr.reads1] + [s for _, s, _ in pr.reads2]
+    ids = [i for i, _, _ in pr.reads1] + [i for i, _, _ in pr.reads2]
+    codes, lengths, ids = pad_batch(seqs, ids)
+    alns = al.align_batch(codes, lengths, ids)
+    hist, links = fixmate.fixmate(alns)
+    assert len(links) >= 10
+    est = distance_est.estimate_distances(links, hist, min_pairs=5)
+    # the 0+ -> 1+ edge must exist with distance ~ gap
+    key = ("0", 0, "1", 0)
+    rkey = ("1", 1, "0", 1)
+    assert key in est or rkey in est
+    e = est.get(key) or est.get(rkey)
+    assert abs(e.distance - gap) <= 12, e.distance
+    assert e.num_pairs >= 5
+
+
+def test_distance_estimation_negative_overlap():
+    # contigs that overlap by 30 bp -> distance ~ -30
+    g = sim.random_genome(5000, seed=58)
+    c0 = g[:2500]
+    c1 = g[2470:]  # 30 bp overlap
+    al = mapper.KmerAligner([("0", c0), ("1", c1)], k=32)
+    pr = sim.simulate_paired_reads(g, coverage=40, read_len=100,
+                                   fragment_mean=500, fragment_sd=50,
+                                   seed=59)
+    seqs = [s for _, s, _ in pr.reads1] + [s for _, s, _ in pr.reads2]
+    ids = [i for i, _, _ in pr.reads1] + [i for i, _, _ in pr.reads2]
+    codes, lengths, ids = pad_batch(seqs, ids)
+    hist, links = fixmate.fixmate(al.align_batch(codes, lengths, ids))
+    est = distance_est.estimate_distances(links, hist, min_pairs=5)
+    e = est.get(("0", 0, "1", 0)) or est.get(("1", 1, "0", 1))
+    assert e is not None
+    assert abs(e.distance - (-30)) <= 12, e.distance
+
+
+def test_write_dist_dot(tmp_path):
+    est = {("0", 0, "1", 0): distance_est.DistanceEstimate(100, 20, 3.5)}
+    p = str(tmp_path / "x.dist.dot")
+    distance_est.write_dist_dot(est, {"0": 500, "1": 600}, p, k=25)
+    text = open(p).read()
+    assert '"0+" -> "1+" [d=100 e=3.5 n=20]' in text

@@ -1,0 +1,122 @@
+"""Exact hash-DBG engine tests (the ABYSS-classic engine)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from abyss_tpu import sim
+from abyss_tpu.core import alphabet
+from abyss_tpu.dbg import hash_dbg
+
+
+def codes_of(seqs, L=None):
+    L = L or max(len(s) for s in seqs)
+    out = np.full((len(seqs), L), alphabet.BAD, np.uint8)
+    for i, s in enumerate(seqs):
+        c = alphabet.encode(s)
+        out[i, :len(c)] = c
+    return out
+
+
+def test_pack_matches_manual():
+    k = 5
+    seq = "ACGTT"
+    f, rc, canon, valid = hash_dbg.pack_kmers(codes_of([seq]), k)
+    want = 0
+    for ch in seq:
+        want = (want << 2) | "ACGT".index(ch)
+    assert int(np.asarray(f)[0, 0]) == want
+    assert hash_dbg.unpack_kmer(want, k) == seq
+    rcs = alphabet.revcomp(seq)
+    wantrc = 0
+    for ch in rcs:
+        wantrc = (wantrc << 2) | "ACGT".index(ch)
+    assert int(np.asarray(rc)[0, 0]) == wantrc
+
+
+def test_rc_packed():
+    k = 21
+    rng = np.random.default_rng(0)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, k))
+    f, rc, _, _ = hash_dbg.pack_kmers(codes_of([seq]), k)
+    got = np.asarray(hash_dbg._rc_packed(jnp.asarray(f), k))
+    assert int(got[0, 0]) == int(np.asarray(rc)[0, 0])
+
+
+def test_count_kmers():
+    k = 7
+    # ACGTACGTAC windows pair up as reverse complements -> 2 canonical
+    # k-mers, each seen twice per read
+    t = hash_dbg.count_kmers([codes_of(["ACGTACGTAC", "ACGTACGTAC"])], k)
+    assert len(t.kmers) == 2 and (t.counts == 4).all()
+    # canonical dedupe: a revcomp read counts the same k-mers
+    t2 = hash_dbg.count_kmers(
+        [codes_of(["ACGTACGTAC", alphabet.revcomp("ACGTACGTAC")])], k)
+    assert np.array_equal(t.kmers, t2.kmers)
+    assert (t2.counts == 4).all()
+
+
+def test_assemble_single_sequence():
+    k = 15
+    genome = sim.random_genome(300, seed=3)
+    t = hash_dbg.count_kmers([codes_of([genome])], k)
+    hash_dbg.apply_coverage_threshold(t, 1)
+    hash_dbg.build_adjacency(t)
+    contigs = hash_dbg.assemble(t)
+    assert len(contigs) == 1
+    s, cov = contigs[0]
+    assert s == genome or s == alphabet.revcomp(genome)
+
+
+def test_assemble_fork_splits():
+    k = 15
+    rng = np.random.default_rng(4)
+    common = "".join("ACGT"[i] for i in rng.integers(0, 4, 80))
+    a = common + "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+    b = common + "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+    t = hash_dbg.count_kmers([codes_of([a, b])], k)
+    hash_dbg.build_adjacency(t)
+    contigs = hash_dbg.assemble(t)
+    # ~3 contigs: common stem + two branch arms (plus possible extra
+    # splits at hairpin palindromes in the random sequence, which the
+    # reference also splits on, Assembly/DBG.h:202-207)
+    assert 3 <= len(contigs) <= 6
+    total = sum(len(s) for s, _ in contigs)
+    assert total >= len(a) + 60 - 2 * k
+    # every contig is a substring of one of the inputs (or its rc)
+    arc, brc = alphabet.revcomp(a), alphabet.revcomp(b)
+    for s, _ in contigs:
+        assert s in a or s in b or s in arc or s in brc
+
+
+def test_full_engine_with_errors():
+    k = 21
+    genome = sim.random_genome(5000, seed=5)
+    pr = sim.simulate_paired_reads(genome, coverage=40, read_len=100,
+                                   error_rate=0.005, seed=6)
+    seqs = [s for _, s, _ in pr.reads1] + [s for _, s, _ in pr.reads2]
+    batches = [codes_of(seqs[i:i + 512], L=100)
+               for i in range(0, len(seqs), 512)]
+    # kc=3: recurring-error k-mers (count 2) would otherwise form bubbles,
+    # which this engine leaves to the downstream graph-level PopBubbles
+    # (the reference's in-engine BubbleAlgorithm is not yet ported)
+    contigs, t = hash_dbg.assemble_reads(batches, k, kc=3, erode_cov=2)
+    contigs = [c for c in contigs if len(c[0]) >= 2 * k]
+    grc = alphabet.revcomp(genome)
+    longest = max(len(s) for s, _ in contigs)
+    assert longest > 0.5 * len(genome)
+    matched = sum(len(s) for s, _ in contigs
+                  if s in genome or s in grc)
+    total = sum(len(s) for s, _ in contigs)
+    assert matched > 0.9 * total
+
+
+def test_coverage_threshold_model():
+    h = hash_dbg.Histogram()
+    # error spike at 1, real coverage peak at ~30
+    # note: the tail count must not dip below the valley count, or the
+    # reference's firstLocalMinimum resets to the tail and returns 0
+    for c, n in [(1, 5000), (2, 800), (3, 100), (25, 200), (30, 400),
+                 (35, 200), (40, 150)]:
+        h.insert(c, n)
+    thr = hash_dbg.coverage_threshold(h)
+    assert 3 <= thr <= 10, thr

@@ -1,0 +1,94 @@
+"""Full-pipeline integration test: reads -> unitigs -> contigs ->
+scaffolds on a simulated genome (the analogue of the reference's
+IntegrationTest + README synthetic smoke test)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from abyss_tpu import sim
+from abyss_tpu.core import alphabet
+from abyss_tpu.io import fastx
+from abyss_tpu.pipeline import pe
+from abyss_tpu.scaffold import paths as pathtools
+from abyss_tpu.graph.contig_graph import ContigGraph, node
+
+
+def test_constrained_search_basic():
+    g = ContigGraph()
+    for i, L in enumerate([100, 50, 50, 100]):
+        g.add_contig(str(i), L)
+    # diamond: 0 -> {1, 2} -> 3, want path consistent with 3 at distance
+    # matching via branch 1 only if lengths differed; here both match.
+    for a, b in [(0, 1), (0, 2), (1, 3), (2, 3)]:
+        g.add_edge(node(a, 0), node(b, 0), {"d": -10})
+    cons = [pathtools.Constraint(target=node(3, 0), distance=30, error=15)]
+    sols = pathtools.constrained_search(g, node(0, 0), cons)
+    assert len(sols) == 2  # both branches satisfy
+    # tighter constraint on intermediate: require visiting 1
+    cons = [pathtools.Constraint(target=node(1, 0), distance=-10, error=2),
+            pathtools.Constraint(target=node(3, 0), distance=30, error=15)]
+    sols = pathtools.constrained_search(g, node(0, 0), cons)
+    assert len(sols) == 1
+    assert sols[0] == [node(0, 0), node(1, 0), node(3, 0)]
+
+
+def test_merge_consistent_paths():
+    a = [2, 4, 6]
+    b = [4, 6, 8]
+    c = [2, 4]  # contained
+    merged = pathtools.merge_consistent_paths([a, b, c])
+    assert len(merged) == 1
+    got = merged[0]
+    flipped = [v ^ 1 for v in reversed(got)]
+    assert got == [2, 4, 6, 8] or flipped == [2, 4, 6, 8]
+
+
+def test_full_pipeline_on_simulated_genome(tmp_path):
+    # repeats shorter than the fragment length, so mate pairs can bridge
+    # them and scaffolding has real work to do
+    genome = sim.genome_with_repeats(30000, seed=101, n_repeats=2,
+                                     repeat_len=250)
+    pr = sim.simulate_paired_reads(genome, coverage=35, read_len=100,
+                                   fragment_mean=500, fragment_sd=50,
+                                   error_rate=0.003, seed=102)
+    p1 = str(tmp_path / "r1.fq")
+    p2 = str(tmp_path / "r2.fq")
+    pr.write_fastq(p1, p2)
+
+    params = pe.PipelineParams(
+        name="t", k=31, in_files=[p1, p2], bloom_bytes=32 << 20,
+        outdir=str(tmp_path), min_pairs=5, verbose=0, batch_size=2048,
+        max_read_len=128)
+    artifacts = pe.run(params)
+
+    assert os.path.exists(artifacts["unitigs"])
+    assert os.path.exists(artifacts["contigs"])
+    assert os.path.exists(artifacts["scaffolds"])
+
+    def n50(path):
+        from abyss_tpu.core.histogram import Histogram
+        ls = [len(r.seq) for r in fastx.read_fastx(path)]
+        return Histogram.of(ls).n50(), max(ls), sum(ls)
+
+    u_n50, u_max, u_sum = n50(artifacts["unitigs"])
+    s_n50, s_max, s_sum = n50(artifacts["scaffolds"])
+    # pipeline must not lose the genome
+    assert u_sum > 0.9 * len(genome)
+    assert s_sum > 0.9 * len(genome)
+    # scaffolding should improve or maintain contiguity
+    assert s_n50 >= u_n50
+    # scaffolds should be large relative to the genome
+    assert s_max > 0.3 * len(genome), (u_n50, s_n50, s_max)
+
+    # every scaffold must be consistent with the genome: each N-free
+    # block of every scaffold aligns exactly
+    grc = alphabet.revcomp(genome)
+    for r in fastx.read_fastx(artifacts["scaffolds"]):
+        for block in r.seq.split("N"):
+            if len(block) >= 200:
+                assert block in genome or block in grc
+
+    stats = open(artifacts["stats"]).read()
+    assert "unitigs" in stats and "scaffolds" in stats
