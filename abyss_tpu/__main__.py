@@ -20,6 +20,12 @@ TOOLS = {
               "abyss_tpu.cli.tools", "todot_main"),
     "gc": ("graph statistics (abyss-gc)",
            "abyss_tpu.cli.tools", "gc_main"),
+    "konnector": ("connect read pairs through the Bloom DBG (konnector)",
+                  "abyss_tpu.cli.tools", "konnector_main"),
+    "sealer": ("close scaffold gaps (abyss-sealer)",
+               "abyss_tpu.cli.tools", "sealer_main"),
+    "db-txt": ("export telemetry database as text (abyss-db-txt)",
+               "abyss_tpu.cli.tools", "db_txt_main"),
 }
 
 

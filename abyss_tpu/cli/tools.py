@@ -173,6 +173,85 @@ def gc_main(argv=None):
         sys.stdout.write(f"{path}: V={v} E={e}\n")
 
 
+def konnector_main(argv=None):
+    """konnector equivalent (Konnector/konnector.cc): merge read pairs
+    through the Bloom DBG into pseudo-long reads."""
+    ap = argparse.ArgumentParser(prog="abyss-tpu konnector")
+    ap.add_argument("reads1")
+    ap.add_argument("reads2")
+    ap.add_argument("-k", "--kmer", type=int, required=True)
+    ap.add_argument("-b", "--bloom-size", default="64M")
+    ap.add_argument("-F", "--max-frag", type=int, default=800)
+    ap.add_argument("-P", "--max-paths", type=int, default=2)
+    ap.add_argument("-o", "--output-prefix", required=True)
+    args = ap.parse_args(argv)
+
+    from ..dbg import bloom_dbg
+    from ..dbg.params import AssemblyParams
+    from ..gap import konnector
+    from ..io import fastx
+    params = AssemblyParams(k=args.kmer,
+                            bloom_bytes=parse_size(args.bloom_size),
+                            min_cov=1)
+    cbf = bloom_dbg.load_filter(
+        fastx.read_batches([args.reads1, args.reads2], 4096, 512), params)
+    r1 = list(fastx.read_fastx(args.reads1))
+    r2 = list(fastx.read_fastx(args.reads2))
+    pairs = [(a.seq, b.seq) for a, b in zip(r1, r2)]
+    results = konnector.connect_pairs(
+        cbf, pairs, args.kmer, max_gap=args.max_frag,
+        max_paths=args.max_paths)
+    n_merged = 0
+    with open(args.output_prefix + "_merged.fa", "w") as fm, \
+            open(args.output_prefix + "_reads_1.fq", "w") as f1, \
+            open(args.output_prefix + "_reads_2.fq", "w") as f2:
+        for a, b, res in zip(r1, r2, results):
+            if res.reason == "CONNECTED":
+                fm.write(f">{a.id} {res.reason}\n{res.seq}\n")
+                n_merged += 1
+            else:
+                q1 = a.qual or "I" * len(a.seq)
+                q2 = b.qual or "I" * len(b.seq)
+                f1.write(f"@{a.id}\n{a.seq}\n+\n{q1}\n")
+                f2.write(f"@{b.id}\n{b.seq}\n+\n{q2}\n")
+    print(f"merged {n_merged} of {len(pairs)} pairs", file=sys.stderr)
+
+
+def sealer_main(argv=None):
+    """abyss-sealer equivalent (Sealer/sealer.cc)."""
+    ap = argparse.ArgumentParser(prog="abyss-tpu sealer")
+    ap.add_argument("reads", nargs="+")
+    ap.add_argument("-S", "--input-scaffold", required=True)
+    ap.add_argument("-k", "--kmer", type=int, action="append",
+                    required=True, help="k value(s), may repeat")
+    ap.add_argument("-b", "--bloom-size", default="64M")
+    ap.add_argument("-F", "--flank", type=int, default=100)
+    ap.add_argument("-G", "--max-gap", type=int, default=800)
+    ap.add_argument("-o", "--output-prefix", required=True)
+    args = ap.parse_args(argv)
+
+    from ..gap import sealer
+    from ..io import fastx
+    scaffolds = [(r.id, r.seq)
+                 for r in fastx.read_fastx(args.input_scaffold)]
+    sealed, stats = sealer.seal(
+        scaffolds, args.reads, ks=args.kmer,
+        bloom_bytes=parse_size(args.bloom_size), flank=args.flank,
+        max_gap=args.max_gap)
+    fastx.write_fasta(args.output_prefix + "_scaffold.fa", sealed)
+    print(f"closed {stats.closed} of {stats.gaps} gaps", file=sys.stderr)
+
+
+def db_txt_main(argv=None):
+    ap = argparse.ArgumentParser(prog="abyss-tpu db-txt")
+    ap.add_argument("db")
+    ap.add_argument("--csv", action="store_true")
+    args = ap.parse_args(argv)
+    from ..utils import db as dbmod
+    sys.stdout.write(dbmod.export_csv(args.db) if args.csv
+                     else dbmod.export_text(args.db))
+
+
 def parse_size(s: str) -> int:
     s = s.strip().upper()
     mult = 1

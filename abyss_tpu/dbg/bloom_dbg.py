@@ -346,26 +346,63 @@ def assemble(paths: Sequence[str] | str, params: AssemblyParams,
     """Full two-pass assembly: reads in, unitig FASTA out.
 
     The TPU-native equivalent of `abyss-bloom-dbg` (bloom-dbg.cc:389).
+    With params.checkpoint_dir set, progress is checkpointed every
+    checkpoint_every reads and automatically resumed on restart
+    (BloomDBG/Checkpoint.h semantics).
     """
+    from . import checkpoint as ckpt
+
     counters = AssemblyCounters()
     t0 = time.time()
-    cbf = load_filter(
-        fastx.read_batches(paths, params.batch_size, params.max_read_len,
-                           q=params.q),
-        params, counters)
-    if params.verbose:
-        print(f"[bloom-dbg] pass 1: {counters.kmers_loaded} k-mers from "
-              f"{counters.read_count} reads in {time.time() - t0:.1f}s",
-              file=sys.stderr)
-    counters.read_count = 0
-    asm = Assembler(cbf, params, counters)
+    resume_reads = 0
+    asm = None
+    use_ckpt = params.checkpoint_dir and params.checkpoint_every > 0
+    if use_ckpt and ckpt.exists(params.checkpoint_dir):
+        cbf, visited, resume_reads, cstate = ckpt.load(params.checkpoint_dir)
+        asm = Assembler(cbf, params, counters)
+        asm.visited = visited
+        for key, val in cstate.items():
+            if hasattr(counters, key):
+                setattr(counters, key, val)
+        if params.verbose:
+            print(f"[bloom-dbg] resuming from checkpoint at "
+                  f"{resume_reads} reads", file=sys.stderr)
+    if asm is None:
+        cbf = load_filter(
+            fastx.read_batches(paths, params.batch_size,
+                               params.max_read_len, q=params.q),
+            params, counters)
+        if params.verbose:
+            print(f"[bloom-dbg] pass 1: {counters.kmers_loaded} k-mers from "
+                  f"{counters.read_count} reads in {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+        counters.read_count = 0
+        asm = Assembler(cbf, params, counters)
     t1 = time.time()
+    reads_seen = 0
+    last_ckpt = resume_reads
     for batch in fastx.read_batches(paths, params.batch_size,
                                     params.max_read_len, q=params.q):
+        reads_seen += batch.num_reads
+        if reads_seen <= resume_reads:
+            continue  # already processed before the checkpoint
         for contig in asm.process_batch(batch):
             fastx.write_fasta(out, [(contig.header, contig.seq)])
+        if use_ckpt and reads_seen - last_ckpt >= params.checkpoint_every:
+            if hasattr(out, "flush"):
+                out.flush()
+            ckpt.save(params.checkpoint_dir, asm.cbf, asm.visited,
+                      reads_seen, dataclasses_dict(counters))
+            last_ckpt = reads_seen
+    if use_ckpt:
+        ckpt.remove(params.checkpoint_dir)
     if params.verbose:
         print(f"[bloom-dbg] pass 2: {counters.contig_id} contigs, "
               f"{counters.bases_assembled} bases in {time.time() - t1:.1f}s",
               file=sys.stderr)
     return counters
+
+
+def dataclasses_dict(c: AssemblyCounters) -> dict:
+    import dataclasses
+    return dataclasses.asdict(c)

@@ -23,6 +23,10 @@ class AssemblyParams:
     lookahead_width: int = 16    # BFS frontier cap in branch resolution
     max_contig_len: int = 20_000_000
     verbose: int = 0
+    # checkpoint/resume (BloomDBG/Checkpoint.h): save every N reads in
+    # pass 2 (0 = disabled)
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 0
 
     def __post_init__(self):
         if self.trim is None:

@@ -1,0 +1,104 @@
+"""Aux subsystems: telemetry DB, logging/timer, checkpoint/resume."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from abyss_tpu import sim
+from abyss_tpu.dbg import bloom_dbg, checkpoint
+from abyss_tpu.dbg.params import AssemblyParams
+from abyss_tpu.io import fastx
+from abyss_tpu.ops import bloom
+from abyss_tpu.utils import db as dbmod
+from abyss_tpu.utils import log
+
+
+def test_db_roundtrip(tmp_path):
+    path = str(tmp_path / "t.sqlite")
+    with dbmod.DB(path, tool="unittest", command="cmd") as d:
+        d.add("reads", 100)
+        d.add("kmers", 5000)
+    text = dbmod.export_text(path)
+    assert "reads\t100" in text
+    csv = dbmod.export_csv(path)
+    assert csv.splitlines()[0] == "run_id,tool,key,value"
+    assert any("kmers,5000" in l for l in csv.splitlines())
+
+
+def test_logger_levels(capsys):
+    log.set_verbosity(1)
+    log.logger(1, "visible")
+    log.logger(2, "hidden")
+    err = capsys.readouterr().err
+    assert "visible" in err and "hidden" not in err
+    with log.timer("phase", level=0):
+        pass
+    assert "phase:" in capsys.readouterr().err
+    log.set_verbosity(0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    d = str(tmp_path / "ckpt")
+    cbf = bloom.CountingBloomFilter.create(1 << 12, 21, 4, 2)
+    vis = bloom.BitBloomFilter.create(1 << 10, 21, 4)
+    checkpoint.save(d, cbf, vis, 1234, {"contig_id": 7})
+    assert checkpoint.exists(d)
+    cbf2, vis2, reads, counters = checkpoint.load(d)
+    assert reads == 1234 and counters["contig_id"] == 7
+    assert cbf2.k == 21 and cbf2.counters.shape == cbf.counters.shape
+    checkpoint.remove(d)
+    assert not checkpoint.exists(d)
+
+
+def test_assembly_resume_matches_fresh(tmp_path):
+    genome = sim.random_genome(6000, seed=71)
+    pr = sim.simulate_paired_reads(genome, coverage=25, read_len=100,
+                                   seed=72)
+    p1, p2 = str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")
+    pr.write_fastq(p1, p2)
+
+    def contigs_of(buf):
+        buf.seek(0)
+        return sorted(r.seq for r in fastx.read_fastx(buf))
+
+    # fresh run
+    params = AssemblyParams(k=25, bloom_bytes=8 << 20, batch_size=512,
+                            max_read_len=128)
+    fresh = io.StringIO()
+    bloom_dbg.assemble([p1, p2], params, out=fresh)
+
+    # checkpointed run: first run a partial pass that checkpoints, then
+    # resume from the checkpoint and compare final output k-mer content
+    ckdir = str(tmp_path / "ck")
+    params2 = AssemblyParams(k=25, bloom_bytes=8 << 20, batch_size=512,
+                             max_read_len=128, checkpoint_dir=ckdir,
+                             checkpoint_every=1024)
+    run1 = io.StringIO()
+    bloom_dbg.assemble([p1, p2], params2, out=run1)
+    # full run with checkpoints enabled gives the same contigs as fresh
+    assert contigs_of(run1) == contigs_of(fresh)
+
+    # now simulate an interrupted run: save a checkpoint mid-way by hand
+    counters = bloom_dbg.AssemblyCounters()
+    cbf = bloom_dbg.load_filter(
+        fastx.read_batches([p1, p2], 512, 128), params2, counters)
+    asm = bloom_dbg.Assembler(cbf, params2, bloom_dbg.AssemblyCounters())
+    interrupted = io.StringIO()
+    n = 0
+    batches = list(fastx.read_batches([p1, p2], 512, 128))
+    for batch in batches[:2]:
+        for contig in asm.process_batch(batch):
+            fastx.write_fasta(interrupted, [(contig.header, contig.seq)])
+        n += batch.num_reads
+    checkpoint.save(ckdir, asm.cbf, asm.visited, n,
+                    bloom_dbg.dataclasses_dict(asm.counters))
+    # resume: processes only the remaining batches
+    resumed = io.StringIO()
+    bloom_dbg.assemble([p1, p2], params2, out=resumed)
+    combined = sorted(
+        [r.seq for r in fastx.read_fastx(io.StringIO(
+            interrupted.getvalue()))] +
+        [r.seq for r in fastx.read_fastx(io.StringIO(resumed.getvalue()))])
+    assert combined == contigs_of(fresh)
