@@ -59,9 +59,9 @@ def abyss_main(argv=None):
 
     import numpy as np
     from ..dbg import hash_dbg
-    from ..io import fastx
+    from ..io import read_batches as io_read_batches
     batches = [b.codes[:b.num_reads] for b in
-               fastx.read_batches(args.reads, 4096, 512)]
+               io_read_batches(args.reads, 4096, 512)]
     contigs, table = hash_dbg.assemble_reads(
         batches, args.kmer, kc=args.kc, erode_cov=args.erode,
         tip_len=args.trim_length, auto_coverage=args.coverage)
@@ -194,7 +194,7 @@ def konnector_main(argv=None):
                             bloom_bytes=parse_size(args.bloom_size),
                             min_cov=1)
     cbf = bloom_dbg.load_filter(
-        fastx.read_batches([args.reads1, args.reads2], 4096, 512), params)
+        io_read_batches([args.reads1, args.reads2], 4096, 512), params)
     r1 = list(fastx.read_fastx(args.reads1))
     r2 = list(fastx.read_fastx(args.reads2))
     pairs = [(a.seq, b.seq) for a, b in zip(r1, r2)]

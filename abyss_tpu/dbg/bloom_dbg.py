@@ -36,6 +36,7 @@ import numpy as np
 
 from ..core import alphabet
 from ..io import fastx
+from ..io import read_batches as io_read_batches
 from ..ops import bloom as bloom_ops
 from ..ops import nthash
 from . import extend as ext
@@ -369,7 +370,7 @@ def assemble(paths: Sequence[str] | str, params: AssemblyParams,
                   f"{resume_reads} reads", file=sys.stderr)
     if asm is None:
         cbf = load_filter(
-            fastx.read_batches(paths, params.batch_size,
+            io_read_batches(paths, params.batch_size,
                                params.max_read_len, q=params.q),
             params, counters)
         if params.verbose:
@@ -381,7 +382,7 @@ def assemble(paths: Sequence[str] | str, params: AssemblyParams,
     t1 = time.time()
     reads_seen = 0
     last_ckpt = resume_reads
-    for batch in fastx.read_batches(paths, params.batch_size,
+    for batch in io_read_batches(paths, params.batch_size,
                                     params.max_read_len, q=params.q):
         reads_seen += batch.num_reads
         if reads_seen <= resume_reads:

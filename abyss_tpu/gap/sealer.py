@@ -16,6 +16,7 @@ from ..core import alphabet
 from ..dbg import bloom_dbg
 from ..dbg.params import AssemblyParams
 from ..io import fastx
+from ..io import read_batches as io_read_batches
 from ..ops.bloom import CountingBloomFilter
 from . import konnector
 
@@ -65,7 +66,7 @@ def seal(scaffolds: list[tuple[str, str]], read_files, ks: list[int],
                                 batch_size=batch_size,
                                 max_read_len=max_read_len)
         cbf = bloom_dbg.load_filter(
-            fastx.read_batches(read_files, batch_size, max_read_len),
+            io_read_batches(read_files, batch_size, max_read_len),
             params)
         # konnector expects (read1, read2-as-sequenced); our right flank
         # is already fragment-oriented, so pass its rc as "read2"

@@ -34,6 +34,7 @@ from ..dbg.params import AssemblyParams
 from ..graph import adjlist, algorithms, graphio
 from ..graph.contig_graph import ContigGraph, node
 from ..io import fastx
+from ..io import read_batches as io_read_batches
 from ..scaffold import paths as pathtools
 
 
@@ -141,7 +142,7 @@ def _map_all(p: PipelineParams, target_fa: str):
     contigs, _ = _read_contigs(target_fa)
     al = mapper.KmerAligner(contigs, k=p.align_k)
     all_alns = []
-    for batch in fastx.read_batches(p.in_files, p.batch_size,
+    for batch in io_read_batches(p.in_files, p.batch_size,
                                     p.max_read_len, q=p.q):
         alns = al.align_batch(batch.codes[:batch.num_reads],
                               batch.lengths[:batch.num_reads], batch.ids)
