@@ -431,6 +431,29 @@ def assemble(t: KmerTable) -> list[tuple[str, int]]:
     return contigs
 
 
+def multi_k_sweep(read_batches_fn, ks: list[int], kc: int = 2,
+                  erode_cov: int = 2) -> list[tuple[str, int]]:
+    """Multi-k sweep (ABYSS/abyss.cc:166-194): assemble at increasing k,
+    feeding each round's contigs back as extra input sequences.
+
+    read_batches_fn() must return a fresh iterator of [B, L] code
+    batches over the reads.
+    """
+    from ..core import alphabet as _alpha
+    contigs: list[tuple[str, int]] = []
+    for k in ks:
+        extra = []
+        if contigs:
+            L = max(len(s) for s, _ in contigs)
+            arr = np.full((len(contigs), L), 4, np.uint8)
+            for i, (s, _) in enumerate(contigs):
+                arr[i, :len(s)] = _alpha.encode(s)
+            extra = [arr]
+        batches = list(read_batches_fn()) + extra
+        contigs, _ = assemble_reads(batches, k, kc=kc, erode_cov=erode_cov)
+    return contigs
+
+
 def assemble_reads(batches, k: int, kc: int = 2, erode_cov: int = 2,
                    tip_len: int | None = None,
                    auto_coverage: bool = False,
