@@ -1,0 +1,155 @@
+"""RResolver: repeat resolution at the unitig stage using read-length
+r-mers.
+
+Reimplements the core of /root/reference/RResolver/RAlgorithmsShort.{h,cpp}
+(see RResolver/README.md:1-27): for every junction in the unitig
+overlap graph, enumerate the short paths that cross it, slide windows
+of size r (close to the read length) across each path, and count how
+many windows are supported by an r-mer Bloom filter built from the
+reads.  Paths whose support falls below the threshold are false joins
+created by k-mer-scale ambiguity; their edges are cut, splitting
+repeats that reads can resolve.
+
+The r-mer filter reuses the ntHash/counting-filter kernels (any r), so
+support queries are batched device gathers like everything else.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import alphabet
+from ..ops import nthash
+from ..ops.bloom import CountingBloomFilter
+from .contig_graph import ContigGraph, flip, node
+
+
+@dataclass
+class RResolverStats:
+    junctions: int = 0
+    paths_tested: int = 0
+    paths_supported: int = 0
+    edges_cut: int = 0
+
+
+def build_rmer_filter(batches, r: int, size: int, num_hashes: int = 4,
+                      threshold: int = 1) -> CountingBloomFilter:
+    """Bloom filter of read r-mers (RResolver/BloomFilters.{h,cpp})."""
+    f = CountingBloomFilter.create(size, r, num_hashes, threshold)
+    for codes in batches:
+        if codes.shape[1] < r:
+            continue
+        _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), r)
+        f = f.insert(canon, valid)
+    return f
+
+
+def _oriented_seq(g, seqs, v):
+    s = seqs[g.names[v >> 1]]
+    return s if (v & 1) == 0 else alphabet.revcomp(s)
+
+
+def _junction_paths(g: ContigGraph, v: int, max_branches: int):
+    """(in, v, out) triples crossing junction vertex v; one-sided paths
+    (in, v, None)/(None, v, out) when the other side is empty."""
+    ins = g.predecessors(v)
+    outs = g.successors(v)
+    if len(ins) < 2 and len(outs) < 2:
+        return []
+    if max(len(ins), 1) * max(len(outs), 1) > max_branches:
+        return []
+    if not ins:
+        return [(None, v, b) for b in outs]
+    if not outs:
+        return [(a, v, None) for a in ins]
+    return [(a, v, b) for a in ins for b in outs]
+
+
+def _path_windows(g, seqs, path, k: int, r: int, min_moves: int,
+                  max_moves: int):
+    """The r-sized sliding windows across the junction of a 3-vertex
+    path (RAlgorithmsShort window logic): windows that span into both
+    neighbours of the repeat vertex."""
+    a, v, b = path
+    pieces = [p for p in (a, v, b) if p is not None]
+    texts = [_oriented_seq(g, seqs, p) for p in pieces]
+    o = k - 1
+    # merged sequence with k-1 overlaps + the overlap intervals
+    merged = texts[0]
+    overlaps = []  # [ps, pe) in merged coordinates
+    for t in texts[1:]:
+        overlaps.append((len(merged) - o, len(merged)))
+        merged += t[o:]
+    if not overlaps or len(merged) < r:
+        return None
+    # a window [s, s+r) resolves the path iff it straddles EVERY overlap:
+    # s <= ps-1 and s+r >= pe+1
+    lo = max(pe + 1 - r for ps, pe in overlaps)
+    hi = min(ps - 1 for ps, pe in overlaps)
+    lo = max(lo, 0)
+    hi = min(hi, len(merged) - r)
+    if hi < lo:
+        # repeat longer than r: cannot resolve with this read size
+        return None
+    starts = list(range(lo, min(hi, lo + max_moves) + 1))
+    return [merged[s:s + r] for s in starts]
+
+
+def resolve_repeats(g: ContigGraph, seqs: dict[str, str],
+                    rmer_filter: CountingBloomFilter, k: int,
+                    support_threshold: int = 4, min_moves: int = 20,
+                    max_moves: int = 36, max_branches: int = 75,
+                    ) -> RResolverStats:
+    """Cut junction-crossing edges that reads do not support.
+
+    An (in, v, out) path is supported when enough of its r-windows are
+    present in the read r-mer filter.  Edges that appear in *no*
+    supported path (but whose junction had at least one supported
+    alternative) are removed.
+    """
+    r = rmer_filter.k
+    stats = RResolverStats()
+    edge_support: dict[tuple[int, int], bool] = {}
+    for cid in list(g.contigs()):
+        for s in (0, 1):
+            v = node(cid, s)
+            paths = _junction_paths(g, v, max_branches)
+            if not paths:
+                continue
+            stats.junctions += 1
+            for path in paths:
+                wins = _path_windows(g, seqs, path, k, r, min_moves,
+                                     max_moves)
+                stats.paths_tested += 1
+                if wins is None:
+                    # unresolvable: treat as supported (do not cut)
+                    supported = True
+                else:
+                    arr = np.full((len(wins), r), 4, np.uint8)
+                    for i, w in enumerate(wins):
+                        arr[i, :len(w)] = alphabet.encode(w)
+                    _, _, canon, valid = nthash.kmer_hashes(
+                        jnp.asarray(arr), r)
+                    hits = np.asarray(
+                        rmer_filter.contains(canon, valid))[:, 0]
+                    supported = int(hits.sum()) >= min(
+                        support_threshold, len(wins))
+                if supported:
+                    stats.paths_supported += 1
+                a, vv, b = path
+                edges = []
+                if a is not None:
+                    edges.append((a, vv))
+                if b is not None:
+                    edges.append((vv, b))
+                for e in edges:
+                    edge_support[e] = edge_support.get(e, False) | supported
+
+    for (u, v), sup in sorted(edge_support.items()):
+        if not sup and g.has_edge(u, v):
+            g.remove_edge(u, v)
+            stats.edges_cut += 1
+    return stats

@@ -51,6 +51,8 @@ class PipelineParams:
     tip_len: int | None = None      # default 2k
     island_len: int | None = None   # default 2k
     bubble_identity: float = 0.9    # p
+    rresolve: bool = True           # run RResolver before filtergraph
+    rresolve_threshold: int = 4     # t (RResolver/README.md)
     # distance estimation / paths
     align_k: int = 32               # seed length for the mapper (l analogue)
     min_pairs: int = 10             # n
@@ -120,6 +122,25 @@ def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
     g = adjlist.build_overlap_graph(contigs, p.k, covs)
     graphio.write_dot(g, p.path("1.dot"), k=p.k)
     seqs = dict(contigs)
+
+    if p.rresolve:
+        # RResolver (abyss-rresolver-short, bin/abyss-pe:581-585): cut
+        # junction paths unsupported by read-length r-mers
+        from ..graph import rresolver
+        first = next(io_read_batches(p.in_files, 256, p.max_read_len,
+                                     q=p.q), None)
+        if first is not None and first.num_reads:
+            r = int(np.median(first.lengths[:first.num_reads]))
+            r = max(p.k + 10, min(r, first.codes.shape[1]))
+            rmer = rresolver.build_rmer_filter(
+                (b.codes[:b.num_reads] for b in io_read_batches(
+                    p.in_files, p.batch_size, p.max_read_len, q=p.q)),
+                r=r, size=1 << 22)
+            stats = rresolver.resolve_repeats(
+                g, seqs, rmer, p.k, support_threshold=p.rresolve_threshold)
+            _log(p, f"stage 1-rr: cut {stats.edges_cut} unsupported edges "
+                    f"at {stats.junctions} junctions (r={r})")
+            graphio.write_dot(g, p.path("1-rr.dot"), k=p.k)
 
     tip_len = p.tip_len if p.tip_len is not None else 2 * p.k
     island_len = p.island_len if p.island_len is not None else 2 * p.k

@@ -1,0 +1,77 @@
+"""RResolver: reads disambiguate repeat-crossing paths."""
+
+import numpy as np
+
+from abyss_tpu import sim
+from abyss_tpu.core import alphabet
+from abyss_tpu.graph import adjlist, rresolver
+from abyss_tpu.graph.contig_graph import node
+
+
+def test_resolve_two_path_repeat():
+    # genome: A-R-B and C-R-D (repeat R shared). True paths: A->R->B,
+    # C->R->D; false paths A->R->D, C->R->B.
+    rng = np.random.default_rng(200)
+    k = 21
+    mk = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    A, B, C, D = mk(150), mk(150), mk(150), mk(150)
+    R = mk(60)  # repeat longer than k, shorter than r
+    chrom1 = A + R + B
+    chrom2 = C + R + D
+    r = 100
+    reads = []
+    for chrom in (chrom1, chrom2):
+        reads += [chrom[i:i + r] for i in range(0, len(chrom) - r + 1, 3)]
+    codes = np.full((len(reads), r), 4, np.uint8)
+    for i, s in enumerate(reads):
+        codes[i, :] = alphabet.encode(s)
+
+    # unitigs as the DBG would produce them: A+R[:k-1]... simply use the
+    # five pieces with k-1 overlaps
+    o = k - 1
+    contigs = [("A", A + R[:o]), ("B", R[-o:] + B), ("C", C + R[:o]),
+               ("D", R[-o:] + D), ("R", R)]
+    g = adjlist.build_overlap_graph(contigs, k)
+    seqs = dict(contigs)
+    vR = node(g.id_of("R"), 0)
+    assert g.in_degree(vR) == 2 and g.out_degree(vR) == 2
+
+    f = rresolver.build_rmer_filter([codes], r=r, size=1 << 20)
+    stats = rresolver.resolve_repeats(g, seqs, f, k,
+                                      support_threshold=4)
+    # no edge should be cut: all 4 edges participate in supported paths
+    # (the repeat is a real shared vertex); but the unsupported paths
+    # are known internally
+    # both orientations of the junction are tested (R+ and R-)
+    assert stats.paths_tested == 8
+    assert stats.paths_supported == 4
+    assert stats.edges_cut == 0
+
+
+def test_cut_false_edge():
+    # junction created by a k-scale coincidence: contig X's end equals
+    # contig Y's start by construction, but no read supports X->Y
+    rng = np.random.default_rng(201)
+    k = 21
+    o = k - 1
+    mk = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    glue = mk(o)
+    X = mk(120) + glue
+    Y = glue + mk(120)
+    Z = glue + mk(120)  # real continuation
+    r = 80
+    genome = X + Z[o:]  # reads only cover X->Z
+    reads = [genome[i:i + r] for i in range(0, len(genome) - r + 1, 2)]
+    codes = np.full((len(reads), r), 4, np.uint8)
+    for i, s in enumerate(reads):
+        codes[i, :] = alphabet.encode(s)
+    contigs = [("X", X), ("Y", Y), ("Z", Z)]
+    g = adjlist.build_overlap_graph(contigs, k)
+    seqs = dict(contigs)
+    vX = node(g.id_of("X"), 0)
+    assert g.out_degree(vX) == 2  # X -> Y (false) and X -> Z (true)
+    f = rresolver.build_rmer_filter([codes], r=r, size=1 << 20)
+    stats = rresolver.resolve_repeats(g, seqs, f, k, support_threshold=4)
+    assert stats.edges_cut >= 1
+    assert not g.has_edge(vX, node(g.id_of("Y"), 0))
+    assert g.has_edge(vX, node(g.id_of("Z"), 0))
