@@ -70,10 +70,24 @@ class Contig:
 
 
 def load_filter(batches: Iterable[fastx.ReadBatch], params: AssemblyParams,
-                counters: AssemblyCounters | None = None,
-                ) -> bloom_ops.CountingBloomFilter:
-    """Pass 1: build the counting Bloom filter of read k-mers (HOT LOOP 1,
-    cf. loadBloomFilter BloomDBG/BloomIO.h:97)."""
+                counters: AssemblyCounters | None = None):
+    """Pass 1: build the solid-k-mer structure (HOT LOOP 1, cf.
+    loadBloomFilter BloomDBG/BloomIO.h:97).
+
+    params.filter_mode picks the structure: "sorted" (default) counts
+    with device sorts — the scatter-free TPU-native path; "bloom" keeps
+    the reference's counting-Bloom semantics."""
+    if params.filter_mode == "sorted":
+        from ..ops.sorted_filter import SortedKmerCounter
+        ctr = SortedKmerCounter(params.k, params.min_cov)
+        for batch in batches:
+            _, _, canon, valid = nthash.kmer_hashes(
+                jnp.asarray(batch.codes), params.k)
+            ctr.add(canon, valid)
+            if counters is not None:
+                counters.read_count += batch.num_reads
+                counters.kmers_loaded += int(np.asarray(valid).sum())
+        return ctr.finalize()
     counting_size, _ = bloom_ops.recommended_sizes(params.bloom_bytes)
     cbf = bloom_ops.CountingBloomFilter.create(
         counting_size, params.k, params.num_hashes, params.min_cov)
@@ -107,7 +121,9 @@ def _classify_batch(cbf, visited, codes, lengths, k, fp_look_ahead,
     # reference skips reads with ANY non-ACGT char (bloom-dbg.h:812)
     n_windows = np.maximum(lengths - k + 1, 0)
     all_acgt = (valid_np.sum(axis=1) == n_windows) & long_enough
-    solid = np.asarray(cbf.contains(canon))
+    solid = np.asarray(cbf.contains_bulk(canon)
+                       if hasattr(cbf, 'contains_bulk')
+                       else cbf.contains(canon))
     all_solid = ((solid | ~valid_np).all(axis=1)) & all_acgt
     vis = np.asarray(visited.contains(canon))
     first_unvisited = np.where(

@@ -25,18 +25,28 @@ def _tmp(path: str) -> str:
     return path + ".tmp"
 
 
-def save(ckpt_dir: str, cbf: bloom_ops.CountingBloomFilter,
-         visited: bloom_ops.BitBloomFilter, reads_processed: int,
-         counters: dict, partial_contigs_path: str | None = None):
-    """Atomically write a checkpoint (Checkpoint::create semantics)."""
+def save(ckpt_dir: str, cbf, visited: bloom_ops.BitBloomFilter,
+         reads_processed: int, counters: dict,
+         partial_contigs_path: str | None = None):
+    """Atomically write a checkpoint (Checkpoint::create semantics).
+
+    Handles both solid-k-mer structures: the counting Bloom filter and
+    the sorted-table filter (saved as stacked kmers/counts)."""
+    from ..ops.sorted_filter import SortedKmerFilter
     os.makedirs(ckpt_dir, exist_ok=True)
-    np.save(_tmp(os.path.join(ckpt_dir, "counting.npy")),
-            np.asarray(cbf.counters))
+    sorted_mode = isinstance(cbf, SortedKmerFilter)
+    if sorted_mode:
+        np.save(_tmp(os.path.join(ckpt_dir, "counting.npy")),
+                np.stack([np.asarray(cbf.kmers),
+                          np.asarray(cbf.counts).astype(np.uint64)]))
+    else:
+        np.save(_tmp(os.path.join(ckpt_dir, "counting.npy")),
+                np.asarray(cbf.counters))
     np.save(_tmp(os.path.join(ckpt_dir, "visited.npy")),
             np.asarray(visited.bits))
     state = dict(reads_processed=reads_processed, counters=counters,
                  k=cbf.k, num_hashes=cbf.num_hashes,
-                 threshold=cbf.threshold)
+                 threshold=cbf.threshold, sorted_mode=sorted_mode)
     with open(_tmp(os.path.join(ckpt_dir, "state.json")), "w") as f:
         json.dump(state, f)
     contigs_dst = os.path.join(ckpt_dir, "contigs.fa")
@@ -65,9 +75,16 @@ def load(ckpt_dir: str):
         state = json.load(f)
     counting = np.load(os.path.join(ckpt_dir, "counting.npy"))
     visited = np.load(os.path.join(ckpt_dir, "visited.npy"))
-    cbf = bloom_ops.CountingBloomFilter(
-        counters=jnp.asarray(counting), k=state["k"],
-        num_hashes=state["num_hashes"], threshold=state["threshold"])
+    if state.get("sorted_mode"):
+        from ..ops.sorted_filter import SortedKmerFilter
+        cbf = SortedKmerFilter(
+            kmers=jnp.asarray(counting[0]),
+            counts=jnp.asarray(counting[1].astype(np.int32)),
+            k=state["k"], threshold=state["threshold"])
+    else:
+        cbf = bloom_ops.CountingBloomFilter(
+            counters=jnp.asarray(counting), k=state["k"],
+            num_hashes=state["num_hashes"], threshold=state["threshold"])
     vis = bloom_ops.BitBloomFilter(
         bits=jnp.asarray(visited), k=state["k"],
         num_hashes=state["num_hashes"])

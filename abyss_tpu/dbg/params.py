@@ -15,6 +15,10 @@ class AssemblyParams:
     fp_trim: int = 5             # false-positive lookahead (bloom-dbg.h:661)
     fp_look_ahead: int = 5       # blunt-end lookahead (bloom-dbg.h:501)
     bloom_bytes: int = 64 << 20  # -b total Bloom memory budget
+    # solid-kmer structure: "sorted" = exact sorted-table counter (fast on
+    # TPU: sort-based, no scatter); "bloom" = counting Bloom filter
+    # (reference-parity memory behaviour for huge genomes)
+    filter_mode: str = "sorted"
     q: int = 0                   # quality trim threshold
     batch_size: int = 4096       # reads per device batch
     max_read_len: int = 512

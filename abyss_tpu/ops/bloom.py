@@ -146,6 +146,11 @@ class CountingBloomFilter:
     def contains(self, canon, mask=None):
         return self.count(canon, mask) >= self.threshold
 
+    # bulk aliases (API parity with SortedKmerFilter; the Bloom filter's
+    # bulk path is the same gather)
+    count_bulk = count
+    contains_bulk = contains
+
     @property
     def popcount_bytes(self) -> int:
         return int(self.counters.shape[0] - 1)

@@ -1,0 +1,182 @@
+"""Sorted-table k-mer counter: the scatter-free counting structure.
+
+Motivation (measured on TPU v5e, see BENCH notes): XLA lowers scatter
+updates to a serial loop (~20M updates/s), making per-batch counting-
+Bloom inserts the bottleneck (~6M k-mers/s), while sorts and gathers run
+at memory bandwidth.  The TPU-native replacement for the reference's
+counting filter is therefore *sort-based*: collect canonical hashes,
+sort once, run-length encode, and answer count/contains queries with
+`searchsorted` (vectorized binary search) + one gather.
+
+This is exact (no false positives; collisions only at the 64-bit hash
+level), faster than Bloom updates by >100x on this hardware, and
+memory-competitive until tens of billions of distinct k-mers (12 bytes
+per distinct k-mer vs. the Bloom budget).  The CountingBloomFilter
+remains available for strict reference-parity semantics.
+
+The query API matches CountingBloomFilter (count/contains), so the
+extension engine and all downstream consumers take either
+interchangeably.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import nthash
+
+COUNTER_MAX = 32767  # COVERAGE_MAX, Assembly/VertexData.h:33
+
+
+@dataclass(frozen=True)
+class SortedKmerFilter:
+    """Immutable sorted k-mer count table (pytree; static k/threshold)."""
+
+    kmers: jax.Array    # uint64[N] sorted unique canonical hashes
+    counts: jax.Array   # int32[N]
+    k: int = dataclasses.field(metadata=dict(static=True), default=0)
+    threshold: int = dataclasses.field(metadata=dict(static=True), default=2)
+    # unused, for API compatibility with CountingBloomFilter
+    num_hashes: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def n(self) -> int:
+        return int(self.kmers.shape[0])
+
+    def count(self, canon, mask=None):
+        canon = jnp.asarray(canon, jnp.uint64)
+        idx = jnp.searchsorted(self.kmers, canon)
+        idx = jnp.minimum(idx, max(self.n - 1, 0))
+        hit = (self.kmers[idx] == canon) if self.n else \
+            jnp.zeros(canon.shape, bool)
+        c = jnp.where(hit, self.counts[idx], 0)
+        if mask is not None:
+            c = jnp.where(mask, c, 0)
+        return c
+
+    def contains(self, canon, mask=None):
+        return self.count(canon, mask) >= self.threshold
+
+    def count_bulk(self, canon, mask=None):
+        """Bulk count via the sort-merge join (ops/sort_join) — the
+        gather-free path for large query batches on TPU."""
+        from .sort_join import join_counts
+        canon = jnp.asarray(canon, jnp.uint64)
+        flat = canon.reshape(-1)
+        c = join_counts(self.kmers, self.counts, flat).reshape(canon.shape)
+        if mask is not None:
+            c = jnp.where(mask, c, 0)
+        return c
+
+    def contains_bulk(self, canon, mask=None):
+        return self.count_bulk(canon, mask) >= self.threshold
+
+
+class SortedKmerCounter:
+    """Streaming builder: accumulates canonical-hash chunks and counts
+    them with device sorts (no scatter anywhere).
+
+    Chunks are pre-reduced (sort + RLE) on device as they arrive, then
+    merged with one final sort — the two-level strategy keeps peak
+    memory at the reduced size.
+    """
+
+    def __init__(self, k: int, threshold: int = 2,
+                 reduce_every: int = 64 << 20):
+        self.k = k
+        self.threshold = threshold
+        self._hash_chunks: list = []
+        self._pair_chunks: list = []  # (kmers, counts) pre-reduced
+        self._pending = 0
+        self._reduce_every = reduce_every
+
+    @staticmethod
+    @jax.jit
+    def _sort_rle(canon):
+        """Sorted unique values + counts of a hash array (device).
+
+        Scan-only: run lengths come from a reversed cummin of run-end
+        positions (segment_sum would be a scatter — ~30x slower on TPU).
+        """
+        s = jnp.sort(canon)
+        n = s.shape[0]
+        start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+        last = jnp.concatenate([s[:-1] != s[1:], jnp.ones((1,), bool)])
+        pos = jnp.arange(n)
+        # end position of each run, propagated backward to every element
+        end_pos = jax.lax.associative_scan(
+            jnp.minimum, jnp.where(last, pos, n), reverse=True)
+        counts = jnp.where(start, end_pos - pos + 1, 0)
+        keys = jnp.where(start, s, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        return keys, counts
+
+    def add(self, canon, mask=None):
+        canon = jnp.asarray(canon, jnp.uint64).reshape(-1)
+        if mask is not None:
+            mask = jnp.asarray(mask).reshape(-1)
+            canon = jnp.where(mask, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        self._hash_chunks.append(canon)
+        self._pending += canon.shape[0]
+        if self._pending >= self._reduce_every:
+            self._reduce()
+
+    def _reduce(self):
+        if not self._hash_chunks:
+            return
+        allh = jnp.concatenate(self._hash_chunks)
+        keys, counts = self._sort_rle(allh)
+        # pull the (much smaller) uniques to host to release device memory
+        keys_np = np.asarray(keys)
+        counts_np = np.asarray(counts)
+        keep = counts_np > 0
+        self._pair_chunks.append((keys_np[keep], counts_np[keep]))
+        self._hash_chunks = []
+        self._pending = 0
+
+    def finalize(self) -> SortedKmerFilter:
+        self._reduce()
+        if not self._pair_chunks:
+            return SortedKmerFilter(
+                kmers=jnp.zeros(0, jnp.uint64),
+                counts=jnp.zeros(0, jnp.int32),
+                k=self.k, threshold=self.threshold)
+        keys = np.concatenate([k_ for k_, _ in self._pair_chunks])
+        counts = np.concatenate([c for _, c in self._pair_chunks])
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        counts = counts[order]
+        # merge duplicate keys across chunks
+        uniq_mask = np.concatenate([[True], keys[1:] != keys[:-1]])
+        uniq_idx = np.cumsum(uniq_mask) - 1
+        merged = np.zeros(int(uniq_mask.sum()), np.int64)
+        np.add.at(merged, uniq_idx, counts)
+        sentinel = keys[uniq_mask] != np.uint64(0xFFFFFFFFFFFFFFFF)
+        self._pair_chunks = []
+        return SortedKmerFilter(
+            kmers=jnp.asarray(keys[uniq_mask][sentinel]),
+            counts=jnp.asarray(
+                np.minimum(merged[sentinel], COUNTER_MAX).astype(np.int32)),
+            k=self.k, threshold=self.threshold)
+
+
+def build_sorted_filter(batches, k: int, threshold: int = 2,
+                        ) -> SortedKmerFilter:
+    """Count all k-mers of [B, L] code batches into a SortedKmerFilter."""
+    counter = SortedKmerCounter(k, threshold)
+    for codes in batches:
+        _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), k)
+        counter.add(canon, valid)
+    return counter.finalize()
+
+
+jax.tree_util.register_dataclass(
+    SortedKmerFilter, data_fields=["kmers", "counts"],
+    meta_fields=["k", "threshold", "num_hashes"])

@@ -192,6 +192,42 @@ def make_histogram_step(mesh: Mesh, k: int, num_hashes: int, size: int,
     return jax.jit(hist)
 
 
+def make_classify_step(mesh: Mesh, k: int, num_hashes: int, size: int,
+                       threshold: int):
+    """Jitted SPMD step: per-read solidity classification over the mesh —
+    the distributed analogue of the pass-2 read guards
+    (bloom_dbg._classify_batch; reference bloom-dbg.h:804-846).
+
+    Returns per read (sharded over "data"): all_solid flag and the index
+    of the first non-solid window (-1 if all solid)."""
+    n_shard = mesh.shape["shard"]
+    shard_len = size // n_shard
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("shard"), P("data", None), P("data")),
+             out_specs=(P("data"), P("data")))
+    def classify(counters, codes, lengths):
+        shard_id = jax.lax.axis_index("shard")
+        lo_idx = shard_id * shard_len
+        _, _, canon, valid = nthash.kmer_hashes(codes, k)
+        hs = nthash.multi_hashes(canon, k, num_hashes)
+        idx = (hs & jnp.uint64(size - 1)).astype(jnp.int32)
+        mine = (idx >= lo_idx) & (idx < lo_idx + shard_len)
+        local = jnp.where(mine, counters[
+            jnp.where(mine, idx - lo_idx, 0)], 0).astype(jnp.int32)
+        counts = jnp.min(jax.lax.psum(local, "shard"), axis=-1)
+        solid = counts >= threshold
+        W = canon.shape[1]
+        in_read = jnp.arange(W)[None, :] < (lengths[:, None] - k + 1)
+        bad = valid & in_read & ~solid
+        all_solid = ~jnp.any(bad, axis=1)
+        first_bad = jnp.where(jnp.any(bad, axis=1),
+                              jnp.argmax(bad, axis=1), -1)
+        return all_solid, first_bad
+
+    return jax.jit(classify)
+
+
 def distributed_filter_build(mesh: Mesh, batches, k: int,
                              num_hashes: int = 4, threshold: int = 2,
                              size: int = 1 << 24) -> CountingBloomFilter:

@@ -1,7 +1,19 @@
-"""Benchmark: Bloom load+probe throughput on one TPU chip (HOT LOOP 1).
+"""Benchmark: solid-k-mer load + probe throughput on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures the pipeline's actual HOT LOOP 1 both ways:
+  * sorted mode (default engine): count k-mers by device sort + RLE,
+    probe by searchsorted + gather — the scatter-free TPU-native path;
+  * bloom mode: counting-Bloom conservative insert (scatter-bound on
+    TPU; kept for reference-parity memory behaviour).
+
+Timing method: the axon platform's block_until_ready is unreliable and
+a D2H sync pays ~35 ms of tunnel latency, so each op is measured by
+running N iterations inside one on-device fori_loop (with per-iteration
+input perturbation to defeat loop-invariant hoisting) and differencing
+against a 1-iteration run.
 
 vs_baseline compares against the reference's own hot loop compiled from
 its vendored headers on this host's CPU (BASELINE_MEASURED.json,
@@ -10,7 +22,6 @@ combined insert+probe rate, all cores).
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -21,60 +32,106 @@ import jax.numpy as jnp
 
 from abyss_tpu.ops import nthash
 from abyss_tpu.ops.bloom import CountingBloomFilter
+from abyss_tpu.ops.sorted_filter import SortedKmerCounter, SortedKmerFilter
 
 K = int(os.environ.get("BENCH_K", 25))
 H = 4
-BATCH = int(os.environ.get("BENCH_BATCH", 4096))
+BATCH = int(os.environ.get("BENCH_BATCH", 16384))
 READ_LEN = 100
-FILTER_SIZE = 1 << int(os.environ.get("BENCH_FILTER_LOG2", 28))
-ITERS = int(os.environ.get("BENCH_ITERS", 10))
+ITERS = int(os.environ.get("BENCH_ITERS", 16))
+
+
+def _sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[0:1])
+
+
+def _timed(fn, reps=3):
+    _sync(fn())  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(fn())
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[reps // 2]
+
+
+def _loop_rate(mk_loop, n=ITERS):
+    """Per-op seconds via (t_N - t_1) / (N - 1)."""
+    t1 = _timed(mk_loop(1))
+    tn = _timed(mk_loop(n))
+    return max((tn - t1) / (n - 1), 1e-9)
 
 
 def main():
     rng = np.random.default_rng(0)
-    codes = jnp.asarray(
+    codes = jax.device_put(
         rng.integers(0, 4, size=(BATCH, READ_LEN), dtype=np.uint8))
     kmers_per_batch = BATCH * (READ_LEN - K + 1)
 
-    @jax.jit
-    def load_step(counters, codes):
-        cbf = CountingBloomFilter(counters=counters, k=K, num_hashes=H,
-                                  threshold=2)
-        _, _, canon, valid = nthash.kmer_hashes(codes, K)
-        return cbf.insert(canon, valid).counters
+    # ---- sorted mode: count (sort+RLE) ------------------------------------
+    def mk_count_loop(n):
+        @jax.jit
+        def f(c):
+            def body(i, acc):
+                # perturb input each iteration to defeat hoisting
+                cc = jnp.bitwise_and(c + i.astype(jnp.uint8), jnp.uint8(3))
+                _, _, canon, valid = nthash.kmer_hashes(cc, K)
+                keys, counts = SortedKmerCounter._sort_rle(
+                    jnp.where(valid, canon,
+                              jnp.uint64(0xFFFFFFFFFFFFFFFF)).reshape(-1))
+                return acc ^ keys[0] ^ jnp.uint64(counts[1])
+            return jax.lax.fori_loop(0, n, body, jnp.uint64(0))
+        return lambda: f(codes)
 
-    @jax.jit
-    def probe_step(counters, codes):
-        cbf = CountingBloomFilter(counters=counters, k=K, num_hashes=H,
-                                  threshold=2)
-        _, _, canon, valid = nthash.kmer_hashes(codes, K)
-        return cbf.count(canon, valid).sum()
+    t_count = _loop_rate(mk_count_loop)
 
-    counters = jnp.zeros(FILTER_SIZE + 1, jnp.uint8)
-    # warmup / compile
-    counters = jax.block_until_ready(load_step(counters, codes))
-    _ = jax.block_until_ready(probe_step(counters, codes))
+    # ---- sorted mode: probe (searchsorted + gather) -----------------------
+    _, _, canon0, valid0 = nthash.kmer_hashes(codes, K)
+    skf = SortedKmerCounter(K, 2)
+    skf.add(canon0, valid0)
+    table = skf.finalize()
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        counters = load_step(counters, codes)
-    jax.block_until_ready(counters)
-    t_insert = (time.perf_counter() - t0) / ITERS
+    from abyss_tpu.ops.sort_join import join_counts
 
-    t0 = time.perf_counter()
-    s = 0
-    for _ in range(ITERS):
-        s = probe_step(counters, codes)
-    jax.block_until_ready(s)
-    t_probe = (time.perf_counter() - t0) / ITERS
+    def mk_probe_loop(n):
+        @jax.jit
+        def f(tbl_k, tbl_c, c):
+            def body(i, acc):
+                cc = jnp.bitwise_and(c + i.astype(jnp.uint8), jnp.uint8(3))
+                _, _, canon, valid = nthash.kmer_hashes(cc, K)
+                counts = join_counts(tbl_k, tbl_c, canon.reshape(-1))
+                return acc + jnp.where(valid.reshape(-1), counts, 0).sum()
+            return jax.lax.fori_loop(0, n, body, jnp.int64(0))
+        return lambda: f(table.kmers, table.counts, codes)
 
-    insert_rate = kmers_per_batch / t_insert
+    t_probe = _loop_rate(mk_probe_loop)
+
+    # ---- bloom mode: conservative insert (scatter path) -------------------
+    SIZE = 1 << 28
+
+    def mk_bloom_loop(n):
+        @jax.jit
+        def f(counters, c):
+            def body(i, ctr):
+                cc = jnp.bitwise_and(c + i.astype(jnp.uint8), jnp.uint8(3))
+                cbf = CountingBloomFilter(counters=ctr, k=K, num_hashes=H,
+                                          threshold=2)
+                _, _, canon, valid = nthash.kmer_hashes(cc, K)
+                return cbf.insert(canon, valid).counters
+            return jax.lax.fori_loop(0, n, body, counters)
+        c0 = jnp.zeros(SIZE + 1, jnp.uint8)
+        return lambda: f(c0, codes)
+
+    t_bloom = _loop_rate(mk_bloom_loop, n=4)
+
+    count_rate = kmers_per_batch / t_count
     probe_rate = kmers_per_batch / t_probe
-    combined = kmers_per_batch / (t_insert + t_probe)
+    bloom_rate = kmers_per_batch / t_bloom
+    combined = kmers_per_batch / (t_count + t_probe)
 
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "BASELINE_MEASURED.json")
-    vs = None
     try:
         with open(baseline_path) as f:
             base = json.load(f)["k25"]["combined_kmers_per_s"]
@@ -83,15 +140,18 @@ def main():
         vs = 0.0
 
     print(json.dumps({
-        "metric": "bloom_load_probe_kmers_per_sec_per_chip",
+        "metric": "kmer_load_probe_kmers_per_sec_per_chip",
         "value": round(combined),
         "unit": "kmers/s",
         "vs_baseline": round(vs, 3),
         "detail": {
-            "insert_kmers_per_s": round(insert_rate),
-            "probe_kmers_per_s": round(probe_rate),
-            "k": K, "batch": BATCH, "filter_bytes": FILTER_SIZE,
+            "sorted_count_kmers_per_s": round(count_rate),
+            "sorted_probe_kmers_per_s": round(probe_rate),
+            "bloom_insert_kmers_per_s": round(bloom_rate),
+            "k": K, "batch": BATCH,
+            "distinct_kmers_in_table": int(table.n),
             "device": str(jax.devices()[0]),
+            "timing": "on-device fori_loop amortized (N-1 differencing)",
         },
     }))
 
