@@ -20,11 +20,24 @@ pipeline  abyss-pe-equivalent stage driver
 stats     assembly statistics (abyss-fac equivalent)
 """
 
+import os as _os
+
 import jax as _jax
 
 # k-mer hashing and 2-bit packing use uint64 throughout; enable 64-bit types
 # before any tracing happens. (TPU emulates 64-bit integer ops with 32-bit
 # lanes; the hot kernels are later specialised to uint32 pairs in Pallas.)
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: compiles through the axon remote tunnel take
+# 5-10 minutes per program, so caching across processes is essential.
+_cache_dir = _os.environ.get(
+    "ABYSS_TPU_CACHE", _os.path.join(_os.path.dirname(__file__), "..",
+                                     ".jax_cache"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:  # older jax without these options
+    pass
 
 __version__ = "0.1.0"

@@ -43,6 +43,11 @@ class PipelineParams:
     name: str = "abyss"
     k: int = 25
     in_files: list = field(default_factory=list)
+    # unitig engine: "bloom" = read-seeded extension walks over the solid
+    # k-mer structure (reference bloom-dbg semantics, any k); "exact" =
+    # sorted-table DBG with pointer-doubling assembly (k <= 32; the TPU
+    # fast path, SURVEY.md ABYSS engine)
+    engine: str = "bloom"
     bloom_bytes: int = 64 << 20
     kc: int = 2
     num_hashes: int = 4
@@ -98,6 +103,17 @@ def _fresh(p: PipelineParams, out: str) -> bool:
 def stage_unitigs_1(p: PipelineParams) -> str:
     out = p.path("1.fa")
     if not _fresh(p, out):
+        return out
+    if p.engine == "exact" and p.k <= 32:
+        _log(p, f"stage 1: exact hash-DBG assembly -> {out}")
+        from ..dbg import hash_dbg
+        batches = (b.codes[:b.num_reads] for b in io_read_batches(
+            p.in_files, p.batch_size, p.max_read_len, q=p.q))
+        contigs, _ = hash_dbg.assemble_reads(list(batches), p.k, kc=p.kc)
+        with open(out + ".tmp", "w") as f:
+            for i, (seq, cov) in enumerate(contigs):
+                f.write(f">{i} {len(seq)} {cov}\n{seq}\n")
+        os.rename(out + ".tmp", out)
         return out
     _log(p, f"stage 1: bloom-dbg assembly -> {out}")
     params = AssemblyParams(k=p.k, num_hashes=p.num_hashes, min_cov=p.kc,
@@ -208,7 +224,8 @@ def stage_contigs_6(p: PipelineParams) -> str:
                     float(prop.get("e", 0.0)))
     _log(p, f"stage 6: path search over {len(estimates)} distance edges")
     names_index = {n: g.id_of(n) for n, _ in contigs}
-    sg_paths = pathtools.simple_graph_paths(g, estimates, names_index)
+    sg_paths = pathtools.simple_graph_paths(g, estimates, names_index,
+                                        seqs=seqs)
     merged = pathtools.merge_consistent_paths(sg_paths)
     pathtools.write_paths(merged, g, p.path("4.path"), start_id=0)
     _log(p, f"stage 6: {len(sg_paths)} seed paths -> {len(merged)} merged")
@@ -320,6 +337,7 @@ def main(argv=None):
         min_len=int(kv.get("s", 200)),
         outdir=kv.get("outdir", "."),
         verbose=int(kv.get("v", 1)),
+        engine=kv.get("engine", "bloom"),
     )
     if "B" in kv:
         size = kv["B"].upper()

@@ -90,10 +90,22 @@ def allowed_error(sd: float, min_error: int = 6, n_sd: float = 3.0) -> int:
 
 
 def simple_graph_paths(g: ContigGraph, estimates: dict, names_index: dict,
-                       max_paths: int = 200) -> list[list[int]]:
+                       max_paths: int = 200, seqs: dict | None = None,
+                       consensus_identity: float = 0.9,
+                       max_candidates: int = 4) -> list[list[int]]:
     """For each oriented contig with distance estimates, search for the
     unique consistent path (SimpleGraph.cpp main loop).  `estimates`
-    maps (u_name, su, v_name, sv) -> DistanceEstimate."""
+    maps (u_name, su, v_name, sv) -> DistanceEstimate.
+
+    Ambiguity resolution (the PathConsensus role,
+    MergePaths/PathConsensus.cpp): when several paths satisfy the
+    constraints and `seqs` are available, candidates whose materialized
+    sequences are pairwise >= consensus_identity similar collapse to the
+    highest-coverage candidate; dissimilar candidates fall back to the
+    agreed path prefix.
+    """
+    from ..align.nw import nw_identity_np
+
     by_seed: dict[int, list[Constraint]] = {}
     for (un, su, vn, sv), e in estimates.items():
         if un not in names_index or vn not in names_index:
@@ -109,7 +121,19 @@ def simple_graph_paths(g: ContigGraph, estimates: dict, names_index: dict,
         if len(sols) == 1:
             paths.append(sols[0])
         elif len(sols) > 1:
-            # keep the shared prefix if all solutions agree on it
+            if seqs is not None and len(sols) <= max_candidates:
+                texts = [materialize_path(s, g, seqs) for s in sols]
+                similar = all(
+                    nw_identity_np(texts[i], texts[j]) >= consensus_identity
+                    for i in range(len(texts))
+                    for j in range(i + 1, len(texts)))
+                if similar:
+                    best = max(
+                        sols,
+                        key=lambda s: sum(g.coverages[v >> 1] for v in s))
+                    paths.append(best)
+                    continue
+            # fall back: keep the shared prefix all solutions agree on
             first = sols[0]
             prefix = []
             for i, v in enumerate(first):

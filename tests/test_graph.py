@@ -146,3 +146,38 @@ def test_pop_bubbles():
     # now the graph is a clean chain
     chains = algorithms.assemble_chains(g)
     assert len(chains) == 1 and len(chains[0]) == 3
+
+
+def test_dist_text_format():
+    from abyss_tpu.align.distance_est import DistanceEstimate
+    from abyss_tpu.io import formats
+    est = {("0", 0, "1", 0): DistanceEstimate(100, 20, 3.5),
+           ("0", 1, "2", 0): DistanceEstimate(50, 8, 2.0)}
+    buf = io.StringIO()
+    formats.write_dist_text(est, buf)
+    text = buf.getvalue()
+    # sense-1 edges print with the target flipped (DistIO.h: `v ^ sense`)
+    assert "0 1+,100,20,3.5 ; 2-,50,8,2.0" in text.replace("  ", " ")
+
+
+def test_fa_to_agp():
+    from abyss_tpu.io import formats
+    agp, tigs = formats.fa_to_agp([("s0", "ACGT" * 30 + "N" * 20 +
+                                    "TTTT" * 30)])
+    assert len(tigs) == 2
+    gap_rows = [l for l in agp if "\tN\t" in l]
+    assert len(gap_rows) == 1 and "\t20\t" in gap_rows[0]
+    w_rows = [l for l in agp if "\tW\t" in l]
+    assert len(w_rows) == 2
+
+
+def test_asqg_writer():
+    from abyss_tpu.io import formats
+    g = simple_graph()
+    buf = io.StringIO()
+    formats.write_asqg(g, {"0": "A" * 100, "1": "C" * 200, "2": "G" * 300},
+                       buf)
+    text = buf.getvalue()
+    assert text.startswith("HT\t")
+    assert sum(1 for l in text.splitlines() if l.startswith("VT")) == 3
+    assert sum(1 for l in text.splitlines() if l.startswith("ED")) == 2

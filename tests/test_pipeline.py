@@ -92,3 +92,51 @@ def test_full_pipeline_on_simulated_genome(tmp_path):
 
     stats = open(artifacts["stats"]).read()
     assert "unitigs" in stats and "scaffolds" in stats
+
+
+def test_pipeline_exact_engine(tmp_path):
+    genome = sim.random_genome(12000, seed=301)
+    pr = sim.simulate_paired_reads(genome, coverage=30, read_len=100,
+                                   error_rate=0.002, seed=302)
+    p1, p2 = str(tmp_path / "e1.fq"), str(tmp_path / "e2.fq")
+    pr.write_fastq(p1, p2)
+    params = pe.PipelineParams(
+        name="x", k=27, in_files=[p1, p2], engine="exact",
+        outdir=str(tmp_path), min_pairs=5, verbose=0, batch_size=2048,
+        max_read_len=128)
+    artifacts = pe.run(params)
+    from abyss_tpu.core import alphabet as _a
+    total = 0
+    grc = _a.revcomp(genome)
+    for r in fastx.read_fastx(artifacts["scaffolds"]):
+        total += len(r.seq)
+        for block in r.seq.split("N"):
+            if len(block) >= 200:
+                assert block in genome or block in grc
+    assert total > 0.9 * len(genome)
+
+
+def test_path_consensus_resolves_bubble():
+    """Two near-identical candidate paths (bubble) collapse to the
+    higher-coverage one (the PathConsensus role)."""
+    from abyss_tpu.align.distance_est import DistanceEstimate
+    from abyss_tpu.graph.contig_graph import ContigGraph, node
+    g = ContigGraph()
+    s = sim.random_genome(300, seed=400)
+    arm_a = s[100:149]
+    arm_b = arm_a[:24] + ("A" if arm_a[24] != "A" else "C") + arm_a[25:]
+    seqs = {"0": s[:110], "1": arm_a, "2": arm_b, "3": s[140:]}
+    for name, (L, C) in zip("0123", [(110, 50), (49, 40), (49, 5),
+                                     (160, 50)]):
+        g.add_contig(name, L, C)
+    for a, b in [(0, 1), (0, 2)]:
+        g.add_edge(node(a, 0), node(b, 0), {"d": -10})
+    for a, b in [(1, 3), (2, 3)]:
+        g.add_edge(node(a, 0), node(b, 0), {"d": -9})
+    est = {("0", 0, "3", 0): DistanceEstimate(30, 20, 3.0)}
+    paths = pathtools.simple_graph_paths(
+        g, est, {n: g.id_of(n) for n in "0123"}, seqs=seqs)
+    assert len(paths) == 1
+    # consensus keeps the high-coverage arm (contig 1)
+    assert node(1, 0) in paths[0]
+    assert len(paths[0]) == 3
