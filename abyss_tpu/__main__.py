@@ -26,6 +26,81 @@ TOOLS = {
                "abyss_tpu.cli.tools", "sealer_main"),
     "db-txt": ("export telemetry database as text (abyss-db-txt)",
                "abyss_tpu.cli.tools", "db_txt_main"),
+    "db-csv": ("export telemetry database as CSV (abyss-db-csv)",
+               "abyss_tpu.cli.tools", "db_csv_main"),
+    "bloom": ("Bloom filter utility (abyss-bloom: build/union/"
+              "intersect/info/compare/kmers/trim/graph)",
+              "abyss_tpu.cli.bloom_tool", "main"),
+    "map": ("map reads to contigs, SAM out (abyss-map/KAligner)",
+            "abyss_tpu.cli.tools2", "map_main"),
+    "index": ("build FM-index + .fai (abyss-index)",
+              "abyss_tpu.cli.tools2", "index_main"),
+    "count": ("k-mer occurrence counts (abyss-count)",
+              "abyss_tpu.cli.tools2", "count_main"),
+    "dawg": ("directed acyclic word graph dump (abyss-dawg)",
+             "abyss_tpu.cli.tools2", "dawg_main"),
+    "overlap": ("suffix-prefix overlap graph (abyss-overlap)",
+                "abyss_tpu.cli.tools2", "overlap_main"),
+    "layout": ("greedy overlap layout (abyss-layout)",
+               "abyss_tpu.cli.tools2", "layout_main"),
+    "fixmate": ("pair up alignments, fragment histogram (abyss-fixmate)",
+                "abyss_tpu.cli.tools2", "fixmate_main"),
+    "distanceest": ("contig-pair distance MLE (DistanceEst)",
+                    "abyss_tpu.cli.tools2", "distanceest_main"),
+    "filtergraph": ("prune tips/islands (abyss-filtergraph)",
+                    "abyss_tpu.cli.tools2", "filtergraph_main"),
+    "popbubbles": ("contig-level bubble popping (PopBubbles)",
+                   "abyss_tpu.cli.tools2", "popbubbles_main"),
+    "overlap-contigs": ("edges from negative distances (Overlap)",
+                        "abyss_tpu.cli.tools2", "overlapcontigs_main"),
+    "simplegraph": ("constrained path search (SimpleGraph)",
+                    "abyss_tpu.cli.tools2", "simplegraph_main"),
+    "mergepaths": ("merge consistent paths (MergePaths)",
+                   "abyss_tpu.cli.tools2", "mergepaths_main"),
+    "pathoverlap": ("merge overlapping paths (PathOverlap)",
+                    "abyss_tpu.cli.tools2", "pathoverlap_main"),
+    "pathconsensus": ("ambiguous path consensus (PathConsensus)",
+                      "abyss_tpu.cli.tools2", "pathconsensus_main"),
+    "mergecontigs": ("materialize paths into contigs (MergeContigs)",
+                     "abyss_tpu.cli.tools2", "mergecontigs_main"),
+    "scaffold": ("scaffold over the distance graph (abyss-scaffold)",
+                 "abyss_tpu.cli.tools2", "scaffold_main"),
+    "junction": ("junction vertices of a graph (abyss-junction)",
+                 "abyss_tpu.cli.tools2", "junction_main"),
+    "longseqdist": ("long-read SAM -> distance graph (abyss-longseqdist)",
+                    "abyss_tpu.cli.tools2", "longseqdist_main"),
+    "rresolver": ("short-read repeat resolution (abyss-rresolver-short)",
+                  "abyss_tpu.cli.tools2", "rresolver_main"),
+    "consensus": ("pileup base calling (Consensus)",
+                  "abyss_tpu.cli.tools2", "consensus_main"),
+    "dassembler": ("greedy localized assembly (DAssembler)",
+                   "abyss_tpu.cli.tools2", "dassembler_main"),
+    "gapfill": ("close scaffold gaps (abyss-gapfill)",
+                "abyss_tpu.cli.tools2", "gapfill_main"),
+    "mergepairs": ("overlap-merge read pairs (abyss-mergepairs)",
+                   "abyss_tpu.cli.tools2", "mergepairs_main"),
+    "align": ("global pairwise alignment (abyss-align)",
+              "abyss_tpu.cli.tools2", "align_main"),
+    "paired-dbg": ("paired de Bruijn graph assembly (abyss-paired-dbg)",
+                   "abyss_tpu.cli.tools2", "paireddbg_main"),
+    "kmerprint": ("dump the k-mer table as text (kmerprint)",
+                  "abyss_tpu.cli.tools2", "kmerprint_main"),
+    "logcounter": ("probabilistic PLC k-mer counting (logcounter)",
+                   "abyss_tpu.cli.tools2", "logcounter_main"),
+    "samtobreak": ("breakpoint metrics vs reference (abyss-samtobreak)",
+                   "abyss_tpu.cli.tools2", "samtobreak_main"),
+    "fatoagp": ("scaffold FASTA -> AGP + scaftigs (abyss-fatoagp)",
+                "abyss_tpu.cli.tools2", "fatoagp_main"),
+    "samtoafg": ("SAM -> AMOS AFG (abyss-samtoafg)",
+                 "abyss_tpu.cli.tools2", "samtoafg_main"),
+    "cstont": ("colour-space -> nucleotide FASTA (abyss-cstont)",
+               "abyss_tpu.cli.tools2", "cstont_main"),
+    "joindist": ("merge .dist files (abyss-joindist)",
+                 "abyss_tpu.cli.tools2", "joindist_main"),
+    "adjtodot": (".adj -> .dot (abyss-adjtodot)",
+                 "abyss_tpu.cli.tools2", "adjtodot_main"),
+    "tabtomd": ("stats table -> markdown (abyss-tabtomd)",
+                "abyss_tpu.cli.tools2", "tabtomd_main"),
 }
 
 

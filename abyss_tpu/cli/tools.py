@@ -190,6 +190,7 @@ def konnector_main(argv=None):
     from ..dbg.params import AssemblyParams
     from ..gap import konnector
     from ..io import fastx
+    from ..io import read_batches as io_read_batches
     params = AssemblyParams(k=args.kmer,
                             bloom_bytes=parse_size(args.bloom_size),
                             min_cov=1)
@@ -250,6 +251,11 @@ def db_txt_main(argv=None):
     from ..utils import db as dbmod
     sys.stdout.write(dbmod.export_csv(args.db) if args.csv
                      else dbmod.export_text(args.db))
+
+
+def db_csv_main(argv=None):
+    """abyss-db-csv equivalent (DataBase/db-csv.cc)."""
+    return db_txt_main((argv or []) + ["--csv"])
 
 
 def parse_size(s: str) -> int:

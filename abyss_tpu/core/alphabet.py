@@ -52,3 +52,47 @@ def revcomp_codes(codes: np.ndarray) -> np.ndarray:
 
 def revcomp(seq: str) -> str:
     return decode(revcomp_codes(encode(seq)))
+
+
+# ---------------------------------------------------------------------------
+# Colour space (SOLiD / AB two-base encoding).
+#
+# Reference: Common/Sequence.cpp:13-18 cstont[][] — which is exactly the
+# XOR of the 2-bit base codes — and colourToNucleotideSpace /
+# nucleotideToColourSpace (Common/Sequence.cpp:113-138).  A colour-space
+# read is an anchor base followed by colours '0123'; the decoded base at
+# position i+1 has code = code(base_i) XOR colour_i.
+
+def is_colour_space(seq: str) -> bool:
+    """True when seq looks like a colour-space read: [ACGT] then digits
+    (FastaReader's detection, DataLayer/FastaReader.cpp)."""
+    if len(seq) < 2:
+        return False
+    return seq[0].upper() in "ACGT" and all(c in "0123." for c in seq[1:])
+
+
+def colour_to_nucleotide(anchor: str, colours: str) -> str:
+    """colourToNucleotideSpace(anchor, seq): decode colours to bases,
+    anchor base not included in the output (Common/Sequence.cpp:119-130)."""
+    seed = int(ASCII_TO_CODE[ord(anchor)])
+    out = []
+    for c in colours:
+        if c in "0123":
+            seed = seed ^ int(c)
+            out.append("ACGT"[seed])
+        else:  # '4'/'.'/'N': undecodable; resync is impossible downstream
+            seed = 0
+            out.append("N")
+    return "".join(out)
+
+
+def nucleotide_to_colour(seq: str) -> str:
+    """nucleotideToColourSpace over a whole read: first base kept as the
+    anchor, then one colour per adjacent base pair
+    (Common/Sequence.cpp:133-138)."""
+    codes = encode(seq)
+    bad = (codes[:-1] >= BAD) | (codes[1:] >= BAD)
+    cols = codes[:-1] ^ codes[1:]
+    body = "".join("." if b else "0123"[c] for c, b in zip(cols, bad))
+    ok = codes[0] < BAD
+    return (seq[0].upper() if ok else "N") + body

@@ -230,6 +230,157 @@ def write_gfa2(g: ContigGraph, out, k: int, seqs: dict[str, str] | None = None):
             f.close()
 
 
+def write_gfa1(g: ContigGraph, out, k: int = 0):
+    """GFA1 (Graph/GfaIO.h:20-67): S lines with LN:i/KC:i tags, L lines
+    with `<overlap>M` CIGAR for the canonical orientation of each edge."""
+    own = isinstance(out, (str, os.PathLike))
+    f = open(out, "w") if own else out
+    try:
+        f.write("H\tVN:Z:1.0\n")
+        for cid in g.contigs():
+            f.write(f"S\t{g.names[cid]}\t*\tLN:i:{g.lengths[cid]}")
+            if g.coverages[cid] > 0:
+                f.write(f"\tKC:i:{g.coverages[cid]}")
+            f.write("\n")
+        for u in g.vertices():
+            for v, p in g.out_edges(u):
+                if u > flip(v):  # canonical edge only (GfaIO.h:52)
+                    continue
+                d = (p or {}).get("d", -(k - 1) if k else 0)
+                cig = f"{-d}M" if d <= 0 else "*"
+                f.write(f"L\t{g.names[u >> 1]}\t{'-+'[1 - (u & 1)]}\t"
+                        f"{g.names[v >> 1]}\t{'-+'[1 - (v & 1)]}\t{cig}\n")
+    finally:
+        if own:
+            f.close()
+
+
+def read_gfa(path_or_file) -> tuple[ContigGraph, int]:
+    """Read GFA1 (S/L lines) or GFA2 (S/E lines) as written by this
+    module / the reference (Graph/GfaIO.h:233-330)."""
+    own = isinstance(path_or_file, (str, os.PathLike))
+    f = open(path_or_file) if own else path_or_file
+    g = ContigGraph()
+    k = 0
+    try:
+        for line in f:
+            fields = line.rstrip("\n").split("\t")
+            tag = fields[0]
+            if tag == "S":
+                name = fields[1]
+                length = 0
+                cov = 0
+                if len(fields) >= 3 and fields[2].isdigit():  # GFA2
+                    length = int(fields[2])
+                elif len(fields) >= 3 and fields[2] not in ("*", ""):
+                    length = len(fields[2])
+                for t in fields[3:]:
+                    if t.startswith("LN:i:"):
+                        length = int(t[5:])
+                    elif t.startswith(("KC:i:", "RC:i:")):
+                        cov = int(t[5:])
+                if name not in g._index:
+                    g.add_contig(name, length, cov)
+                else:
+                    g.lengths[g.id_of(name)] = length
+                    g.coverages[g.id_of(name)] = cov
+            elif tag == "L":
+                u = _ensure_vertex(g, fields[1] + ("+-"[fields[2] == "-"]))
+                v = _ensure_vertex(g, fields[3] + ("+-"[fields[4] == "-"]))
+                m = re.match(r"(\d+)M", fields[5]) if len(fields) > 5 else None
+                prop = {"d": -int(m.group(1))} if m else None
+                g.out[u][v] = dict(prop) if prop else None
+                g.out[flip(v)][flip(u)] = dict(prop) if prop else None
+                if m and not k:
+                    k = int(m.group(1)) + 1
+            elif tag == "E":
+                # E * u[+-] v[+-] ustart uend vstart vend cigar
+                u = _ensure_vertex(g, fields[2])
+                v = _ensure_vertex(g, fields[3])
+                m = re.match(r"(\d+)M", fields[8]) if len(fields) > 8 else None
+                prop = {"d": -int(m.group(1))} if m else None
+                g.out[u][v] = dict(prop) if prop else None
+                g.out[flip(v)][flip(u)] = dict(prop) if prop else None
+                if m and not k:
+                    k = int(m.group(1)) + 1
+    finally:
+        if own:
+            f.close()
+    return g, k
+
+
+def write_sam_graph(g: ContigGraph, out, program: str = "abyss-tpu",
+                    command_line: str = ""):
+    """SAM-as-graph (Graph/SAMIO.h:18-75): @SQ per contig (XC = coverage),
+    one alignment record per overlap edge (only distance <= 0 edges are
+    representable)."""
+    own = isinstance(out, (str, os.PathLike))
+    f = open(out, "w") if own else out
+    try:
+        f.write("@HD\tVN:1.0\n")
+        f.write(f"@PG\tID:{program}\tCL:{command_line}\n")
+        for cid in g.contigs():
+            f.write(f"@SQ\tSN:{g.names[cid]}\tLN:{g.lengths[cid]}")
+            if g.coverages[cid] > 0:
+                f.write(f"\tXC:{g.coverages[cid]}")
+            f.write("\n")
+        for u in g.vertices():
+            for v, p in g.out_edges(u):
+                d = (p or {}).get("d", 0)
+                if d > 0:
+                    continue
+                flag = 0 if (u & 1) == (v & 1) else 0x10
+                alen = -d
+                pos = 1 + (0 if (u & 1) else g.length(u) - alen)
+                vlen = g.length(v)
+                clip = vlen - alen
+                cigar = (f"{alen}M{clip}S" if (v & 1) == 0
+                         else f"{clip}S{alen}M")
+                f.write(f"{g.names[v >> 1]}\t{flag}\t{g.names[u >> 1]}\t"
+                        f"{pos}\t255\t{cigar}\t*\t0\t0\t*\t*\n")
+    finally:
+        if own:
+            f.close()
+
+
+def read_sam_graph(path_or_file) -> tuple[ContigGraph, int]:
+    """Read the SAM-as-graph dialect back (Graph/SAMIO.h:84-135)."""
+    own = isinstance(path_or_file, (str, os.PathLike))
+    f = open(path_or_file) if own else path_or_file
+    g = ContigGraph()
+    try:
+        for line in f:
+            if line.startswith("@"):
+                if line.startswith("@SQ"):
+                    name = length = cov = None
+                    for t in line.rstrip().split("\t")[1:]:
+                        if t.startswith("SN:"):
+                            name = t[3:]
+                        elif t.startswith("LN:"):
+                            length = int(t[3:])
+                        elif t.startswith("XC:"):
+                            cov = int(t[3:])
+                    g.add_contig(name, length or 0, cov or 0)
+                continue
+            fields = line.rstrip("\n").split("\t")
+            qname, flag, rname, pos, _, cigar = fields[:6]
+            flag = int(flag)
+            m = re.search(r"(\d+)M", cigar)
+            alen = int(m.group(1)) if m else 0
+            pos0 = int(pos) - 1
+            usense = 0 if pos0 > 0 else 1
+            vsense = usense if not (flag & 0x10) else 1 - usense
+            u = node(g.id_of(rname), usense)
+            v = node(g.id_of(qname), vsense)
+            prop = {"d": -alen}
+            g.out[u][v] = dict(prop)
+            g.out[flip(v)][flip(u)] = dict(prop)
+    finally:
+        if own:
+            f.close()
+    return g, 0
+
+
 def write_graph(g: ContigGraph, path: str, k: int = 0,
                 fmt: str | None = None, **kw):
     """Dispatch on extension like GraphIO.h:102."""
@@ -238,8 +389,15 @@ def write_graph(g: ContigGraph, path: str, k: int = 0,
         write_dot(g, path, k=k)
     elif fmt == "adj":
         write_adj(g, path)
+    elif fmt == "gfa1":
+        write_gfa1(g, path, k=k)
     elif fmt in ("gfa", "gfa2"):
         write_gfa2(g, path, k=k, **kw)
+    elif fmt == "sam":
+        write_sam_graph(g, path)
+    elif fmt == "asqg":
+        from ..io.formats import write_asqg
+        write_asqg(g, kw.get("seqs") or {}, path)
     else:
         raise ValueError(f"unknown graph format: {fmt}")
 
@@ -250,4 +408,12 @@ def read_graph(path: str) -> tuple[ContigGraph, int]:
         return read_dot(path)
     if ext == "adj":
         return read_adj(path), 0
+    if ext.startswith("gfa"):
+        return read_gfa(path)
+    if ext == "sam":
+        return read_sam_graph(path)
+    if ext == "asqg":
+        from ..io.formats import read_asqg
+        g, _seqs = read_asqg(path)
+        return g, 0
     raise ValueError(f"unknown graph format: {ext}")

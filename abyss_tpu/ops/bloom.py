@@ -203,6 +203,74 @@ class BitBloomFilter:
         return hit
 
 
+    def insert_window(self, canon, start: int, end: int,
+                      mask=None) -> "BitBloomFilter":
+        """Set only bits in [start, end) — the windowed shard build of
+        Bloom/BloomFilterWindow.h / bin/abyss-bloom-dist.mk: each shard
+        owns a window of the full bit array; union() merges shards."""
+        idx = self._indices(canon, mask).reshape(-1)
+        inwin = (idx >= start) & (idx < end)
+        idx = jnp.where(inwin, idx, jnp.int32(self.size))
+        new = self.bits.at[idx].max(jnp.uint8(1), mode="drop")
+        new = new.at[self.size].set(0)
+        return self._replace(bits=new)
+
+    def union(self, other: "BitBloomFilter") -> "BitBloomFilter":
+        """Bitwise OR merge (abyss-bloom union, Bloom/bloom.cc)."""
+        return self._replace(bits=jnp.maximum(self.bits, other.bits))
+
+    def intersect(self, other: "BitBloomFilter") -> "BitBloomFilter":
+        return self._replace(bits=jnp.minimum(self.bits, other.bits))
+
+    @property
+    def popcount(self) -> int:
+        return int(jnp.sum(self.bits[:-1] > 0))
+
+
+def union(a, b):
+    """Merge two filters of the same type/geometry (abyss-bloom union).
+    For counting filters the conservative merge is elementwise add
+    (saturating); for bit filters it is OR."""
+    if isinstance(a, CountingBloomFilter):
+        s = jnp.minimum(a.counters.astype(jnp.int32) +
+                        b.counters.astype(jnp.int32), COUNTER_MAX)
+        return a._replace(counters=s.astype(jnp.uint8))
+    return a.union(b)
+
+
+def intersect(a, b):
+    if isinstance(a, CountingBloomFilter):
+        return a._replace(counters=jnp.minimum(a.counters, b.counters))
+    return a.intersect(b)
+
+
+def save_filter(path: str, f) -> None:
+    """Serialize a filter to .npz (the analogue of the reference's
+    binary Bloom file format, Bloom/BloomFilter.h write/read)."""
+    if isinstance(f, CountingBloomFilter):
+        np.savez_compressed(
+            path, kind="counting", data=np.asarray(f.counters),
+            k=f.k, num_hashes=f.num_hashes, threshold=f.threshold)
+    elif isinstance(f, BitBloomFilter):
+        np.savez_compressed(path, kind="bit", data=np.asarray(f.bits),
+                            k=f.k, num_hashes=f.num_hashes)
+    else:
+        raise TypeError(type(f))
+
+
+def load_filter(path: str):
+    z = np.load(path, allow_pickle=False)
+    kind = str(z["kind"])
+    if kind == "counting":
+        return CountingBloomFilter(
+            counters=jnp.asarray(z["data"]), k=int(z["k"]),
+            num_hashes=int(z["num_hashes"]), threshold=int(z["threshold"]))
+    if kind == "bit":
+        return BitBloomFilter(bits=jnp.asarray(z["data"]), k=int(z["k"]),
+                              num_hashes=int(z["num_hashes"]))
+    raise ValueError(f"unknown filter kind {kind!r} in {path}")
+
+
 def recommended_sizes(budget_bytes: int) -> tuple[int, int]:
     """Split a memory budget like the reference: 8/9 counting, 1/9 visited
     (bloom-dbg.cc:359-369), rounded down to powers of two."""

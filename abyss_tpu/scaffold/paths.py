@@ -99,12 +99,14 @@ def simple_graph_paths(g: ContigGraph, estimates: dict, names_index: dict,
 
     Ambiguity resolution (the PathConsensus role,
     MergePaths/PathConsensus.cpp): when several paths satisfy the
-    constraints and `seqs` are available, candidates whose materialized
-    sequences are pairwise >= consensus_identity similar collapse to the
-    highest-coverage candidate; dissimilar candidates fall back to the
-    agreed path prefix.
+    constraints and `seqs` are available, the candidates' materialized
+    sequences go through the center-star MSA consensus
+    (align/dialign.py, the DIALIGN-TX replacement); when the mean
+    identity vs the consensus is >= consensus_identity they collapse to
+    the highest-coverage candidate, otherwise candidates fall back to
+    the agreed path prefix.
     """
-    from ..align.nw import nw_identity_np
+    from ..align.dialign import msa_consensus
 
     by_seed: dict[int, list[Constraint]] = {}
     for (un, su, vn, sv), e in estimates.items():
@@ -123,11 +125,9 @@ def simple_graph_paths(g: ContigGraph, estimates: dict, names_index: dict,
         elif len(sols) > 1:
             if seqs is not None and len(sols) <= max_candidates:
                 texts = [materialize_path(s, g, seqs) for s in sols]
-                similar = all(
-                    nw_identity_np(texts[i], texts[j]) >= consensus_identity
-                    for i in range(len(texts))
-                    for j in range(i + 1, len(texts)))
-                if similar:
+                cons, _ident = msa_consensus(
+                    texts, min_identity=consensus_identity)
+                if cons is not None:
                     best = max(
                         sols,
                         key=lambda s: sum(g.coverages[v >> 1] for v in s))
