@@ -101,6 +101,20 @@ TOOLS = {
                  "abyss_tpu.cli.tools2", "adjtodot_main"),
     "tabtomd": ("stats table -> markdown (abyss-tabtomd)",
                 "abyss_tpu.cli.tools2", "tabtomd_main"),
+    "tigmint": ("linked-read molecule cut (tigmint equivalent)",
+                "abyss_tpu.cli.tools2", "tigmint_main"),
+    "arcs": ("linked-read barcode scaffolding links (arcs equivalent)",
+             "abyss_tpu.cli.tools2", "arcs_main"),
+    "bwa": ("bwa wrapper w/ native fallback (abyss-bwa)",
+            "abyss_tpu.align.wrappers", "bwa_main"),
+    "bwamem": ("bwa-mem wrapper w/ native fallback (abyss-bwamem)",
+               "abyss_tpu.align.wrappers", "bwamem_main"),
+    "bowtie2": ("bowtie2 wrapper w/ native fallback (abyss-bowtie2)",
+                "abyss_tpu.align.wrappers", "bowtie2_main"),
+    "kaligner": ("k-mer seed aligner (KAligner/abyss-kaligner)",
+                 "abyss_tpu.align.wrappers", "kaligner_main"),
+    "dida": ("distributed aligner wrapper (abyss-dida)",
+             "abyss_tpu.align.wrappers", "dida_main"),
 }
 
 

@@ -952,6 +952,85 @@ def adjtodot_main(argv=None):
     return 0
 
 
+def tigmint_main(argv=None):
+    """tigmint-equivalent: infer linked-read molecule extents and cut
+    contigs at low molecule coverage (bin/abyss-pe:752-805's external
+    tigmint-molecule + tigmint-cut, implemented natively)."""
+    ap = argparse.ArgumentParser(prog="abyss-tpu tigmint")
+    ap.add_argument("contigs")
+    ap.add_argument("reads", nargs="+")
+    ap.add_argument("-l", "--seed-length", type=int, default=32)
+    ap.add_argument("-d", "--max-dist", type=int, default=50000)
+    ap.add_argument("-s", "--min-spanning", type=int, default=2)
+    ap.add_argument("--bed", default=None, help="write molecule BED here")
+    ap.add_argument("-o", "--out", required=True)
+    args = ap.parse_args(argv)
+    from ..scaffold import linked_reads as lr
+    from ..align.mapper import KmerAligner
+    from ..io import fastx, read_batches
+    contigs = _read_fa(args.contigs)
+    al = KmerAligner(contigs, k=args.seed_length)
+    alns, barcodes = [], {}
+    for batch in read_batches(args.reads, 4096, 512):
+        alns.extend(al.align_batch(batch.codes[:batch.num_reads],
+                                   batch.lengths[:batch.num_reads],
+                                   batch.ids))
+        for rid, c in zip(batch.ids, batch.comments or []):
+            bc = lr.barcode_of(c)
+            if bc:
+                barcodes[rid] = bc
+    molecules = lr.infer_molecules(alns, barcodes, max_dist=args.max_dist)
+    if args.bed:
+        with open(args.bed, "w") as f:
+            for m in molecules:
+                f.write(f"{m.rname}\t{m.start}\t{m.end}\t{m.barcode}\t"
+                        f"{m.num_reads}\n")
+    cut, n_cuts = lr.cut_contigs(contigs, molecules,
+                                 min_spanning=args.min_spanning)
+    fastx.write_fasta(args.out, cut)
+    print(f"{len(molecules)} molecules, {n_cuts} cuts", file=sys.stderr)
+    return 0
+
+
+def arcs_main(argv=None):
+    """arcs-equivalent: barcode-sharing links between contig ends,
+    emitted as a distance graph for abyss-scaffold."""
+    ap = argparse.ArgumentParser(prog="abyss-tpu arcs")
+    ap.add_argument("contigs")
+    ap.add_argument("reads", nargs="+")
+    ap.add_argument("-l", "--seed-length", type=int, default=32)
+    ap.add_argument("-e", "--end-len", type=int, default=30000)
+    ap.add_argument("-n", "--min-shared", type=int, default=5)
+    ap.add_argument("-s", "--min-len", type=int, default=500)
+    ap.add_argument("-o", "--out", default="-")
+    args = ap.parse_args(argv)
+    from ..scaffold import linked_reads as lr
+    from ..align.mapper import KmerAligner
+    from ..graph import graphio
+    from ..io import read_batches
+    contigs = _read_fa(args.contigs)
+    al = KmerAligner(contigs, k=args.seed_length)
+    alns, barcodes = [], {}
+    for batch in read_batches(args.reads, 4096, 512):
+        alns.extend(al.align_batch(batch.codes[:batch.num_reads],
+                                   batch.lengths[:batch.num_reads],
+                                   batch.ids))
+        for rid, c in zip(batch.ids, batch.comments or []):
+            bc = lr.barcode_of(c)
+            if bc:
+                barcodes[rid] = bc
+    g = lr.barcode_links(alns, barcodes, {n: len(s) for n, s in contigs},
+                         end_len=args.end_len, min_shared=args.min_shared,
+                         min_len=args.min_len)
+    out = sys.stdout if args.out == "-" else args.out
+    if out is sys.stdout:
+        graphio.write_dot(g, sys.stdout)
+    else:
+        graphio.write_dot(g, out)
+    print(f"{g.num_edges() // 2} barcode link edges", file=sys.stderr)
+    return 0
+
+
 def tabtomd_main(argv=None):
     """abyss-tabtomd: stats .tab -> markdown table."""
     ap = argparse.ArgumentParser(prog="abyss-tpu tabtomd")

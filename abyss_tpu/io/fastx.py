@@ -146,6 +146,7 @@ class ReadBatch:
     codes: np.ndarray
     lengths: np.ndarray
     ids: list
+    comments: list | None = None  # header comments (e.g. BX:Z: barcodes)
 
     @property
     def num_reads(self) -> int:
@@ -166,22 +167,25 @@ def read_batches(paths: Sequence[str] | str, batch_size: int = 16384,
     buf_codes = np.full((batch_size, max_len), alphabet.BAD, np.uint8)
     buf_len = np.zeros(batch_size, np.int32)
     ids: list = []
+    comments: list = []
 
     def flush():
-        nonlocal buf_codes, buf_len, ids
-        out = ReadBatch(buf_codes, buf_len, ids)
+        nonlocal buf_codes, buf_len, ids, comments
+        out = ReadBatch(buf_codes, buf_len, ids, comments)
         buf_codes = np.full((batch_size, max_len), alphabet.BAD, np.uint8)
         buf_len = np.zeros(batch_size, np.int32)
         ids = []
+        comments = []
         return out
 
-    def add(rid: str, codes: np.ndarray):
+    def add(rid: str, codes: np.ndarray, comment: str = ""):
         nonlocal ids
         n = len(ids)
         L = min(len(codes), max_len)
         buf_codes[n, :L] = codes[:L]
         buf_len[n] = L
         ids.append(rid)
+        comments.append(comment)
 
     for path in paths:
         for rec in read_fastx(path):
@@ -199,7 +203,7 @@ def read_batches(paths: Sequence[str] | str, batch_size: int = 16384,
                     (f"{rec.id}:{off}", codes[off:off + max_len])
                     for off in range(0, len(codes) - max_len // 2, step)]
             for rid, piece in pieces:
-                add(rid, piece)
+                add(rid, piece, rec.comment)
                 if len(ids) == batch_size:
                     yield flush()
     if ids:

@@ -50,13 +50,16 @@ def read_batches(paths: Sequence[str] | str, batch_size: int = 16384,
     pending_codes = np.full((batch_size, max_len), 4, np.uint8)
     pending_len = np.zeros(batch_size, np.int32)
     pending_ids: list[str] = []
+    pending_comments: list[str] = []
 
     def emit():
-        nonlocal pending_codes, pending_len, pending_ids
-        out = pyfastx.ReadBatch(pending_codes, pending_len, pending_ids)
+        nonlocal pending_codes, pending_len, pending_ids, pending_comments
+        out = pyfastx.ReadBatch(pending_codes, pending_len, pending_ids,
+                                pending_comments)
         pending_codes = np.full((batch_size, max_len), 4, np.uint8)
         pending_len = np.zeros(batch_size, np.int32)
         pending_ids = []
+        pending_comments = []
         return out
 
     codes = np.empty((batch_size, max_len), np.uint8)
@@ -88,7 +91,10 @@ def read_batches(paths: Sequence[str] | str, batch_size: int = 16384,
                 pos = 0
                 for _ in range(got):
                     end = raw.index(b"\0", pos)
-                    pending_ids.append(raw[pos:end].decode())
+                    packed = raw[pos:end].decode()
+                    rid, tab, comment = packed.partition("\t")
+                    pending_ids.append(rid)
+                    pending_comments.append(comment)
                     pos = end + 1
                 if len(pending_ids) == batch_size:
                     yield emit()

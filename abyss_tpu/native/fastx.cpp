@@ -31,6 +31,7 @@ struct Reader {
     // split state for reads longer than max_len
     std::string carry_seq;
     std::string carry_name;
+    std::string carry_comment;
     size_t carry_off = 0;
 
     int peek() {
@@ -97,7 +98,8 @@ void quality_trim(std::string& seq, const std::string& qual, int q) {
 }
 
 // read one record; returns 0 eof, 1 ok, -1 error
-int next_record(Reader* r, std::string& name, std::string& seq) {
+int next_record(Reader* r, std::string& name,
+                std::string& comment, std::string& seq) {
     for (;;) {
         int c = r->peek();
         if (c == -1) return 0;
@@ -126,8 +128,7 @@ int next_record(Reader* r, std::string& name, std::string& seq) {
             return -1;
         }
         size_t sp = header.find_first_of(" \t");
-        std::string comment =
-            sp == std::string::npos ? "" : header.substr(sp + 1);
+        comment = sp == std::string::npos ? "" : header.substr(sp + 1);
         name = sp == std::string::npos ? header : header.substr(0, sp);
         if (r->chastity && !is_chaste(comment)) continue;
         if (seq.empty()) continue;
@@ -163,7 +164,7 @@ long fastx_next_batch(void* handle, uint8_t* codes, int32_t* lengths,
     Reader* r = static_cast<Reader*>(handle);
     long n = 0;
     long name_pos = 0;
-    std::string name, seq;
+    std::string name, comment, seq;
     const int step = max_len / 2 > 0 ? max_len / 2 : 1;
     while (n < batch_size) {
         const std::string* use_seq;
@@ -173,17 +174,19 @@ long fastx_next_batch(void* handle, uint8_t* codes, int32_t* lengths,
             piece = r->carry_seq.substr(r->carry_off, max_len);
             piece_name =
                 r->carry_name + ":" + std::to_string(r->carry_off);
+            comment = r->carry_comment;
             r->carry_off += step;
             if (r->carry_off + size_t(max_len) / 2 >= r->carry_seq.size())
                 r->carry_seq.clear();
             use_seq = &piece;
             name = piece_name;
         } else {
-            int rc = next_record(r, name, seq);
+            int rc = next_record(r, name, comment, seq);
             if (rc <= 0) return n > 0 ? n : rc;
             if ((int)seq.size() > max_len) {
                 r->carry_seq = seq;
                 r->carry_name = name;
+                r->carry_comment = comment;
                 r->carry_off = step;
                 piece = seq.substr(0, max_len);
                 name += ":0";
@@ -198,9 +201,11 @@ long fastx_next_batch(void* handle, uint8_t* codes, int32_t* lengths,
         for (int i = 0; i < L; i++) row[i] = code_of[(uint8_t)s[i]];
         memset(row + L, 4, max_len - L);
         lengths[n] = L;
-        long need = (long)name.size() + 1;
+        // pack "name[\tcomment]\0" — the Python side splits on '\t'
+        std::string packed = comment.empty() ? name : name + "\t" + comment;
+        long need = (long)packed.size() + 1;
         if (name_pos + need > names_cap) return -2;  // caller buffer small
-        memcpy(names + name_pos, name.c_str(), need);
+        memcpy(names + name_pos, packed.c_str(), need);
         name_pos += need;
         n++;
     }

@@ -66,6 +66,11 @@ class PipelineParams:
     verbose: int = 1
     batch_size: int = 4096
     max_read_len: int = 256
+    # linked reads (lr=, bin/abyss-pe:752-849): tigmint cut + arcs
+    # barcode links + rescaffold -> name-10.fa
+    lr_files: list = field(default_factory=list)
+    # long reads (long=): longseqdist + rescaffold -> name-10.fa
+    long_files: list = field(default_factory=list)
 
     def path(self, suffix: str) -> str:
         return os.path.join(self.outdir, f"{self.name}-{suffix}")
@@ -289,11 +294,71 @@ def stage_scaffolds_8(p: PipelineParams) -> str:
     return out
 
 
+def stage_linked_10(p: PipelineParams) -> str | None:
+    """lr=/long= rescaffolding -> name-10.fa (bin/abyss-pe:752-901)."""
+    if not p.lr_files and not p.long_files:
+        return None
+    out = p.path("10.fa")
+    if not _fresh(p, out):
+        return out
+    contigs, _ = _read_contigs(p.path("8.fa"))
+    if p.lr_files:
+        from ..scaffold.linked_reads import rescaffold_linked
+        _log(p, "stage 10: linked-read (tigmint+arcs) rescaffolding")
+        scaffolds, st = rescaffold_linked(
+            contigs, p.lr_files, align_k=p.align_k,
+            min_pairs=p.min_pairs, min_len=p.min_len,
+            batch_size=p.batch_size, max_read_len=p.max_read_len)
+        _log(p, f"stage 10: {st['molecules']} molecules, {st['cuts']} "
+                f"cuts, {st['links']} links, {st['scaffolds']} scaffolds")
+    else:
+        _log(p, "stage 10: long-read rescaffolding")
+        from ..scaffold import paths as pathtools
+        hist, links = _map_all_files(p, p.path("8.fa"), p.long_files)
+        est = distance_est.estimate_distances(
+            links, hist, min_pairs=max(1, p.min_pairs // 2),
+            min_align=p.align_k)
+        dg = ContigGraph()
+        seqs = dict(contigs)
+        for name, seq in contigs:
+            dg.add_contig(name, len(seq))
+        for (un, su, vn, sv), e in est.items():
+            dg.add_edge(node(dg.id_of(un), su), node(dg.id_of(vn), sv),
+                        {"d": e.distance, "n": e.num_pairs,
+                         "sd": e.std_dev})
+        chains = pathtools.scaffold_paths(dg, max(1, p.min_pairs // 2),
+                                          p.min_len)
+        used = set()
+        scaffolds = []
+        for i, path in enumerate(chains):
+            scaffolds.append((f"scaffold{i}",
+                              pathtools.materialize_path(path, dg, seqs)))
+            used.update(v >> 1 for v in path)
+        for cid in dg.contigs():
+            if cid not in used:
+                n = dg.names[cid]
+                scaffolds.append((n, seqs[n]))
+    _write_contigs(out, scaffolds)
+    return out
+
+
+def _map_all_files(p: PipelineParams, target_fa: str, files):
+    contigs, _ = _read_contigs(target_fa)
+    al = mapper.KmerAligner(contigs, k=p.align_k)
+    all_alns = []
+    for batch in io_read_batches(files, p.batch_size, p.max_read_len,
+                                 q=p.q):
+        alns = al.align_batch(batch.codes[:batch.num_reads],
+                              batch.lengths[:batch.num_reads], batch.ids)
+        all_alns.extend(alns)
+    return fixmate.fixmate(all_alns)
+
+
 def stage_stats(p: PipelineParams) -> str:
     out = p.path("stats.tab")
     rows = []
     for suffix, label in [("3.fa", "unitigs"), ("6.fa", "contigs"),
-                          ("8.fa", "scaffolds")]:
+                          ("8.fa", "scaffolds"), ("10.fa", "rescaffolds")]:
         path = p.path(suffix)
         if os.path.exists(path):
             lengths = [len(r.seq) for r in fastx.read_fastx(path)]
@@ -313,6 +378,9 @@ def run(p: PipelineParams) -> dict[str, str]:
     artifacts["dist"] = stage_dist_5(p)
     artifacts["contigs"] = stage_contigs_6(p)
     artifacts["scaffolds"] = stage_scaffolds_8(p)
+    ten = stage_linked_10(p)
+    if ten:
+        artifacts["rescaffolds"] = ten
     artifacts["stats"] = stage_stats(p)
     _log(p, f"done in {time.time() - t0:.1f}s")
     return artifacts
@@ -338,6 +406,8 @@ def main(argv=None):
         outdir=kv.get("outdir", "."),
         verbose=int(kv.get("v", 1)),
         engine=kv.get("engine", "bloom"),
+        lr_files=kv.get("lr", "").split(),
+        long_files=kv.get("long", "").split(),
     )
     if "B" in kv:
         size = kv["B"].upper()
