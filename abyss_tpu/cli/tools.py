@@ -24,9 +24,11 @@ def bloom_dbg_main(argv=None):
     ap.add_argument("-t", "--trim-length", type=int, default=None)
     ap.add_argument("-q", "--trim-quality", type=int, default=0)
     ap.add_argument("-o", "--out", default="-")
+    ap.add_argument("--db", default=None, help="SQLite telemetry file")
     ap.add_argument("-v", "--verbose", action="count", default=0)
     args = ap.parse_args(argv)
 
+    from ..utils.db import open_db
     from ..dbg import bloom_dbg
     from ..dbg.params import AssemblyParams
     params = AssemblyParams(
@@ -35,10 +37,14 @@ def bloom_dbg_main(argv=None):
         q=args.trim_quality, verbose=args.verbose)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
-        bloom_dbg.assemble(args.reads, params, out=out)
+        counters = bloom_dbg.assemble(args.reads, params, out=out)
     finally:
         if out is not sys.stdout:
             out.close()
+    with open_db(args.db, "bloom-dbg", argv) as db:
+        if counters is not None:
+            for key, val in bloom_dbg.dataclasses_dict(counters).items():
+                db.add(key, val)
 
 
 def abyss_main(argv=None):
@@ -55,6 +61,7 @@ def abyss_main(argv=None):
                          "(CoverageAlgorithm fixpoint)")
     ap.add_argument("-o", "--out", default="-")
     ap.add_argument("--coverage-hist", default=None)
+    ap.add_argument("--db", default=None, help="SQLite telemetry file")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -75,6 +82,10 @@ def abyss_main(argv=None):
     finally:
         if out is not sys.stdout:
             out.close()
+    from ..utils.db import open_db
+    with open_db(args.db, "assemble", argv) as db:
+        db.add("contigs", len(contigs))
+        db.add("kmers", int(getattr(table, "n", 0)))
 
 
 def adjlist_main(argv=None):

@@ -274,6 +274,7 @@ def distanceest_main(argv=None):
     ap.add_argument("--hist", default=None)
     ap.add_argument("--dot", action="store_true")
     ap.add_argument("-o", "--out", default="-")
+    ap.add_argument("--db", default=None, help="SQLite telemetry file")
     args = ap.parse_args(argv)
     from ..align import distance_est, fixmate as fx
     from ..io import formats
@@ -296,6 +297,10 @@ def distanceest_main(argv=None):
     finally:
         if out is not sys.stdout:
             out.close()
+    from ..utils.db import open_db
+    with open_db(args.db, "distanceest", argv) as db:
+        db.add("alignments", len(alns))
+        db.add("estimates", len(est))
     return 0
 
 
@@ -533,6 +538,7 @@ def scaffold_main(argv=None):
                     help="N or Nmin-Nmax line search")
     ap.add_argument("-s", "--min-len", type=int, default=200)
     ap.add_argument("-o", "--out", default="-")
+    ap.add_argument("--db", default=None, help="SQLite telemetry file")
     args = ap.parse_args(argv)
     from ..graph import graphio
     from ..scaffold import paths as pathtools
@@ -560,6 +566,11 @@ def scaffold_main(argv=None):
             best = (n, n50, chains)
     n, n50, chains = best
     print(f"best n={n} N50={n50}", file=sys.stderr)
+    from ..utils.db import open_db
+    with open_db(args.db, "scaffold", argv) as db:
+        db.add("n", n)
+        db.add("N50", n50)
+        db.add("scaffolds", len(chains))
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
         pathtools.write_paths(chains, dg, out, start_id=0)

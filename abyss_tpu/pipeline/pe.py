@@ -71,6 +71,12 @@ class PipelineParams:
     lr_files: list = field(default_factory=list)
     # long reads (long=): longseqdist + rescaffold -> name-10.fa
     long_files: list = field(default_factory=list)
+    # paired DBG span (K=, bin/abyss-pe:556-564 selects abyss-paired-dbg)
+    K: int = 0
+    # gap sealing after scaffolding (abyss-sealer, sealer_ks)
+    sealer_ks: list = field(default_factory=list)
+    # SQLite telemetry (db=)
+    db_path: str | None = None
 
     def path(self, suffix: str) -> str:
         return os.path.join(self.outdir, f"{self.name}-{suffix}")
@@ -108,6 +114,18 @@ def _fresh(p: PipelineParams, out: str) -> bool:
 def stage_unitigs_1(p: PipelineParams) -> str:
     out = p.path("1.fa")
     if not _fresh(p, out):
+        return out
+    if p.K:
+        _log(p, f"stage 1: paired-DBG assembly (k={p.k} K={p.K}) -> {out}")
+        from ..dbg import paired_dbg
+        batches = [b.codes[:b.num_reads] for b in io_read_batches(
+            p.in_files, p.batch_size, p.max_read_len, q=p.q)]
+        contigs = paired_dbg.assemble_pairs(batches, p.k, p.K, kc=p.kc)
+        with open(out + ".tmp", "w") as f:
+            for i, item in enumerate(contigs):
+                seq = item[0] if isinstance(item, tuple) else item
+                f.write(f">{i} {len(seq)} 0\n{seq}\n")
+        os.rename(out + ".tmp", out)
         return out
     if p.engine == "exact" and p.k <= 32:
         _log(p, f"stage 1: exact hash-DBG assembly -> {out}")
@@ -294,6 +312,23 @@ def stage_scaffolds_8(p: PipelineParams) -> str:
     return out
 
 
+def stage_sealer(p: PipelineParams) -> str | None:
+    """Optional gap sealing of the scaffolds (abyss-sealer,
+    bin/abyss-pe:855-861 sealer_ks)."""
+    if not p.sealer_ks:
+        return None
+    out = p.path("8-sealed.fa")
+    if not _fresh(p, out):
+        return out
+    from ..gap import sealer
+    scaffolds, _ = _read_contigs(p.path("8.fa"))
+    sealed, st = sealer.seal(scaffolds, p.in_files, ks=p.sealer_ks,
+                             bloom_bytes=p.bloom_bytes)
+    _log(p, f"sealer: closed {st.closed} of {st.gaps} gaps")
+    _write_contigs(out, sealed)
+    return out
+
+
 def stage_linked_10(p: PipelineParams) -> str | None:
     """lr=/long= rescaffolding -> name-10.fa (bin/abyss-pe:752-901)."""
     if not p.lr_files and not p.long_files:
@@ -365,6 +400,25 @@ def stage_stats(p: PipelineParams) -> str:
             rows.append(contiguity_stats(lengths, min_size=500, name=label))
     with open(out, "w") as f:
         f.write(format_stats_table(rows))
+    # .csv and .md variants (abyss-pe stats targets, abyss-tabtomd)
+    tab = open(out).read().splitlines()
+    with open(p.path("stats.csv"), "w") as f:
+        for line in tab:
+            f.write(",".join(line.split("\t")) + "\n")
+    with open(p.path("stats.md"), "w") as f:
+        rows_ = [line.split("\t") for line in tab]
+        if rows_:
+            widths = [max(len(r[i]) if i < len(r) else 0 for r in rows_)
+                      for i in range(len(rows_[0]))]
+
+            def fmt(r):
+                return "| " + " | ".join(
+                    (r[i] if i < len(r) else "").ljust(widths[i])
+                    for i in range(len(widths))) + " |"
+            f.write(fmt(rows_[0]) + "\n")
+            f.write("|" + "|".join("-" * (w + 2) for w in widths) + "|\n")
+            for r in rows_[1:]:
+                f.write(fmt(r) + "\n")
     return out
 
 
@@ -378,10 +432,19 @@ def run(p: PipelineParams) -> dict[str, str]:
     artifacts["dist"] = stage_dist_5(p)
     artifacts["contigs"] = stage_contigs_6(p)
     artifacts["scaffolds"] = stage_scaffolds_8(p)
+    sealed = stage_sealer(p)
+    if sealed:
+        artifacts["sealed"] = sealed
     ten = stage_linked_10(p)
     if ten:
         artifacts["rescaffolds"] = ten
     artifacts["stats"] = stage_stats(p)
+    if p.db_path:
+        from ..utils.db import open_db
+        with open_db(p.db_path, "abyss-pe") as db:
+            for key, path in artifacts.items():
+                db.add(key, path)
+            db.add("wall_s", round(time.time() - t0, 1))
     _log(p, f"done in {time.time() - t0:.1f}s")
     return artifacts
 
@@ -390,7 +453,11 @@ def main(argv=None):
     """abyss-pe-style CLI: `name=out k=25 in='r1.fq r2.fq'`."""
     argv = argv if argv is not None else sys.argv[1:]
     kv = {}
+    want_env = False
     for a in argv:
+        if a == "env":  # `abyss-pe env` introspection (bin/abyss-pe:990)
+            want_env = True
+            continue
         if "=" not in a:
             raise SystemExit(f"expected key=value, got {a!r}")
         k_, v = a.split("=", 1)
@@ -408,6 +475,9 @@ def main(argv=None):
         engine=kv.get("engine", "bloom"),
         lr_files=kv.get("lr", "").split(),
         long_files=kv.get("long", "").split(),
+        K=int(kv.get("K", 0)),
+        sealer_ks=[int(x) for x in kv.get("sealer_ks", "").split()],
+        db_path=kv.get("db"),
     )
     if "B" in kv:
         size = kv["B"].upper()
@@ -419,6 +489,11 @@ def main(argv=None):
         elif size.endswith("K"):
             mult, size = 1 << 10, size[:-1]
         p.bloom_bytes = int(float(size) * mult)
+    if want_env:
+        import dataclasses
+        for f_ in dataclasses.fields(p):
+            print(f"{f_.name}={getattr(p, f_.name)}")
+        return
     if not p.in_files:
         raise SystemExit("no input files: pass in='reads1.fq reads2.fq'")
     run(p)

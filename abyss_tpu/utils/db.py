@@ -72,6 +72,28 @@ class DB:
         self.flush()
 
 
+def open_db(path: str | None, tool: str, argv=None):
+    """Per-tool `--db=FILE` support (reference: every tool's getopt has
+    --db, DataBase/DB.h).  Returns a DB or a no-op recorder."""
+    if not path:
+        class _Null:
+            def add(self, *a, **k):
+                pass
+
+            def flush(self):
+                pass
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                pass
+        return _Null()
+    import sys
+    cmd = " ".join(argv if argv is not None else sys.argv)
+    return DB(path, tool=tool, command=cmd)
+
+
 def export_text(path: str) -> str:
     """abyss-db-txt equivalent: dump all stats as tab-separated text."""
     conn = sqlite3.connect(path)
