@@ -59,6 +59,13 @@ def abyss_main(argv=None):
     ap.add_argument("-c", "--coverage", action="store_true",
                     help="set kc from the coverage model "
                          "(CoverageAlgorithm fixpoint)")
+    ap.add_argument("--mean-coverage", type=float, default=None,
+                    help="remove contigs with mean k-mer coverage below "
+                         "this (the reference's c parameter)")
+    ap.add_argument("-b", "--bubble-len", type=int, default=None,
+                    help="maximum bubble branch length in k-mers [3k]")
+    ap.add_argument("--bubbles", default=None,
+                    help="write popped bubble branches here (FASTA)")
     ap.add_argument("-o", "--out", default="-")
     ap.add_argument("--coverage-hist", default=None)
     ap.add_argument("--db", default=None, help="SQLite telemetry file")
@@ -69,9 +76,16 @@ def abyss_main(argv=None):
     from ..io import read_batches as io_read_batches
     batches = [b.codes[:b.num_reads] for b in
                io_read_batches(args.reads, 4096, 512)]
+    bubbles: list = []
     contigs, table = hash_dbg.assemble_reads(
         batches, args.kmer, kc=args.kc, erode_cov=args.erode,
-        tip_len=args.trim_length, auto_coverage=args.coverage)
+        tip_len=args.trim_length, auto_coverage=args.coverage,
+        min_mean_cov=args.mean_coverage, bubble_len=args.bubble_len,
+        bubbles_out=bubbles)
+    if args.bubbles:
+        with open(args.bubbles, "w") as f:
+            for i, s in enumerate(bubbles):
+                f.write(f">bubble{i} {len(s)}\n{s}\n")
     if args.coverage_hist:
         with open(args.coverage_hist, "w") as f:
             f.write(hash_dbg.coverage_histogram(table).to_text())

@@ -381,47 +381,123 @@ def _pointer_double(nxt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return P, dist
 
 
-def assemble(t: KmerTable) -> list[tuple[str, int]]:
-    """Extract maximal unambiguous unitigs (AssembleAlgorithm.h:45-142).
-
-    Returns [(sequence, coverage_sum)] with each unitig reported once in
-    canonical orientation.
-    """
+def _chain_list(t: KmerTable) -> list[tuple[np.ndarray, np.ndarray]]:
+    """All maximal unambiguous chains as (rows, strands) arrays of
+    oriented vertices, each chain once (rc duplicates removed)."""
     if t.n == 0:
         return []
     nxt = _oriented_next(t)
     head, pos = _pointer_double(nxt)
-
-    # chains: group oriented vertices by head
-    N = t.n
     alive_ov = np.repeat(t.alive, 2)
     order = np.lexsort((pos, head))
     order = order[alive_ov[order]]
     heads = head[order]
     boundaries = np.nonzero(
         np.concatenate([[True], heads[1:] != heads[:-1]]))[0]
-    k = t.k
-    contigs = []
+    chains = []
     seen = set()
-    kmer_strs = None
     for bi, b in enumerate(boundaries):
         e = boundaries[bi + 1] if bi + 1 < len(boundaries) else len(order)
         chain = order[b:e]
-        # verify contiguous positions (defensive)
         rows = chain >> 1
         strands = chain & 1
-        # build sequence: first k-mer + last base of each subsequent k-mer
-        first = int(rows[0])
-        s0 = unpack_kmer(int(t.kmers[first]), k)
-        if strands[0] == 1:
-            s0 = alphabet.revcomp(s0)
-        seq = [s0]
-        for r, st in zip(rows[1:], strands[1:]):
-            km = unpack_kmer(int(t.kmers[r]), k)
-            if st == 1:
-                km = alphabet.revcomp(km)
-            seq.append(km[-1])
-        s = "".join(seq)
+        key = (int(rows[0]), int(rows[-1]))
+        rkey = (key[1], key[0])
+        if rkey in seen or key in seen:
+            continue
+        seen.add(key)
+        chains.append((rows, strands))
+    return chains
+
+
+def _chain_seq(t: KmerTable, rows: np.ndarray, strands: np.ndarray) -> str:
+    k = t.k
+    s0 = unpack_kmer(int(t.kmers[int(rows[0])]), k)
+    if strands[0] == 1:
+        s0 = alphabet.revcomp(s0)
+    seq = [s0]
+    for r, st in zip(rows[1:], strands[1:]):
+        km = unpack_kmer(int(t.kmers[r]), k)
+        if st == 1:
+            km = alphabet.revcomp(km)
+        seq.append(km[-1])
+    return "".join(seq)
+
+
+def _chain_flank_rows(t: KmerTable, rows, strands) -> tuple[set, set]:
+    """Alive neighbour rows just before the chain head / after the chain
+    tail, in walk orientation (the bubble anchor junctions)."""
+    def side_rows(row, cols):
+        out = set()
+        for c in cols:
+            nb = t.nbr[row, c]
+            if nb >= 0 and t.alive[nb]:
+                out.add(int(nb))
+        return out
+    r0, s0 = int(rows[0]), int(strands[0])
+    rl, sl = int(rows[-1]), int(strands[-1])
+    entry = side_rows(r0, range(4, 8) if s0 == 0 else range(0, 4))
+    exit_ = side_rows(rl, range(0, 4) if sl == 0 else range(4, 8))
+    entry -= set(rows.tolist())
+    exit_ -= set(rows.tolist())
+    return entry, exit_
+
+
+def pop_bubbles_kmer(t: KmerTable, max_len: int,
+                     max_branches: int = 3) -> list[str]:
+    """k-mer-level bubble popping (BubbleAlgorithm.h:46-137): chains of
+    <= max_len k-mers that share their entry and exit junction k-mers
+    are a bubble; keep the highest-coverage branch, delete the rest.
+    Returns the popped branch sequences (the *-bubbles.fa payload)."""
+    chains = _chain_list(t)
+    groups: dict[tuple, list] = {}
+    for rows, strands in chains:
+        if len(rows) > max_len:
+            continue
+        entry, exit_ = _chain_flank_rows(t, rows, strands)
+        if len(entry) != 1 or len(exit_) != 1:
+            continue
+        a, b = next(iter(entry)), next(iter(exit_))
+        key = (min(a, b), max(a, b))
+        groups.setdefault(key, []).append((rows, strands))
+    popped = []
+    for key, branches in groups.items():
+        if len(branches) < 2 or len(branches) > max_branches:
+            continue
+        covs = [float(t.counts[rows].sum()) / len(rows)
+                for rows, _ in branches]
+        keep = int(np.argmax(covs))
+        for i, (rows, strands) in enumerate(branches):
+            if i == keep:
+                continue
+            popped.append(_chain_seq(t, rows, strands))
+            t.alive[rows] = False
+    return popped
+
+
+def remove_low_coverage_contigs(t: KmerTable, c: float) -> int:
+    """Delete the k-mers of contigs with mean coverage < c
+    (AssembleAlgorithm.h:14-39 / ABYSS/abyss.cc:22-34).  Returns the
+    number of contigs removed; the caller re-erodes/re-trims (the goto
+    loop, abyss.cc:96-112)."""
+    removed = 0
+    for rows, _ in _chain_list(t):
+        if float(t.counts[rows].mean()) < c:
+            t.alive[rows] = False
+            removed += 1
+    return removed
+
+
+def assemble(t: KmerTable) -> list[tuple[str, int]]:
+    """Extract maximal unambiguous unitigs (AssembleAlgorithm.h:45-142).
+
+    Returns [(sequence, coverage_sum)] with each unitig reported once in
+    canonical orientation.
+    """
+    contigs = []
+    seen = set()
+    for rows, strands in _chain_list(t):
+        s = _chain_seq(t, rows, strands)
         canon = min(s, alphabet.revcomp(s))
         if canon in seen:
             continue
@@ -457,10 +533,18 @@ def multi_k_sweep(read_batches_fn, ks: list[int], kc: int = 2,
 def assemble_reads(batches, k: int, kc: int = 2, erode_cov: int = 2,
                    tip_len: int | None = None,
                    auto_coverage: bool = False,
+                   min_mean_cov: float | None = None,
+                   bubble_len: int | None = None,
+                   bubbles_out: list | None = None,
                    ) -> tuple[list[tuple[str, int]], KmerTable]:
     """The full ABYSS-engine phase sequence (ABYSS/abyss.cc:58-133):
     load -> coverage model -> kc filter -> adjacency -> erode -> trim ->
-    assemble."""
+    [low-coverage-contig loop] -> pop bubbles -> assemble.
+
+    min_mean_cov is the `c` parameter (drop contigs with mean coverage
+    below it, then re-erode/re-trim, abyss.cc:96-112); bubble_len is the
+    `b` parameter in k-mers (BubbleAlgorithm); popped branch sequences
+    are appended to bubbles_out when given."""
     t = count_kmers(batches, k)
     if auto_coverage:
         h = coverage_histogram(t)
@@ -469,6 +553,15 @@ def assemble_reads(batches, k: int, kc: int = 2, erode_cov: int = 2,
             kc = max(kc, int(round(thr)))
     apply_coverage_threshold(t, kc)
     build_adjacency(t)
+    tip = tip_len if tip_len is not None else k
     erode(t, erode_cov)
-    trim(t, tip_len if tip_len is not None else k)
+    trim(t, tip)
+    if min_mean_cov:
+        while remove_low_coverage_contigs(t, min_mean_cov):
+            erode(t, erode_cov)
+            trim(t, tip)
+    popped = pop_bubbles_kmer(
+        t, bubble_len if bubble_len is not None else 3 * k)
+    if bubbles_out is not None:
+        bubbles_out.extend(popped)
     return assemble(t), t

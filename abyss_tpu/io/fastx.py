@@ -33,17 +33,103 @@ class FastxRecord:
 
 
 def _open_text(path: str):
+    """Transparent decompression (the Uncompress role,
+    Common/Uncompress.cpp:38-51): gz/bz2/xz in-process, BAM/CRAM through
+    `samtools view -h` when available, tar members via tarfile."""
     if path == "-":
         import sys
         return sys.stdin
     if path.endswith(".gz"):
         return io.TextIOWrapper(gzip.open(path, "rb"))
+    if path.endswith(".bz2"):
+        import bz2
+        return io.TextIOWrapper(bz2.open(path, "rb"))
+    if path.endswith((".xz", ".lzma")):
+        import lzma
+        return io.TextIOWrapper(lzma.open(path, "rb"))
+    if path.endswith((".bam", ".cram")):
+        import shutil
+        import subprocess
+        if shutil.which("samtools") is None:
+            raise ValueError(f"{path}: BAM/CRAM input needs samtools "
+                             "on PATH (Uncompress.cpp pipes through it)")
+        p = subprocess.Popen(["samtools", "view", "-h", path],
+                             stdout=subprocess.PIPE, text=True)
+        return p.stdout
+    if path.endswith((".tar", ".tar.gz", ".tgz")):
+        import tarfile
+        tf = tarfile.open(path)
+
+        def lines():
+            for member in tf:
+                fh = tf.extractfile(member)
+                if fh is None:
+                    continue
+                yield from io.TextIOWrapper(fh)
+        # present the concatenated members as one stream
+        return _IterStream(lines())
     return open(path, "r")
 
 
+class _IterStream:
+    """Minimal file-like over an iterator of lines."""
+
+    def __init__(self, it):
+        self._it = it
+        self._pushback = ""
+
+    def read(self, n):
+        if not self._pushback:
+            self._pushback = next(self._it, "")
+        out, self._pushback = self._pushback[:n], self._pushback[n:]
+        return out
+
+    def __iter__(self):
+        if self._pushback:
+            first, self._pushback = self._pushback, ""
+            rest = next(self._it, "")
+            if rest:
+                yield first + rest if not first.endswith("\n") else first
+                if first.endswith("\n"):
+                    yield rest
+            else:
+                yield first
+        yield from self._it
+
+
+def _read_sam_as_reads(f, first_line: str) -> Iterator[FastxRecord]:
+    """SAM input treated as a read source (FastaReader.cpp:325 parses
+    SAM records into reads; flag 0x10 reads are reverse-complemented
+    back, secondary alignments skipped)."""
+    from ..core.alphabet import revcomp
+
+    def records():
+        if not first_line.startswith("@") or "\t" in first_line:
+            yield first_line
+        yield from f
+    for line in records():
+        if not line.strip() or line.startswith("@") and "\t" not in line:
+            continue
+        fields = line.rstrip("\n").split("\t")
+        if len(fields) < 11:
+            continue
+        qname, flag, _, _, _, _, _, _, _, seq, qual = fields[:11]
+        flag = int(flag)
+        if flag & 0x100 or seq == "*":
+            continue
+        if flag & 0x10:
+            seq = revcomp(seq)
+            qual = qual[::-1] if qual != "*" else None
+        if flag & 0x40:
+            qname += "/1"
+        elif flag & 0x80:
+            qname += "/2"
+        yield FastxRecord(qname, seq, None if qual == "*" else qual)
+
+
 def read_fastx(path) -> Iterator[FastxRecord]:
-    """Iterate records of a FASTA or FASTQ file or file-like object
-    (format auto-detected)."""
+    """Iterate records of a FASTA/FASTQ/SAM file or file-like object
+    (format auto-detected, like DataLayer/FastaReader.cpp)."""
     if hasattr(path, "read"):
         f = path
         path = "-"
@@ -56,12 +142,52 @@ def read_fastx(path) -> Iterator[FastxRecord]:
         if first == ">":
             yield from _read_fasta(f)
         elif first == "@":
-            yield from _read_fastq(f)
+            # FASTQ or SAM-with-header: peek at the first line
+            line = first + next(iter(f), "")
+            if "\t" in line:  # SAM header line like "@HD\t..."
+                yield from _read_sam_as_reads(f, line)
+            else:
+                yield from _read_fastq(f, first_header=line)
         else:
-            raise ValueError(f"{path}: unrecognized format (starts {first!r})")
+            # headerless SAM body (rare) or qseq/export tab format
+            line = first + next(iter(f), "")
+            if "\t" in line:
+                fields = line.rstrip("\n").split("\t")
+                # qseq/export: field 8 is the sequence, trailing 0/1
+                # chastity flag (FastaReader.cpp's qseq branch); SAM has
+                # the CIGAR in field 5 and the sequence in field 9
+                is_qseq = (len(fields) >= 10 and
+                           set(fields[8]) <= set("ACGTN.acgtn") and
+                           fields[-1] in ("0", "1"))
+                if is_qseq:
+                    yield from _read_qseq(f, line)
+                elif len(fields) >= 11:
+                    yield from _read_sam_as_reads(f, line)
+                else:
+                    yield from _read_qseq(f, line)
+            else:
+                raise ValueError(
+                    f"{path}: unrecognized format (starts {first!r})")
     finally:
-        if f is not None and path != "-":
+        if f is not None and path != "-" and hasattr(f, "close"):
             f.close()
+
+
+def _read_qseq(f, first_line: str) -> Iterator[FastxRecord]:
+    """Illumina qseq/export tab format (FastaReader.cpp qseq branch):
+    machine run lane tile x y index read seq qual [filter]."""
+    def records():
+        yield first_line
+        yield from f
+    for line in records():
+        fields = line.rstrip("\n").split("\t")
+        if len(fields) < 10:
+            continue
+        name = "_".join(fields[0:6]) + "/" + fields[7]
+        seq = fields[8].replace(".", "N")
+        qual = fields[9]
+        chaste = fields[10] if len(fields) > 10 else "1"
+        yield FastxRecord(name, seq, qual, comment=chaste)
 
 
 def _split_header(line: str) -> tuple[str, str]:
@@ -88,8 +214,11 @@ def _read_fasta(f) -> Iterator[FastxRecord]:
         header = line[1:] if line else ""
 
 
-def _read_fastq(f) -> Iterator[FastxRecord]:
-    header = f.readline()  # rest of first header ("@" consumed)
+def _read_fastq(f, first_header: str | None = None) -> Iterator[FastxRecord]:
+    if first_header is not None:
+        header = first_header[1:]  # strip the "@"
+    else:
+        header = f.readline()  # rest of first header ("@" consumed)
     while header:
         rid, comment = _split_header(header)
         seq = f.readline().strip()

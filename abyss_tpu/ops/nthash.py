@@ -135,6 +135,96 @@ def kmer_hashes(codes, k: int):
     return fwd, rev, canon, valid
 
 
+def mask_runs(mask: str) -> tuple[tuple[int, int], ...]:
+    """[start, end) runs of masked ('0') positions of a spaced seed."""
+    runs = []
+    i = 0
+    while i < len(mask):
+        if mask[i] == "0":
+            j = i
+            while j < len(mask) and mask[j] == "0":
+                j += 1
+            runs.append((i, j))
+            i = j
+        else:
+            i += 1
+    return tuple(runs)
+
+
+def kmer_pair_mask(k: int, K: int) -> str:
+    """SpacedSeed::kmerPair (BloomDBG/SpacedSeed.h:18-26): K ones, a
+    k-2K gap of zeros, K ones — the K-mode (paired DBG style) seed."""
+    assert K <= k // 2
+    return "1" * K + "0" * (k - 2 * K) + "1" * K
+
+
+def qr_seed(length: int) -> str:
+    """SpacedSeed::qrSeed (SpacedSeed.h:40-53): quadratic-residue seed."""
+    assert length >= 11
+    seed = ["1"] * length
+    for i in range(length):
+        for j in range(1, length):
+            if j * j % length == i:
+                seed[i] = "0"
+                break
+    return "".join(seed)
+
+
+def qr_seed_pair(k: int, K: int) -> str:
+    """SpacedSeed::qrSeedPair: QR seed + gap + reversed QR seed, so the
+    overall pattern is symmetric (SpacedSeed.h:55-75)."""
+    qr = qr_seed(K)
+    return (qr + "0" * (k - 2 * K) + qr[::-1])[:k]
+
+
+@partial(jax.jit, static_argnums=(1,))
+def masked_kmer_hashes(codes, mask: str):
+    """Spaced-seed window hashes (maskHash, nthash.hpp:537-547 /
+    RollingHash.h reset): the full-k-mer fwd/rc hashes with the masked
+    positions' seed contributions XORed back out.
+
+    mask: '1'/'0' string of length k.  Bit-identical to the reference's
+    maskHash.  Masked runs are corrected with prefix-XOR windows, so the
+    cost is O(#runs), not O(#masked positions).
+    """
+    k = len(mask)
+    codes = jnp.asarray(codes)
+    L = codes.shape[-1]
+    W = L - k + 1
+    if W <= 0:
+        raise ValueError(f"read length {L} < k={k}")
+    safe = jnp.minimum(codes, 4).astype(jnp.int32)
+    p = jnp.arange(L)
+    y = srol(jnp.take(jnp.asarray(_FWD_TAB), safe, axis=0),
+             (-p) % SROL_PERIOD)
+    z = srol(jnp.take(jnp.asarray(_REV_TAB), safe, axis=0),
+             p % SROL_PERIOD)
+
+    def pxor(a):
+        s = jax.lax.associative_scan(jnp.bitwise_xor, a, axis=-1)
+        zerocol = jnp.zeros(a.shape[:-1] + (1,), a.dtype)
+        return jnp.concatenate([zerocol, s], axis=-1)
+
+    Py = pxor(y)
+    Pz = pxor(z)
+    i = jnp.arange(W)
+    wy = Py[..., k:] ^ Py[..., :W]
+    wz = Pz[..., k:] ^ Pz[..., :W]
+    # correction: XOR out each masked run's contribution
+    for a, b in mask_runs(mask):
+        wy = wy ^ (Py[..., b:b + W] ^ Py[..., a:a + W])
+        wz = wz ^ (Pz[..., b:b + W] ^ Pz[..., a:a + W])
+    fwd = srol(wy, (k - 1 + i) % SROL_PERIOD)
+    rev = srol(wz, (SROL_PERIOD - i % SROL_PERIOD) % SROL_PERIOD)
+    canon = jnp.minimum(fwd, rev)
+    bad = (codes >= 4).astype(jnp.int32)
+    Pbad = jnp.cumsum(bad, axis=-1)
+    Pbad = jnp.concatenate(
+        [jnp.zeros(bad.shape[:-1] + (1,), Pbad.dtype), Pbad], axis=-1)
+    valid = (Pbad[..., k:] - Pbad[..., :W]) == 0
+    return fwd, rev, canon, valid
+
+
 def nte64(h, k: int, i):
     """Extra hash #i from a base hash (NTE64, nthash.hpp:337-343)."""
     h = jnp.asarray(h, jnp.uint64)

@@ -120,3 +120,61 @@ def test_coverage_threshold_model():
         h.insert(c, n)
     thr = hash_dbg.coverage_threshold(h)
     assert 3 <= thr <= 10, thr
+
+
+# --- bubble popping + low-coverage contig loop (round-1 additions) ---------
+
+def test_pop_bubbles_kmer():
+    from abyss_tpu import sim
+    from abyss_tpu.core import alphabet as _a
+    from abyss_tpu.dbg import hash_dbg
+    import numpy as np
+    # a genome and a SNP variant of its middle: reads from both create a
+    # bubble of branch length ~k in the DBG
+    g = sim.genome = sim.random_genome(600, seed=21)
+    snp = 300
+    alt = g[:snp] + ("A" if g[snp] != "A" else "C") + g[snp + 1:]
+    k = 21
+
+    def reads_of(seq, mult):
+        return [seq[i:i + 60] for _ in range(mult)
+                for i in range(0, len(seq) - 60, 7)]
+
+    reads = reads_of(g, 3) + reads_of(alt, 1)
+    L = 60
+    arr = np.full((len(reads), L), 4, np.uint8)
+    for i, r in enumerate(reads):
+        arr[i, :len(r)] = _a.encode(r)
+    bubbles = []
+    contigs, t = hash_dbg.assemble_reads(
+        [arr], k, kc=1, erode_cov=0, tip_len=0,
+        bubble_len=2 * k, bubbles_out=bubbles)
+    # the SNP bubble popped: one branch removed, main contig long
+    assert len(bubbles) >= 1
+    longest = max(len(s) for s, _ in contigs)
+    assert longest > 500
+
+
+def test_remove_low_coverage_contigs():
+    from abyss_tpu import sim
+    from abyss_tpu.core import alphabet as _a
+    from abyss_tpu.dbg import hash_dbg
+    import numpy as np
+    k = 21
+    main = sim.random_genome(400, seed=22)
+    junk = sim.random_genome(120, seed=23)
+
+    def reads_of(seq, mult):
+        return [seq[i:i + 60] for _ in range(mult)
+                for i in range(0, len(seq) - 60, 5)]
+
+    reads = reads_of(main, 4) + reads_of(junk, 1)
+    arr = np.full((len(reads), 60), 4, np.uint8)
+    for i, r in enumerate(reads):
+        arr[i, :len(r)] = _a.encode(r)
+    # junk is at ~5x mean k-mer coverage, main at ~29x
+    contigs, t = hash_dbg.assemble_reads(
+        [arr], k, kc=1, erode_cov=0, tip_len=0, min_mean_cov=10)
+    # the low-coverage junk contig is gone
+    assert all(len(s) > 300 for s, _ in contigs), \
+        [(len(s), c) for s, c in contigs]

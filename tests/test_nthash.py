@@ -86,3 +86,43 @@ def test_revcomp_invariance():
     _, _, c1, _ = nthash.kmer_hashes(codes, k)
     _, _, c2, _ = nthash.kmer_hashes(rc, k)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+# --- masked / spaced-seed hashing (maskHash parity) -------------------------
+
+MASK_GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                           "maskhash_golden.json")
+
+
+def load_mask_cases():
+    with open(MASK_GOLDEN) as f:
+        return json.load(f)["cases"]
+
+
+@pytest.mark.parametrize("case", load_mask_cases(),
+                         ids=lambda c: c["mask"][:12])
+def test_masked_hashes_match_reference(case):
+    codes = alphabet.encode(case["seq"])[None, :]
+    _, _, canon, valid = nthash.masked_kmer_hashes(codes, case["mask"])
+    got = np.asarray(canon)[0]
+    want = np.array([int(x) for x in case["masked"]], dtype=np.uint64)
+    assert np.array_equal(got[: len(want)], want)
+
+
+def test_spaced_seed_patterns():
+    assert nthash.kmer_pair_mask(24, 8) == "1" * 8 + "0" * 8 + "1" * 8
+    qr = nthash.qr_seed(11)
+    assert len(qr) == 11 and set(qr) <= {"0", "1"}
+    pair = nthash.qr_seed_pair(30, 11)
+    assert len(pair) == 30
+    assert pair == pair[::-1]  # symmetric
+
+
+def test_masked_hash_ignores_gap_bases():
+    # changing a masked (gap) base must not change the masked hash
+    mask = nthash.kmer_pair_mask(24, 8)
+    seq = "ACGTACGTACGTACGTACGTACGT"
+    alt = seq[:12] + ("A" if seq[12] != "A" else "C") + seq[13:]
+    c1 = nthash.masked_kmer_hashes(alphabet.encode(seq)[None, :], mask)
+    c2 = nthash.masked_kmer_hashes(alphabet.encode(alt)[None, :], mask)
+    assert int(np.asarray(c1[2])[0, 0]) == int(np.asarray(c2[2])[0, 0])
