@@ -119,6 +119,8 @@ TOOLS = {
 
 
 def main():
+    from .utils.sysinfo import signal_init
+    signal_init()  # SIGSEGV/SIGBUS backtraces (Common/SignalHandler.cpp)
     if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
         print("usage: python -m abyss_tpu <tool> [args...]\n\ntools:")
         for name, (desc, _, _) in TOOLS.items():

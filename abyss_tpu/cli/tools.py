@@ -68,20 +68,35 @@ def abyss_main(argv=None):
                     help="write popped bubble branches here (FASTA)")
     ap.add_argument("-o", "--out", default="-")
     ap.add_argument("--coverage-hist", default=None)
+    ap.add_argument("--snapshot", default=None,
+                    help="write a binary .kmer DBG snapshot here "
+                         "(Assembly/DBG.h:354-401 store/load)")
     ap.add_argument("--db", default=None, help="SQLite telemetry file")
     args = ap.parse_args(argv)
 
     import numpy as np
     from ..dbg import hash_dbg
     from ..io import read_batches as io_read_batches
-    batches = [b.codes[:b.num_reads] for b in
-               io_read_batches(args.reads, 4096, 512)]
     bubbles: list = []
-    contigs, table = hash_dbg.assemble_reads(
-        batches, args.kmer, kc=args.kc, erode_cov=args.erode,
-        tip_len=args.trim_length, auto_coverage=args.coverage,
-        min_mean_cov=args.mean_coverage, bubble_len=args.bubble_len,
-        bubbles_out=bubbles)
+    if len(args.reads) == 1 and args.reads[0].endswith(
+            (".kmer", ".kmer.npz")):
+        # resume from a snapshot instead of re-counting reads
+        table = hash_dbg.load_snapshot(args.reads[0])
+        contigs = hash_dbg.assemble_table(
+            table, kc=args.kc, erode_cov=args.erode,
+            tip_len=args.trim_length, auto_coverage=args.coverage,
+            min_mean_cov=args.mean_coverage, bubble_len=args.bubble_len,
+            bubbles_out=bubbles)
+    else:
+        batches = [b.codes[:b.num_reads] for b in
+                   io_read_batches(args.reads, 4096, 512)]
+        contigs, table = hash_dbg.assemble_reads(
+            batches, args.kmer, kc=args.kc, erode_cov=args.erode,
+            tip_len=args.trim_length, auto_coverage=args.coverage,
+            min_mean_cov=args.mean_coverage, bubble_len=args.bubble_len,
+            bubbles_out=bubbles)
+    if args.snapshot:
+        hash_dbg.save_snapshot(table, args.snapshot)
     if args.bubbles:
         with open(args.bubbles, "w") as f:
             for i, s in enumerate(bubbles):
@@ -107,6 +122,9 @@ def adjlist_main(argv=None):
     ap = argparse.ArgumentParser(prog="abyss-tpu adjlist")
     ap.add_argument("contigs")
     ap.add_argument("-k", "--kmer", type=int, required=True)
+    ap.add_argument("-m", "--min-overlap", type=int, default=None,
+                    help="also find overlaps down to this length "
+                         "(< k-1; AdjList's suffix-array path)")
     ap.add_argument("--adj", action="store_true", help="output .adj format")
     ap.add_argument("--gfa2", action="store_true", help="output GFA2")
     args = ap.parse_args(argv)
@@ -120,7 +138,8 @@ def adjlist_main(argv=None):
         parts = r.comment.split()
         covs.append(int(parts[1]) if len(parts) > 1 and
                     parts[1].isdigit() else 0)
-    g = adjlist.build_overlap_graph(contigs, args.kmer, covs)
+    g = adjlist.build_overlap_graph(contigs, args.kmer, covs,
+                                    min_overlap=args.min_overlap)
     if args.adj:
         graphio.write_adj(g, sys.stdout)
     elif args.gfa2:

@@ -27,6 +27,7 @@ like Assembly/DBG.h:293-322); traversal works on *oriented* vertices
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -90,6 +91,26 @@ class KmerTable:
     @property
     def n(self) -> int:
         return len(self.kmers)
+
+
+def save_snapshot(t: KmerTable, path: str) -> None:
+    """Binary DBG state snapshot — the `.kmer` store/load of the MPI
+    engine (Assembly/DBG.h:354-401): k-mers, counts, flags, adjacency."""
+    np.savez_compressed(path, k=t.k, kmers=t.kmers, counts=t.counts,
+                        alive=t.alive,
+                        nbr=t.nbr if t.nbr is not None else np.zeros(0))
+    if not path.endswith(".npz"):
+        os.replace(path + ".npz", path)
+
+
+def load_snapshot(path: str) -> KmerTable:
+    """Load a `.kmer` snapshot (Assembly/LoadAlgorithm.h:82-87 loads
+    `.kmer` inputs instead of re-counting reads)."""
+    z = np.load(path, allow_pickle=False)
+    nbr = z["nbr"]
+    return KmerTable(int(z["k"]), z["kmers"], z["counts"],
+                     z["alive"].astype(bool),
+                     nbr if nbr.ndim == 2 else None)
 
 
 def count_kmers(batches, k: int) -> KmerTable:
@@ -546,12 +567,28 @@ def assemble_reads(batches, k: int, kc: int = 2, erode_cov: int = 2,
     `b` parameter in k-mers (BubbleAlgorithm); popped branch sequences
     are appended to bubbles_out when given."""
     t = count_kmers(batches, k)
+    return assemble_table(
+        t, kc=kc, erode_cov=erode_cov, tip_len=tip_len,
+        auto_coverage=auto_coverage, min_mean_cov=min_mean_cov,
+        bubble_len=bubble_len, bubbles_out=bubbles_out), t
+
+
+def assemble_table(t: KmerTable, kc: int = 2, erode_cov: int = 2,
+                   tip_len: int | None = None, auto_coverage: bool = False,
+                   min_mean_cov: float | None = None,
+                   bubble_len: int | None = None,
+                   bubbles_out: list | None = None,
+                   ) -> list[tuple[str, int]]:
+    """Run the post-load phases on an existing table (e.g. one restored
+    from a `.kmer` snapshot)."""
+    k = t.k
+    kc_eff = kc
     if auto_coverage:
         h = coverage_histogram(t)
         thr = coverage_threshold(h)
         if thr > 0:
-            kc = max(kc, int(round(thr)))
-    apply_coverage_threshold(t, kc)
+            kc_eff = max(kc, int(round(thr)))
+    apply_coverage_threshold(t, kc_eff)
     build_adjacency(t)
     tip = tip_len if tip_len is not None else k
     erode(t, erode_cov)
@@ -564,4 +601,4 @@ def assemble_reads(batches, k: int, kc: int = 2, erode_cov: int = 2,
         t, bubble_len if bubble_len is not None else 3 * k)
     if bubbles_out is not None:
         bubbles_out.extend(popped)
-    return assemble(t), t
+    return assemble(t)

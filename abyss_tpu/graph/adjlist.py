@@ -16,30 +16,40 @@ from .contig_graph import ContigGraph, flip, node
 
 
 def build_overlap_graph(contigs: list[tuple[str, str]], k: int,
-                        coverages: list[int] | None = None) -> ContigGraph:
+                        coverages: list[int] | None = None,
+                        min_overlap: int | None = None) -> ContigGraph:
     """contigs: list of (name, sequence). Returns the ContigGraph with
-    l/C vertex properties and implicit d = -(k-1) edges."""
+    l/C vertex properties and implicit d = -(k-1) edges.
+
+    min_overlap (< k-1, AdjList's -m): overlaps shorter than k-1 are
+    also found — the reference uses a suffix array for these
+    (AdjList/AdjList.cpp:44-60 + Common/SuffixArray.h); here it is a
+    per-length hash join from k-2 down to min_overlap, keeping only the
+    longest overlap per oriented pair."""
     g = ContigGraph()
     for i, (name, seq) in enumerate(contigs):
         cov = coverages[i] if coverages else 0
         g.add_contig(name, len(seq), cov)
 
-    o = k - 1
-    prefix_of: dict[bytes, list[int]] = {}
-    for i, (name, seq) in enumerate(contigs):
-        if len(seq) < o:
-            continue
-        fwd = seq[:o].encode()
-        rev = alphabet.revcomp(seq[-o:]).encode()
-        prefix_of.setdefault(fwd, []).append(node(i, 0))
-        prefix_of.setdefault(rev, []).append(node(i, 1))
-
-    for i, (name, seq) in enumerate(contigs):
-        if len(seq) < o:
-            continue
-        for s, suffix in ((0, seq[-o:]), (1, alphabet.revcomp(seq[:o]))):
-            u = node(i, s)
-            for v in prefix_of.get(suffix.encode(), ()):
-                if v not in g.out[u]:
-                    g.add_edge(u, v, {"d": -o})
+    lengths = [k - 1]
+    if min_overlap is not None and min_overlap < k - 1:
+        lengths += list(range(k - 2, min_overlap - 1, -1))
+    for o in lengths:
+        prefix_of: dict[bytes, list[int]] = {}
+        for i, (name, seq) in enumerate(contigs):
+            if len(seq) < o:
+                continue
+            fwd = seq[:o].encode()
+            rev = alphabet.revcomp(seq[-o:]).encode()
+            prefix_of.setdefault(fwd, []).append(node(i, 0))
+            prefix_of.setdefault(rev, []).append(node(i, 1))
+        for i, (name, seq) in enumerate(contigs):
+            if len(seq) < o:
+                continue
+            for s, suffix in ((0, seq[-o:]),
+                              (1, alphabet.revcomp(seq[:o]))):
+                u = node(i, s)
+                for v in prefix_of.get(suffix.encode(), ()):
+                    if v not in g.out[u]:  # longest overlap wins
+                        g.add_edge(u, v, {"d": -o})
     return g

@@ -163,6 +163,89 @@ def merge_linear_chains(g: ContigGraph, seqs: dict[str, str],
     return g2, out_seqs, chains
 
 
+def bfs(g: ContigGraph, start: int, max_depth: int | None = None) -> dict:
+    """Breadth-first search (Graph/BreadthFirstSearch.h): returns
+    {vertex: depth} for every oriented vertex reachable from start."""
+    from collections import deque
+    depth = {start: 0}
+    q = deque([start])
+    while q:
+        u = q.popleft()
+        if max_depth is not None and depth[u] >= max_depth:
+            continue
+        for v in g.successors(u):
+            if v not in depth:
+                depth[v] = depth[u] + 1
+                q.append(v)
+    return depth
+
+
+def all_paths_search(g: ContigGraph, start: int, goal: int,
+                     max_paths: int = 100,
+                     max_depth: int = 100) -> list[list[int]] | None:
+    """All simple paths start -> goal (Graph/AllPathsSearch.h).  Returns
+    None when the path count or depth limit is exceeded (the reference's
+    'too many paths' result)."""
+    paths: list[list[int]] = []
+    stack = [(start, [start])]
+    while stack:
+        u, path = stack.pop()
+        if u == goal and len(path) > 1:
+            paths.append(path)
+            if len(paths) > max_paths:
+                return None
+            continue
+        if len(path) > max_depth:
+            return None
+        for v in g.successors(u):
+            if v in path and v != goal:
+                continue  # simple paths only
+            stack.append((v, path + [v]))
+    return paths
+
+
+def bidirectional_bfs(g: ContigGraph, start: int, goal: int,
+                      max_depth: int = 50) -> int | None:
+    """Bidirectional BFS distance start -> goal
+    (Graph/BidirectionalBFS.h): expands frontiers from both ends,
+    meeting in the middle.  Returns the path length or None."""
+    if start == goal:
+        return 0
+    from .contig_graph import flip
+    fwd = {start: 0}
+    # searching backwards over successors of flip(v) mirrors
+    # predecessor expansion in the skew-symmetric graph
+    bwd = {goal: 0}
+    frontier_f = [start]
+    frontier_b = [goal]
+    for _ in range(max_depth):
+        # expand the smaller frontier
+        if len(frontier_f) <= len(frontier_b):
+            nxt = []
+            for u in frontier_f:
+                for v in g.successors(u):
+                    if v in bwd:
+                        return fwd[u] + 1 + bwd[v]
+                    if v not in fwd:
+                        fwd[v] = fwd[u] + 1
+                        nxt.append(v)
+            frontier_f = nxt
+        else:
+            nxt = []
+            for u in frontier_b:
+                for w in g.successors(flip(u)):
+                    v = flip(w)
+                    if v in fwd:
+                        return fwd[v] + 1 + bwd[u]
+                    if v not in bwd:
+                        bwd[v] = bwd[u] + 1
+                        nxt.append(v)
+            frontier_b = nxt
+        if not frontier_f and not frontier_b:
+            return None
+    return None
+
+
 def prune_tips(g: ContigGraph, max_len: int) -> list[int]:
     """Remove short dead-end branches (pruneTips,
     ContigGraphAlgorithms.h).  A tip is a contig t with out_degree == 0

@@ -181,3 +181,59 @@ def test_asqg_writer():
     assert text.startswith("HT\t")
     assert sum(1 for l in text.splitlines() if l.startswith("VT")) == 3
     assert sum(1 for l in text.splitlines() if l.startswith("ED")) == 2
+
+
+# --- search primitives + snapshot + sub-(k-1) overlaps (round-1 adds) ------
+
+def test_bfs_and_all_paths():
+    from abyss_tpu.graph.contig_graph import ContigGraph, node
+    from abyss_tpu.graph import algorithms as alg
+    g = ContigGraph()
+    for i in range(5):
+        g.add_contig(str(i), 100)
+    for a, b in [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]:
+        g.add_edge(node(a, 0), node(b, 0), None)
+    d = alg.bfs(g, node(0, 0))
+    assert d[node(4, 0)] == 3
+    paths = alg.all_paths_search(g, node(0, 0), node(3, 0))
+    assert len(paths) == 2
+    assert alg.bidirectional_bfs(g, node(0, 0), node(4, 0)) == 3
+    assert alg.bidirectional_bfs(g, node(4, 0), node(0, 0)) is None
+
+
+def test_kmer_snapshot_roundtrip(tmp_path):
+    import numpy as np
+    from abyss_tpu import sim
+    from abyss_tpu.core import alphabet as _a
+    from abyss_tpu.dbg import hash_dbg
+    g = sim.random_genome(400, seed=31)
+    reads = [g[i:i + 60] for i in range(0, 340, 6)]
+    arr = np.full((len(reads), 60), 4, np.uint8)
+    for i, r in enumerate(reads):
+        arr[i, :len(r)] = _a.encode(r)
+    t = hash_dbg.count_kmers([arr], 25)
+    path = str(tmp_path / "state.kmer")
+    hash_dbg.save_snapshot(t, path)
+    t2 = hash_dbg.load_snapshot(path)
+    assert t2.k == 25
+    assert np.array_equal(t.kmers, t2.kmers)
+    assert np.array_equal(t.counts, t2.counts)
+    # phases on the restored table produce the same contigs
+    c1 = hash_dbg.assemble_table(t, kc=1, erode_cov=0, tip_len=0)
+    c2 = hash_dbg.assemble_table(t2, kc=1, erode_cov=0, tip_len=0)
+    assert c1 == c2
+
+
+def test_adjlist_sub_k_overlaps():
+    from abyss_tpu import sim
+    from abyss_tpu.graph import adjlist
+    from abyss_tpu.graph.contig_graph import node
+    g0 = sim.random_genome(300, seed=32)
+    k = 25
+    # contigs overlapping by only 15 bases (< k-1)
+    contigs = [("a", g0[:150]), ("b", g0[135:])]
+    g = adjlist.build_overlap_graph(contigs, k)
+    assert g.num_edges() == 0
+    g = adjlist.build_overlap_graph(contigs, k, min_overlap=10)
+    assert node(1, 0) in g.out[node(0, 0)]
+    assert g.out[node(0, 0)][node(1, 0)]["d"] == -15

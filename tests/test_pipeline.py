@@ -48,9 +48,11 @@ def test_merge_consistent_paths():
 def test_full_pipeline_on_simulated_genome(tmp_path):
     # repeats shorter than the fragment length, so mate pairs can bridge
     # them and scaffolding has real work to do
-    genome = sim.genome_with_repeats(30000, seed=101, n_repeats=2,
+    # sized to keep the CPU-backend suite fast while still exercising
+    # repeats, bubbles, and mate-pair scaffolding
+    genome = sim.genome_with_repeats(16000, seed=101, n_repeats=2,
                                      repeat_len=250)
-    pr = sim.simulate_paired_reads(genome, coverage=35, read_len=100,
+    pr = sim.simulate_paired_reads(genome, coverage=30, read_len=100,
                                    fragment_mean=500, fragment_sd=50,
                                    error_rate=0.003, seed=102)
     p1 = str(tmp_path / "r1.fq")
