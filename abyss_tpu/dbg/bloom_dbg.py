@@ -359,13 +359,14 @@ class Assembler:
 
 
 def assemble(paths: Sequence[str] | str, params: AssemblyParams,
-             out=sys.stdout) -> AssemblyCounters:
+             out=sys.stdout, prebuilt_filter=None) -> AssemblyCounters:
     """Full two-pass assembly: reads in, unitig FASTA out.
 
     The TPU-native equivalent of `abyss-bloom-dbg` (bloom-dbg.cc:389).
     With params.checkpoint_dir set, progress is checkpointed every
     checkpoint_every reads and automatically resumed on restart
-    (BloomDBG/Checkpoint.h semantics).
+    (BloomDBG/Checkpoint.h semantics).  prebuilt_filter skips pass 1
+    (e.g. a mesh-built filter from parallel.distributed — the np= path).
     """
     from . import checkpoint as ckpt
 
@@ -384,6 +385,8 @@ def assemble(paths: Sequence[str] | str, params: AssemblyParams,
         if params.verbose:
             print(f"[bloom-dbg] resuming from checkpoint at "
                   f"{resume_reads} reads", file=sys.stderr)
+    if asm is None and prebuilt_filter is not None:
+        asm = Assembler(prebuilt_filter, params, counters)
     if asm is None:
         cbf = load_filter(
             io_read_batches(paths, params.batch_size,

@@ -77,6 +77,9 @@ class PipelineParams:
     sealer_ks: list = field(default_factory=list)
     # SQLite telemetry (db=)
     db_path: str | None = None
+    # multi-device stage-1 filter build (np=, the ABYSS-P analogue:
+    # reads data-parallel over a device mesh, psum-merged filter)
+    np_devices: int = 1
 
     def path(self, suffix: str) -> str:
         return os.path.join(self.outdir, f"{self.name}-{suffix}")
@@ -144,8 +147,32 @@ def stage_unitigs_1(p: PipelineParams) -> str:
                             batch_size=p.batch_size,
                             max_read_len=p.max_read_len,
                             verbose=p.verbose)
+    prebuilt = None
+    if p.np_devices > 1:
+        import jax
+        from ..parallel import distributed as dist
+        if len(jax.devices()) >= p.np_devices:
+            _log(p, f"stage 1: mesh filter build over {p.np_devices} "
+                    "devices (np=)")
+            mesh = dist.make_mesh(p.np_devices, 1)
+            size = 1 << (max(p.bloom_bytes, 2).bit_length() - 1)
+            # pad batches to full so every device gets an equal slice
+            prebuilt = dist.distributed_filter_build(
+                mesh, (b.codes for b in io_read_batches(
+                    p.in_files, p.batch_size, p.max_read_len, q=p.q)),
+                p.k, num_hashes=p.num_hashes, threshold=p.kc,
+                size=size)
+            params = AssemblyParams(
+                k=p.k, num_hashes=p.num_hashes, min_cov=p.kc,
+                bloom_bytes=p.bloom_bytes, q=p.q,
+                batch_size=p.batch_size, max_read_len=p.max_read_len,
+                verbose=p.verbose, filter_mode="bloom")
+        else:
+            _log(p, f"np={p.np_devices} requested but only "
+                    f"{len(jax.devices())} devices; single-device build")
     with open(out + ".tmp", "w") as f:
-        bloom_dbg.assemble(p.in_files, params, out=f)
+        bloom_dbg.assemble(p.in_files, params, out=f,
+                           prebuilt_filter=prebuilt)
     os.rename(out + ".tmp", out)
     return out
 
@@ -478,6 +505,7 @@ def main(argv=None):
         K=int(kv.get("K", 0)),
         sealer_ks=[int(x) for x in kv.get("sealer_ks", "").split()],
         db_path=kv.get("db"),
+        np_devices=int(kv.get("np", 1)),
     )
     if "B" in kv:
         size = kv["B"].upper()

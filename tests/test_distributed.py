@@ -92,3 +92,23 @@ def test_streaming_matches_one_shot():
     # may overestimate differently between batch splits
     assert (a >= true).all() and (b >= true).all()
     assert (a != b).mean() < 0.01
+
+
+def test_np_pipeline_matches_single(tmp_path):
+    """abyss-pe np=8 (mesh stage-1 filter) assembles the genome — the
+    multi-process `abyss-pe np=` flow on one host, closing the
+    reference's untested-multi-node gap (SURVEY.md §4)."""
+    from abyss_tpu import sim
+    from abyss_tpu.io import fastx
+    from abyss_tpu.pipeline import pe
+    g = sim.random_genome(4000, seed=88)
+    pr = sim.simulate_paired_reads(g, coverage=20, read_len=100, seed=89)
+    p1, p2 = str(tmp_path / "n1.fq"), str(tmp_path / "n2.fq")
+    pr.write_fastq(p1, p2)
+    p = pe.PipelineParams(
+        name="npt", k=25, in_files=[p1, p2], outdir=str(tmp_path),
+        verbose=0, np_devices=8, min_pairs=3, batch_size=512,
+        max_read_len=128, bloom_bytes=1 << 22)
+    art = pe.run(p)
+    total = sum(len(r.seq) for r in fastx.read_fastx(art["scaffolds"]))
+    assert total > 0.9 * len(g)
