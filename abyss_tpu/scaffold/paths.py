@@ -214,16 +214,33 @@ def scaffold_paths(dist_graph: ContigGraph, min_pairs: int = 10,
     for cid in list(g.contigs()):
         if g.lengths[cid] < min_len:
             g.remove_contig(cid)
-    # cut ambiguity: remove out-edges of branching vertices
+    # pop scaffold-graph bubbles (scaffold.cc pops bubbles before
+    # assembly): parallel 1-contig branches between the same junctions
+    # collapse to the better-supported one
+    from ..graph.algorithms import assemble_chains, pop_bubbles
+    pop_bubbles(g)
+    # dominant-edge resolution (scaffold.cc's weak-edge removal): at a
+    # branch, keep the strongest edge when it has >= 2x the support of
+    # the runner-up; otherwise cut all (ambiguous)
     for u in list(g.vertices()):
-        if g.out_degree(u) > 1:
-            for v, _ in g.out_edges(u):
-                g.remove_edge(u, v)
+        edges = g.out_edges(u)
+        if len(edges) > 1:
+            ns = sorted((((p or {}).get("n", 0)), v) for v, p in edges)
+            best_n, best_v = ns[-1]
+            second_n = ns[-2][0]
+            for v, _ in edges:
+                if v != best_v or best_n < 2 * second_n:
+                    g.remove_edge(u, v)
     for u in list(g.vertices()):
         if g.in_degree(u) > 1:
-            for w in g.predecessors(u):
-                g.remove_edge(w, u)
-    from ..graph.algorithms import assemble_chains
+            preds = list(g.predecessors(u))
+            ns = sorted(((g.out[w].get(u) or {}).get("n", 0), w)
+                        for w in preds)
+            best_n, best_w = ns[-1]
+            second_n = ns[-2][0]
+            for w in preds:
+                if w != best_w or best_n < 2 * second_n:
+                    g.remove_edge(w, u)
     return assemble_chains(g)
 
 
