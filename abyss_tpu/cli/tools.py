@@ -227,6 +227,8 @@ def konnector_main(argv=None):
     ap.add_argument("-b", "--bloom-size", default="64M")
     ap.add_argument("-F", "--max-frag", type=int, default=800)
     ap.add_argument("-P", "--max-paths", type=int, default=2)
+    ap.add_argument("--extend", action="store_true",
+                    help="extend connected reads outward through the DBG")
     ap.add_argument("-o", "--output-prefix", required=True)
     args = ap.parse_args(argv)
 
@@ -246,6 +248,13 @@ def konnector_main(argv=None):
     results = konnector.connect_pairs(
         cbf, pairs, args.kmer, max_gap=args.max_frag,
         max_paths=args.max_paths)
+    if args.extend:
+        merged_seqs = [res.seq if res.reason == "CONNECTED" else None
+                       for res in results]
+        extended = konnector.extend_outward(cbf, merged_seqs, args.kmer)
+        for res, seq in zip(results, extended):
+            if res.reason == "CONNECTED":
+                res.seq = seq
     n_merged = 0
     with open(args.output_prefix + "_merged.fa", "w") as fm, \
             open(args.output_prefix + "_reads_1.fq", "w") as f1, \

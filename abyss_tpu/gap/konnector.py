@@ -181,5 +181,36 @@ def connect_pairs(cbf: CountingBloomFilter, pairs, k: int,
     return results
 
 
+def extend_outward(cbf, seqs: list[str], k: int,
+                   trim: int | None = None, lookahead_width: int = 16,
+                   chunk: int = 1024, max_len: int = 100000) -> list[str]:
+    """konnector --extend: extend each connected pseudo-read outward
+    through the DBG until a branch or dead end (konnector.cc's
+    extendRead / bloom-dbg extendPath both directions)."""
+    from ..dbg import extend as ext
+    keep = [i for i, s in enumerate(seqs) if s and len(s) >= k]
+    if not keep:
+        return list(seqs)
+    trim = trim if trim is not None else k
+    M = len(keep)
+    right_seeds = np.zeros((M, k), np.uint8)
+    left_seeds = np.zeros((M, k), np.uint8)
+    for j, i in enumerate(keep):
+        codes = alphabet.encode(seqs[i])
+        right_seeds[j] = codes[-k:]
+        left_seeds[j] = alphabet.revcomp_codes(codes[:k])
+    rbuf, rlen, _ = ext.extend_forward(
+        cbf, right_seeds, k, trim, lookahead_width, chunk, max_len)
+    lbuf, llen, _ = ext.extend_forward(
+        cbf, left_seeds, k, trim, lookahead_width, chunk, max_len)
+    out = list(seqs)
+    for j, i in enumerate(keep):
+        right_ext = alphabet.decode(rbuf[j, k:rlen[j]])
+        left_ext = alphabet.decode(
+            alphabet.revcomp_codes(lbuf[j, k:llen[j]]))
+        out[i] = left_ext + seqs[i] + right_ext
+    return out
+
+
 def merge_or_na(res: ConnectResult) -> str | None:
     return res.seq if res.reason == "CONNECTED" else None

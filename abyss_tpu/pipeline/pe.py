@@ -80,6 +80,10 @@ class PipelineParams:
     # multi-device stage-1 filter build (np=, the ABYSS-P analogue:
     # reads data-parallel over a device mesh, psum-merged filter)
     np_devices: int = 1
+    # read->contig aligner (aligner=, bin/abyss-pe:276-302): "map" is
+    # the native k-mer seed mapper; bwa/bwamem/bowtie2 shell out when
+    # the binary exists (align/wrappers.py), falling back to map
+    aligner: str = "map"
 
     def path(self, suffix: str) -> str:
         return os.path.join(self.outdir, f"{self.name}-{suffix}")
@@ -226,6 +230,19 @@ def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
 
 def _map_all(p: PipelineParams, target_fa: str):
     """Map all reads to the target contigs; returns (hist, links)."""
+    if p.aligner != "map":
+        from ..align import sam as sammod, wrappers
+        if wrappers.available(p.aligner):
+            _log(p, f"aligner={p.aligner} (external)")
+            import io as _io
+            buf = _io.StringIO()
+            wrappers.align_sam(p.aligner, target_fa, p.in_files, buf,
+                               seed_len=p.align_k)
+            alns = [sammod.parse(line)
+                    for line in buf.getvalue().splitlines()
+                    if line and not line.startswith("@")]
+            return fixmate.fixmate(alns)
+        _log(p, f"aligner={p.aligner} not found; using the native mapper")
     contigs, _ = _read_contigs(target_fa)
     al = mapper.KmerAligner(contigs, k=p.align_k)
     all_alns = []
@@ -506,6 +523,7 @@ def main(argv=None):
         sealer_ks=[int(x) for x in kv.get("sealer_ks", "").split()],
         db_path=kv.get("db"),
         np_devices=int(kv.get("np", 1)),
+        aligner=kv.get("aligner", "map"),
     )
     if "B" in kv:
         size = kv["B"].upper()

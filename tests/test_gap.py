@@ -71,3 +71,31 @@ def test_sealer_closes_gap(tmp_path):
     assert stats.gaps == 1
     assert stats.closed == 1
     assert sealed[0][1] == genome
+
+
+def test_konnector_extend_outward():
+    """--extend grows a connected pseudo-read outward to the genome ends
+    (konnector.cc extendRead)."""
+    import numpy as np
+    from abyss_tpu import sim
+    from abyss_tpu.core import alphabet
+    from abyss_tpu.dbg import bloom_dbg
+    from abyss_tpu.dbg.params import AssemblyParams
+    from abyss_tpu.gap import konnector
+    from abyss_tpu.ops import nthash
+    from abyss_tpu.ops.bloom import CountingBloomFilter
+    import jax.numpy as jnp
+    k = 25
+    genome = sim.random_genome(1200, seed=55)
+    reads = [genome[i:i + 80] for i in range(0, len(genome) - 80, 7)]
+    arr = np.full((len(reads), 80), 4, np.uint8)
+    for i, r in enumerate(reads):
+        arr[i, :len(r)] = alphabet.encode(r)
+    cbf = CountingBloomFilter.create(1 << 20, k, 4, threshold=1)
+    _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(arr), k)
+    cbf = cbf.insert(canon, valid)
+    middle = genome[500:650]
+    out = konnector.extend_outward(cbf, [middle], k)
+    assert len(out[0]) > len(middle) + 200
+    grc = alphabet.revcomp(genome)
+    assert out[0] in genome or out[0] in grc
