@@ -56,6 +56,32 @@ def assemble_chains(g: ContigGraph) -> list[list[int]]:
     return chains
 
 
+def assemble_stranded(g: ContigGraph) -> list[list[int]]:
+    """Strand-specific chain assembly (assemble_stranded,
+    ContigGraphAlgorithms.h:250, the ss= mode): chains are kept in
+    their own orientation — no canonicalization against the reverse
+    complement, so sense/antisense transcripts stay separate."""
+    chains = []
+    seen = set()
+    for u in g.vertices():
+        if u in seen:
+            continue
+        v = contiguous_out(g, u)
+        if v is None:
+            continue
+        prev = g.predecessors(u)
+        if len(prev) == 1 and contiguous_out(g, prev[0]) == u:
+            continue
+        path = [u]
+        while v is not None and v not in seen and v != u:
+            path.append(v)
+            v = contiguous_out(g, v)
+        if len(path) >= 2:
+            chains.append(path)
+            seen.update(path)
+    return chains
+
+
 def merge_chain(g: ContigGraph, path: list[int],
                 seqs: dict[str, str]) -> str:
     """Materialize a chain into sequence using edge distances

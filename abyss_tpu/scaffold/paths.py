@@ -247,7 +247,13 @@ def scaffold_paths(dist_graph: ContigGraph, min_pairs: int = 10,
 def materialize_path(path: list[int], g: ContigGraph, seqs: dict[str, str],
                      default_overlap: int = 0, min_gap: int = 1) -> str:
     """Path -> sequence with 'N' gaps for positive distances
-    (MergeContigs.cpp for scaffold paths)."""
+    (MergeContigs.cpp for scaffold paths).
+
+    A negative distance splices the overlap ONLY when the two ends
+    actually match (the Overlap tool's verification role,
+    Overlap/Overlap.cpp); a distance *estimate* that merely came out
+    negative (e.g. across a repeat) falls back to an N gap instead of
+    fabricating sequence."""
     from ..core import alphabet
 
     def oriented(v):
@@ -259,8 +265,17 @@ def materialize_path(path: list[int], g: ContigGraph, seqs: dict[str, str],
         prop = g.out[a].get(b) or {}
         d = prop.get("d", default_overlap)
         s = oriented(b)
-        if d < 0:
-            out.append(s[-d:] if -d <= len(s) else "")
+        if d < 0 and -d <= len(s):
+            o = -d
+            tail = out[-1][-o:] if len(out[-1]) >= o else \
+                "".join(out)[-o:]
+            if len(tail) == o and tail == s[:o]:
+                out.append(s[o:])
+                continue
+            # unverified overlap: treat as an estimated near-adjacency
+            out.append("N" * min_gap + s)
+        elif d < 0:
+            out.append("N" * min_gap + s)
         else:
             out.append("N" * max(int(d), min_gap) + s)
     return "".join(out)
