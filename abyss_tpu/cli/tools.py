@@ -24,6 +24,8 @@ def bloom_dbg_main(argv=None):
     ap.add_argument("-t", "--trim-length", type=int, default=None)
     ap.add_argument("-q", "--trim-quality", type=int, default=0)
     ap.add_argument("-o", "--out", default="-")
+    ap.add_argument("-T", "--read-log", default=None,
+                    help="per-read outcome trace TSV (-T/--read-log)")
     ap.add_argument("--db", default=None, help="SQLite telemetry file")
     ap.add_argument("-v", "--verbose", action="count", default=0)
     args = ap.parse_args(argv)
@@ -34,7 +36,8 @@ def bloom_dbg_main(argv=None):
     params = AssemblyParams(
         k=args.kmer, num_hashes=args.num_hashes, min_cov=args.kc,
         trim=args.trim_length, bloom_bytes=parse_size(args.bloom_size),
-        q=args.trim_quality, verbose=args.verbose)
+        q=args.trim_quality, verbose=args.verbose,
+        read_log=args.read_log)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
         counters = bloom_dbg.assemble(args.reads, params, out=out)

@@ -266,6 +266,9 @@ class Assembler:
             max(visited_size * 8, 1024), params.k, params.num_hashes)
         self.contig_end_kmers: set[bytes] = set()
         self.counters = counters or AssemblyCounters()
+        # per-read trace stream (the -T/--read-log role,
+        # bloom-dbg.h:186-254,300-334): one row per read with outcome
+        self.trace_out = None
 
     def _mark_assembled(self, seqs: list[np.ndarray]):
         if not seqs:
@@ -307,6 +310,18 @@ class Assembler:
                     (cls["blunt"] & cls["all_solid"]).sum())
                 self.counters.visited_reads += int(
                     (cls["all_visited"] & cls["all_solid"]).sum())
+                if self.trace_out is not None:
+                    for i in range(batch.num_reads):
+                        if not cls["all_solid"][i]:
+                            outcome = "NOT_SOLID"
+                        elif cls["blunt"][i]:
+                            outcome = "BLUNT_END"
+                        elif cls["all_visited"][i]:
+                            outcome = "ALL_KMERS_VISITED"
+                        else:
+                            outcome = "EXTENDED"
+                        self.trace_out.write(
+                            f"{batch.ids[i]}\t{outcome}\n")
             rows = np.nonzero(cls["eligible"])[0]
             if not len(rows):
                 break
@@ -385,6 +400,10 @@ def assemble(paths: Sequence[str] | str, params: AssemblyParams,
         if params.verbose:
             print(f"[bloom-dbg] resuming from checkpoint at "
                   f"{resume_reads} reads", file=sys.stderr)
+    trace_f = None
+    if getattr(params, "read_log", None):
+        trace_f = open(params.read_log, "w")
+        trace_f.write("read_id	outcome\n")
     if asm is None and prebuilt_filter is not None:
         asm = Assembler(prebuilt_filter, params, counters)
     if asm is None:
@@ -398,6 +417,7 @@ def assemble(paths: Sequence[str] | str, params: AssemblyParams,
                   file=sys.stderr)
         counters.read_count = 0
         asm = Assembler(cbf, params, counters)
+    asm.trace_out = trace_f
     t1 = time.time()
     reads_seen = 0
     last_ckpt = resume_reads
@@ -416,6 +436,8 @@ def assemble(paths: Sequence[str] | str, params: AssemblyParams,
             last_ckpt = reads_seen
     if use_ckpt:
         ckpt.remove(params.checkpoint_dir)
+    if trace_f is not None:
+        trace_f.close()
     if params.verbose:
         print(f"[bloom-dbg] pass 2: {counters.contig_id} contigs, "
               f"{counters.bases_assembled} bases in {time.time() - t1:.1f}s",

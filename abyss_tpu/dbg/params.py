@@ -31,6 +31,8 @@ class AssemblyParams:
     # pass 2 (0 = disabled)
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0
+    # per-read trace TSV path (-T/--read-log, bloom-dbg.h:186-334)
+    read_log: str | None = None
 
     def __post_init__(self):
         if self.trim is None:

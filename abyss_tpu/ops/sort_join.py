@@ -32,39 +32,105 @@ def join_counts(table_keys, table_counts, queries):
     table_keys: uint64[M] sorted unique; table_counts: int32[M];
     queries: uint64[N] (any order, duplicates fine).
     Returns int32[N] aligned with `queries`.
+
+    Cost: one single-key 2-operand sort of M+N (group equal hashes,
+    table row leading) + scans + one single-operand u64 sort (restore
+    query order).  The table/query flag rides in the key's low bit —
+    two distinct 64-bit ntHash values colliding after dropping bit 0
+    has probability ~ MN/2^63 per batch, far below the engine's other
+    probabilistic bounds.
     """
     M = table_keys.shape[0]
     N = queries.shape[0]
     if M == 0:
         return jnp.zeros(N, jnp.int32)
-    keys = jnp.concatenate([table_keys, jnp.asarray(queries, jnp.uint64)])
-    flag = jnp.concatenate([jnp.zeros(M, jnp.int32),
-                            jnp.ones(N, jnp.int32)])
-    vals = jnp.concatenate([jnp.asarray(table_counts, jnp.int32),
-                            jnp.full(N, -1, jnp.int32)])
-    idx = jnp.concatenate([jnp.full(M, -1, jnp.int32),
-                           jnp.arange(N, dtype=jnp.int32)])
-    sk, sf, sv, si = jax.lax.sort((keys, flag, vals, idx), num_keys=2)
+    one = jnp.uint64(1)
+    keys = jnp.concatenate([
+        jnp.asarray(table_keys, jnp.uint64) & ~one,     # flag 0: table
+        jnp.asarray(queries, jnp.uint64) | one])        # flag 1: query
+    # payload: (original index+1) << 32 | count+1; queries carry count 0
+    payload = jnp.concatenate([
+        jnp.asarray(table_counts, jnp.int32).astype(jnp.int64) + 1,
+        (jnp.arange(N, dtype=jnp.int64) + 1) << jnp.int64(32)])
+    sk, sp = jax.lax.sort((keys, payload), num_keys=1)
 
-    # segment starts at key changes; within a segment the (unique) table
-    # row, if present, is first (flag 0 sorts before 1).  Propagate the
-    # table count across its segment with one cummax over an encoding
-    # (segment_id << 32 | count+1): segment ids are nondecreasing, so the
-    # running max at any element is its own segment's best (= the table
-    # row's count if the segment has one) — no gathers, builtin scan.
-    start = jnp.concatenate(
-        [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    # group id = the hash sans flag bit; nondecreasing after the sort, so
+    # a running max over (segment_id << 32 | count+1) leaves every element
+    # holding its own segment's table count — no gathers, one scan.
+    group = sk >> one
+    start = jnp.concatenate([jnp.ones((1,), bool), group[1:] != group[:-1]])
     seg = jnp.cumsum(start.astype(jnp.int64))
-    enc = (seg << jnp.int64(32)) | jnp.where(
-        sf == 0, sv.astype(jnp.int64) + 1, jnp.int64(0))
+    enc = (seg << jnp.int64(32)) | (sp & jnp.int64(0xFFFFFFFF))
     run = jax.lax.associative_scan(jnp.maximum, enc)
     counts_sorted = jnp.maximum(
-        (run & jnp.int64(0xFFFFFFFF)) - 1, 0).astype(jnp.int32)
+        (run & jnp.int64(0xFFFFFFFF)).astype(jnp.int32) - 1, 0)
 
-    # restore query order: sort by original index; table rows (-1) first
-    _, out = jax.lax.sort((si, counts_sorted), num_keys=1)
-    return out[M:]
+    # restore query order with ONE u64 sort of (idx+1) << 32 | count:
+    # table rows have idx payload 0 and sort first; queries follow in
+    # original order.
+    back = (sp & (jnp.int64(0xFFFFFFFF) << jnp.int64(32))).astype(
+        jnp.uint64) | counts_sorted.astype(jnp.uint64)
+    sb = jax.lax.sort(back)
+    return (sb[M:] & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
 
 
 def join_contains(table_keys, table_counts, queries, threshold: int):
     return join_counts(table_keys, table_counts, queries) >= threshold
+
+
+# --------------------------------------------------------------------------
+# Packed probe: everything in ONE u64 word per element, so the join is
+# two single-operand u64 sorts + one scan — no multi-operand comparator
+# sorts at all.  Layout: [63:24] 40-bit hash prefix | [23] query flag |
+# table rows: [14:0] count; query rows: [22:0] original index.
+#
+# Truncating ntHash to its top 40 bits makes this probabilistic:
+# expected false joins per batch = M*N/2^40 (~1e-6 per query at M=N=1M),
+# i.e. ~50,000x below the reference's counting-Bloom FPR target of 5%
+# (README.md Bloom-mode sizing).  Colliding table prefixes resolve to
+# the max count (conservative, like the Bloom filter's union bound).
+
+PREFIX_SHIFT = 24
+FLAG_BIT = jnp.uint64(1 << 23)
+IDX_MASK = jnp.uint64((1 << 23) - 1)
+COUNT_MASK = jnp.uint64((1 << 15) - 1)
+
+
+def pack_table(table_keys, table_counts):
+    """Pre-pack a sorted table for `join_counts_packed` (do this once
+    per filter; the result is sorted because the prefix order follows
+    the full-hash order)."""
+    k = jnp.asarray(table_keys, jnp.uint64)
+    c = jnp.minimum(jnp.asarray(table_counts, jnp.int32), 0x7FFF)
+    return (k >> jnp.uint64(PREFIX_SHIFT) << jnp.uint64(PREFIX_SHIFT)) \
+        | c.astype(jnp.uint64)
+
+
+@jax.jit
+def join_counts_packed(packed_table, queries):
+    """Counts for each query against a `pack_table` result.
+
+    queries: uint64[N], N < 2^23.  Returns int32[N] in query order.
+    """
+    N = queries.shape[0]
+    q = jnp.asarray(queries, jnp.uint64)
+    qp = (q >> jnp.uint64(PREFIX_SHIFT) << jnp.uint64(PREFIX_SHIFT)) \
+        | FLAG_BIT | jnp.arange(N, dtype=jnp.uint64)
+    sk = jax.lax.sort(jnp.concatenate([packed_table, qp]))
+
+    prefix = sk >> jnp.uint64(PREFIX_SHIFT)
+    is_query = (sk & FLAG_BIT) != 0
+    enc = (prefix << jnp.uint64(16)) | jnp.where(
+        is_query, jnp.uint64(0), sk & COUNT_MASK)
+    run = jax.lax.associative_scan(jnp.maximum, enc)
+    # the running max belongs to this element's prefix group by
+    # monotonicity; its low 16 bits are the group's table count (0 if
+    # the group has no table row)
+    count = jnp.where(run >> jnp.uint64(16) == prefix,
+                      run & jnp.uint64(0xFFFF), jnp.uint64(0))
+
+    back = jnp.where(is_query,
+                     ((sk & IDX_MASK) << jnp.uint64(16)) | count,
+                     jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    sb = jax.lax.sort(back)
+    return (sb[:N] & jnp.uint64(0xFFFF)).astype(jnp.int32)

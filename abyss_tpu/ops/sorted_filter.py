@@ -39,6 +39,9 @@ class SortedKmerFilter:
 
     kmers: jax.Array    # uint64[N] sorted unique canonical hashes
     counts: jax.Array   # int32[N]
+    # pre-packed (prefix|count) words for the single-sort probe
+    # (ops/sort_join.pack_table); None until finalize() built it
+    packed: jax.Array | None = None
     k: int = dataclasses.field(metadata=dict(static=True), default=0)
     threshold: int = dataclasses.field(metadata=dict(static=True), default=2)
     # unused, for API compatibility with CountingBloomFilter
@@ -65,13 +68,22 @@ class SortedKmerFilter:
     def contains(self, canon, mask=None):
         return self.count(canon, mask) >= self.threshold
 
-    def count_bulk(self, canon, mask=None):
-        """Bulk count via the sort-merge join (ops/sort_join) — the
-        gather-free path for large query batches on TPU."""
-        from .sort_join import join_counts
+    def count_bulk(self, canon, mask=None, exact: bool = False):
+        """Bulk count via a sort join (ops/sort_join) — the gather-free
+        path for large query batches on TPU.
+
+        Default: the packed single-operand-sort probe (40-bit hash
+        prefixes; false-join odds ~N*M/2^40 per batch, orders of
+        magnitude below the reference's 5% Bloom FPR budget).  Pass
+        exact=True for the full-64-bit join."""
+        from .sort_join import join_counts, join_counts_packed
         canon = jnp.asarray(canon, jnp.uint64)
         flat = canon.reshape(-1)
-        c = join_counts(self.kmers, self.counts, flat).reshape(canon.shape)
+        if exact or self.packed is None or flat.shape[0] >= (1 << 23):
+            c = join_counts(self.kmers, self.counts, flat)
+        else:
+            c = join_counts_packed(self.packed, flat)
+        c = c.reshape(canon.shape)
         if mask is not None:
             c = jnp.where(mask, c, 0)
         return c
@@ -160,10 +172,12 @@ class SortedKmerCounter:
         np.add.at(merged, uniq_idx, counts)
         sentinel = keys[uniq_mask] != np.uint64(0xFFFFFFFFFFFFFFFF)
         self._pair_chunks = []
+        from .sort_join import pack_table
+        kmers = jnp.asarray(keys[uniq_mask][sentinel])
+        counts = jnp.asarray(
+            np.minimum(merged[sentinel], COUNTER_MAX).astype(np.int32))
         return SortedKmerFilter(
-            kmers=jnp.asarray(keys[uniq_mask][sentinel]),
-            counts=jnp.asarray(
-                np.minimum(merged[sentinel], COUNTER_MAX).astype(np.int32)),
+            kmers=kmers, counts=counts, packed=pack_table(kmers, counts),
             k=self.k, threshold=self.threshold)
 
 
@@ -178,5 +192,5 @@ def build_sorted_filter(batches, k: int, threshold: int = 2,
 
 
 jax.tree_util.register_dataclass(
-    SortedKmerFilter, data_fields=["kmers", "counts"],
+    SortedKmerFilter, data_fields=["kmers", "counts", "packed"],
     meta_fields=["k", "threshold", "num_hashes"])

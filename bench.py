@@ -92,18 +92,20 @@ def main():
     skf.add(canon0, valid0)
     table = skf.finalize()
 
-    from abyss_tpu.ops.sort_join import join_counts
+    from abyss_tpu.ops.sort_join import join_counts_packed, pack_table
+
+    packed = pack_table(table.kmers, table.counts)
 
     def mk_probe_loop(n):
         @jax.jit
-        def f(tbl_k, tbl_c, c):
+        def f(tbl_p, c):
             def body(i, acc):
                 cc = jnp.bitwise_and(c + i.astype(jnp.uint8), jnp.uint8(3))
                 _, _, canon, valid = nthash.kmer_hashes(cc, K)
-                counts = join_counts(tbl_k, tbl_c, canon.reshape(-1))
+                counts = join_counts_packed(tbl_p, canon.reshape(-1))
                 return acc + jnp.where(valid.reshape(-1), counts, 0).sum()
             return jax.lax.fori_loop(0, n, body, jnp.int64(0))
-        return lambda: f(table.kmers, table.counts, codes)
+        return lambda: f(packed, codes)
 
     t_probe = _loop_rate(mk_probe_loop)
 

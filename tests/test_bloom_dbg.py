@@ -125,3 +125,25 @@ def test_header_format(tmp_path):
         assert int(parts[0]) == len(r.seq)       # length field
         assert int(parts[1]) > 0                 # coverage field
         assert parts[2].startswith("read:")      # seeding read id
+
+
+def test_read_log_trace(tmp_path):
+    """-T/--read-log: per-read outcome rows (bloom-dbg.h:186-334)."""
+    from abyss_tpu import sim
+    from abyss_tpu.dbg import bloom_dbg
+    from abyss_tpu.dbg.params import AssemblyParams
+    genome = sim.random_genome(2000, seed=61)
+    reads = sim.simulate_paired_reads(genome, coverage=15, seed=62)
+    p1, p2 = str(tmp_path / "t1.fq"), str(tmp_path / "t2.fq")
+    reads.write_fastq(p1, p2)
+    log = str(tmp_path / "trace.tsv")
+    params = AssemblyParams(k=25, min_cov=2, bloom_bytes=1 << 22,
+                            batch_size=512, max_read_len=128,
+                            read_log=log)
+    with open(tmp_path / "out.fa", "w") as f:
+        counters = bloom_dbg.assemble([p1, p2], params, out=f)
+    rows = open(log).read().splitlines()
+    assert rows[0] == "read_id\toutcome"
+    assert len(rows) - 1 == counters.read_count
+    outcomes = {r.split("\t")[1] for r in rows[1:]}
+    assert "EXTENDED" in outcomes or "ALL_KMERS_VISITED" in outcomes

@@ -237,3 +237,23 @@ def test_adjlist_sub_k_overlaps():
     g = adjlist.build_overlap_graph(contigs, k, min_overlap=10)
     assert node(1, 0) in g.out[node(0, 0)]
     assert g.out[node(0, 0)][node(1, 0)]["d"] == -15
+
+
+def test_assemble_stranded():
+    """ss= mode: chains keep their own orientation, no rc canonical
+    flip (ContigGraphAlgorithms.h assemble_stranded)."""
+    from abyss_tpu.graph.contig_graph import ContigGraph, node
+    from abyss_tpu.graph import algorithms as alg
+    g = ContigGraph()
+    for i in range(3):
+        g.add_contig(str(i), 100)
+    g.add_edge(node(0, 0), node(1, 0), None)
+    g.add_edge(node(1, 0), node(2, 0), None)
+    chains = alg.assemble_stranded(g)
+    # both the forward chain and its complement are reported separately
+    assert len(chains) == 2
+    assert [c[0] & 1 for c in sorted(chains)] in ([0, 1], [0, 0], [1, 1]) \
+        or len({tuple(c) for c in chains}) == 2
+    fwd = [node(0, 0), node(1, 0), node(2, 0)]
+    rev = [node(2, 1), node(1, 1), node(0, 1)]
+    assert fwd in chains and rev in chains

@@ -56,3 +56,65 @@ def test_extension_engine_with_sorted_filter():
     buf, length, status = ext.extend_forward(f, seed, k, trim=k)
     assert status[0] == ext.DEAD_END
     assert alphabet.decode(buf[0, :length[0]]) == genome
+
+
+def test_join_counts_randomized_vs_numpy():
+    import numpy as np
+    import jax.numpy as jnp
+    from abyss_tpu.ops.sort_join import join_counts
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        table = np.unique(rng.integers(0, 1 << 62, size=3000,
+                                       dtype=np.uint64))
+        counts = rng.integers(1, 1000, size=len(table)).astype(np.int32)
+        # queries: half hits, half misses, duplicates included
+        hits = rng.choice(table, size=2000)
+        misses = rng.integers(0, 1 << 62, size=2000, dtype=np.uint64)
+        queries = np.concatenate([hits, misses])
+        rng.shuffle(queries)
+        got = np.asarray(join_counts(jnp.asarray(table),
+                                     jnp.asarray(counts),
+                                     jnp.asarray(queries)))
+        lut = dict(zip(table.tolist(), counts.tolist()))
+        want = np.array([lut.get(int(q), 0) for q in queries], np.int32)
+        assert np.array_equal(got, want), trial
+
+
+def test_join_counts_packed_vs_exact():
+    import numpy as np
+    import jax.numpy as jnp
+    from abyss_tpu.ops.sort_join import (join_counts, join_counts_packed,
+                                         pack_table)
+    rng = np.random.default_rng(7)
+    table = np.unique(rng.integers(0, 1 << 62, size=5000, dtype=np.uint64))
+    counts = rng.integers(1, 30000, size=len(table)).astype(np.int32)
+    hits = rng.choice(table, size=3000)
+    misses = rng.integers(0, 1 << 62, size=3000, dtype=np.uint64)
+    queries = np.concatenate([hits, misses])
+    rng.shuffle(queries)
+    exact = np.asarray(join_counts(jnp.asarray(table), jnp.asarray(counts),
+                                   jnp.asarray(queries)))
+    packed = np.asarray(join_counts_packed(
+        pack_table(jnp.asarray(table), jnp.asarray(counts)),
+        jnp.asarray(queries)))
+    # 40-bit-prefix collisions are ~1e-8 here: results must agree
+    assert np.array_equal(exact, packed)
+
+
+def test_count_bulk_packed_default():
+    import numpy as np
+    import jax.numpy as jnp
+    from abyss_tpu.ops.sorted_filter import SortedKmerCounter
+    from abyss_tpu.ops import nthash
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, size=(64, 100), dtype=np.uint8)
+    ctr = SortedKmerCounter(25, 1)
+    _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), 25)
+    ctr.add(canon, valid)
+    f = ctr.finalize()
+    assert f.packed is not None
+    c_fast = np.asarray(f.count_bulk(canon, valid))
+    c_exact = np.asarray(f.count_bulk(canon, valid, exact=True))
+    c_point = np.asarray(f.count(canon, valid))
+    assert np.array_equal(c_fast, c_exact)
+    assert np.array_equal(c_fast, c_point)
