@@ -77,9 +77,12 @@ def load(ckpt_dir: str):
     visited = np.load(os.path.join(ckpt_dir, "visited.npy"))
     if state.get("sorted_mode"):
         from ..ops.sorted_filter import SortedKmerFilter
+        from ..ops.sort_join import pack_table
+        kmers = jnp.asarray(counting[0])
+        counts = jnp.asarray(counting[1].astype(np.int32))
         cbf = SortedKmerFilter(
-            kmers=jnp.asarray(counting[0]),
-            counts=jnp.asarray(counting[1].astype(np.int32)),
+            kmers=kmers, counts=counts,
+            packed=pack_table(kmers, counts),
             k=state["k"], threshold=state["threshold"])
     else:
         cbf = bloom_ops.CountingBloomFilter(

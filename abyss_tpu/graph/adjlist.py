@@ -15,6 +15,41 @@ from ..core import alphabet
 from .contig_graph import ContigGraph, flip, node
 
 
+def _native_overlaps(contigs, o: int):
+    """Edge quadruples via the C++ join (native/adjacency.cpp); None
+    when no toolchain is available."""
+    import ctypes
+
+    import numpy as np
+
+    from ..native import load_library
+    lib = load_library("adjacency", ["adjacency.cpp"])
+    if lib is None:
+        return None
+    lib.adjacency_overlaps.restype = ctypes.c_long
+    lib.adjacency_overlaps.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_long]
+    offsets = np.zeros(len(contigs) + 1, np.int64)
+    for i, (_, s) in enumerate(contigs):
+        offsets[i + 1] = offsets[i] + len(s)
+    codes = np.empty(int(offsets[-1]), np.uint8)
+    for i, (_, s) in enumerate(contigs):
+        codes[offsets[i]:offsets[i + 1]] = alphabet.encode(s)
+    cap = max(4 * len(contigs), 1024)
+    while True:
+        edges = np.empty(cap * 4, np.int32)
+        n = lib.adjacency_overlaps(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(contigs), o,
+            edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+        if n >= 0:
+            return edges[:n * 4].reshape(-1, 4)
+        cap *= 4
+
+
 def build_overlap_graph(contigs: list[tuple[str, str]], k: int,
                         coverages: list[int] | None = None,
                         min_overlap: int | None = None) -> ContigGraph:
@@ -30,6 +65,18 @@ def build_overlap_graph(contigs: list[tuple[str, str]], k: int,
     for i, (name, seq) in enumerate(contigs):
         cov = coverages[i] if coverages else 0
         g.add_contig(name, len(seq), cov)
+
+    if min_overlap is None:
+        # the standard (k-1)-overlap join runs natively when possible
+        quads = _native_overlaps(contigs, k - 1)
+        if quads is not None:
+            o = k - 1
+            for ui, us, vi, vs in quads:
+                u = node(int(ui), int(us))
+                v = node(int(vi), int(vs))
+                if v not in g.out[u]:
+                    g.add_edge(u, v, {"d": -o})
+            return g
 
     lengths = [k - 1]
     if min_overlap is not None and min_overlap < k - 1:

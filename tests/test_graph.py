@@ -257,3 +257,34 @@ def test_assemble_stranded():
     fwd = [node(0, 0), node(1, 0), node(2, 0)]
     rev = [node(2, 1), node(1, 1), node(0, 1)]
     assert fwd in chains and rev in chains
+
+
+def test_native_adjacency_matches_python():
+    """The C++ overlap join and the Python hash join must agree."""
+    from abyss_tpu import sim
+    from abyss_tpu.graph import adjlist
+    g0 = sim.random_genome(3000, seed=41)
+    k = 25
+    contigs = []
+    pos = 0
+    i = 0
+    while pos + 200 <= len(g0):
+        seq = g0[pos:pos + 200]
+        from abyss_tpu.core.alphabet import revcomp
+        contigs.append((str(i), seq if i % 2 == 0 else revcomp(seq)))
+        pos += 200 - (k - 1)
+        i += 1
+    quads = adjlist._native_overlaps(contigs, k - 1)
+    g_native = adjlist.build_overlap_graph(contigs, k)
+    # force the python path
+    g_py = adjlist.build_overlap_graph(contigs, k, min_overlap=k - 1)
+    def edge_set(g):
+        out = set()
+        for u in g.vertices():
+            for v, _ in g.out_edges(u):
+                out.add((u, v))
+        return out
+    assert edge_set(g_native) == edge_set(g_py)
+    assert len(edge_set(g_native)) >= 2 * (len(contigs) - 1)
+    if quads is not None:
+        assert len(quads) >= len(contigs) - 1
