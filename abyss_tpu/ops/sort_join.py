@@ -106,6 +106,130 @@ def pack_table(table_keys, table_counts):
         | c.astype(jnp.uint64)
 
 
+def pack_queries(queries):
+    """Pack query hashes as (prefix | flag | original index) words."""
+    q = jnp.asarray(queries, jnp.uint64)
+    N = q.shape[0]
+    return (q >> jnp.uint64(PREFIX_SHIFT) << jnp.uint64(PREFIX_SHIFT)) \
+        | FLAG_BIT | jnp.arange(N, dtype=jnp.uint64)
+
+
+def _merge_pass(x, s: int):
+    """One stage of Batcher's bitonic merger at stride s; returns the
+    exchanged array and the swap mask (needed to invert the routing)."""
+    v = x.reshape(-1, 2, s)
+    a, b = v[:, 0], v[:, 1]
+    m = a > b
+    lo = jnp.where(m, b, a)
+    hi = jnp.where(m, a, b)
+    return jnp.stack([lo, hi], 1).reshape(x.shape), m
+
+
+def _unmerge_pass(c, m, s: int):
+    """Invert one `_merge_pass` on a payload array using its swap mask."""
+    v = c.reshape(-1, 2, s)
+    a, b = v[:, 0], v[:, 1]
+    return jnp.stack([jnp.where(m, b, a), jnp.where(m, a, b)],
+                     1).reshape(c.shape)
+
+
+@jax.jit
+def join_counts_merge(packed_table, queries):
+    """Counts per query via a log-depth bitonic MERGE of the pre-sorted
+    packed table — not a full (M+N) re-sort.
+
+    An XLA `lax.sort` of n u64 keys is a ~log^2(n)/2-pass comparator
+    network (measured: 600M keys/s at 1.25M falling to 270M at 8.7M,
+    i.e. bandwidth x passes); but the table side is ALREADY sorted, so
+    grouping table rows with sorted queries only needs Batcher's
+    single bitonic merge: log2(P) compare-exchange passes.  The merge
+    records its swap masks, and after the count-transport scan the
+    masks are applied in reverse to route each element's count back to
+    its pre-merge slot — replacing the second full-width sort with
+    log2(P) cheap u32 select passes.  Remaining real sorts touch only
+    the N query words (sort by hash in, sort by index out).
+
+    queries: uint64[N], N < 2^23.  Returns int32[N] in query order.
+    """
+    M = packed_table.shape[0]
+    N = queries.shape[0]
+    if M == 0:
+        return jnp.zeros(N, jnp.int32)
+    sq = jax.lax.sort(pack_queries(queries))
+
+    P = 1 << max(M + N - 1, 1).bit_length()
+    pad = jnp.full(P - M - N, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    # ascending table, MAX pads, descending queries: bitonic
+    x = jnp.concatenate([packed_table, pad, sq[::-1]])
+    masks = []
+    s = P // 2
+    while s >= 1:
+        x, m = _merge_pass(x, s)
+        masks.append(m)
+        s //= 2
+
+    prefix = x >> jnp.uint64(PREFIX_SHIFT)
+    is_query = (x & FLAG_BIT) != 0
+    enc = (prefix << jnp.uint64(16)) | jnp.where(
+        is_query, jnp.uint64(0), x & COUNT_MASK)
+    run = jax.lax.associative_scan(jnp.maximum, enc)
+    count = jnp.where(run >> jnp.uint64(16) == prefix,
+                      run & jnp.uint64(0xFFFF), jnp.uint64(0))
+    count = count.astype(jnp.uint32)
+
+    s = 1
+    for m in reversed(masks):
+        count = _unmerge_pass(count, m, s)
+        s *= 2
+    cq = count[P - N:][::-1]    # aligned with sq
+
+    # restore original query order: one N-word sort keyed by index
+    back = ((sq & IDX_MASK) << jnp.uint64(16)) | cq.astype(jnp.uint64)
+    sb = jax.lax.sort(back)
+    return (sb & jnp.uint64(0xFFFF)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=2)
+def join_solid_merge(packed_table, queries, threshold: int):
+    """`join_counts_merge(...) >= threshold`, but the order-restoring
+    sort carries only (index << 1 | solid-bit) u32 words — ~2x less
+    comparator/bandwidth work than the u64 count-carrying unsort.
+    Returns bool[N] in query order."""
+    M = packed_table.shape[0]
+    N = queries.shape[0]
+    if M == 0:
+        return jnp.zeros(N, bool)
+    sq = jax.lax.sort(pack_queries(queries))
+
+    P = 1 << max(M + N - 1, 1).bit_length()
+    pad = jnp.full(P - M - N, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    x = jnp.concatenate([packed_table, pad, sq[::-1]])
+    masks = []
+    s = P // 2
+    while s >= 1:
+        x, m = _merge_pass(x, s)
+        masks.append(m)
+        s //= 2
+
+    prefix = x >> jnp.uint64(PREFIX_SHIFT)
+    is_query = (x & FLAG_BIT) != 0
+    enc = (prefix << jnp.uint64(16)) | jnp.where(
+        is_query, jnp.uint64(0), x & COUNT_MASK)
+    run = jax.lax.associative_scan(jnp.maximum, enc)
+    bit = ((run >> jnp.uint64(16) == prefix) &
+           ((run & jnp.uint64(0xFFFF)) >= threshold)).astype(jnp.uint32)
+
+    s = 1
+    for m in reversed(masks):
+        bit = _unmerge_pass(bit, m, s)
+        s *= 2
+    bq = bit[P - N:][::-1]
+
+    back = ((sq & IDX_MASK) << jnp.uint64(1)).astype(jnp.uint32) | bq
+    sb = jax.lax.sort(back)
+    return (sb & jnp.uint32(1)).astype(bool)
+
+
 @jax.jit
 def join_counts_packed(packed_table, queries):
     """Counts for each query against a `pack_table` result.

@@ -32,24 +32,31 @@ class Constraint:
 def constrained_search(g: ContigGraph, start: int,
                        constraints: list[Constraint],
                        max_paths: int = 200, max_depth: int = 30,
-                       ) -> list[list[int]]:
+                       max_cost: int = 100_000) -> list[list[int]]:
     """All paths from `start` that place every constraint target within
     its distance window (ConstrainedSearch.h:57-141).  A path may end as
     soon as all constraints are satisfied.  Returns up to max_paths
-    satisfying paths (vertex lists beginning at start)."""
+    satisfying paths (vertex lists beginning at start).
+
+    `max_cost` bounds total vertex expansions (opt::maxCost,
+    ConstrainedSearch.h:17,92): a tangle whose window-bounded search
+    space explodes combinatorially is treated as unresolvable ([])
+    rather than explored exhaustively."""
     if not constraints:
         return []
     want = {c.target: c for c in constraints}
     max_reach = max(c.distance + c.error for c in constraints)
     solutions: list[list[int]] = []
     overflow = [False]
+    cost = [0]
 
     def dfs(path: list[int], pos: int, satisfied: dict[int, bool],
             depth: int):
         """pos = start coordinate of path[-1] relative to end of start."""
         if overflow[0]:
             return
-        if len(solutions) >= max_paths:
+        cost[0] += 1
+        if len(solutions) >= max_paths or cost[0] >= max_cost:
             overflow[0] = True
             return
         if all(satisfied.values()):
@@ -124,9 +131,32 @@ def simple_graph_paths(g: ContigGraph, estimates: dict, names_index: dict,
             paths.append(sols[0])
         elif len(sols) > 1:
             if seqs is not None and len(sols) <= max_candidates:
-                texts = [materialize_path(s, g, seqs) for s in sols]
-                cons, _ident = msa_consensus(
-                    texts, min_identity=consensus_identity)
+                # PathConsensus aligns only the ambiguous interior, not
+                # whole anchor contigs (candidates share their endpoint
+                # anchors): strip the common vertex prefix/suffix, keep
+                # one anchor vertex on each side, and refuse quadratic
+                # NW work past 20kb (PathConsensus.cpp operates on
+                # bubble-scale paths).
+                first = sols[0]
+                pre = 0
+                while all(len(s) > pre and s[pre] == first[pre]
+                          for s in sols):
+                    pre += 1
+                lim = min(len(s) for s in sols) - pre
+                suf = 0
+                while suf < lim and all(
+                        s[len(s) - 1 - suf] == first[len(first) - 1 - suf]
+                        for s in sols):
+                    suf += 1
+                middles = [s[max(pre - 1, 0): len(s) - suf + 1]
+                           for s in sols]
+                texts = ([materialize_path(s, g, seqs) for s in middles]
+                         if all(middles) else [""])
+                if texts[0] and max(map(len, texts)) <= 20_000:
+                    cons, _ident = msa_consensus(
+                        texts, min_identity=consensus_identity)
+                else:
+                    cons = None
                 if cons is not None:
                     best = max(
                         sols,
@@ -184,16 +214,23 @@ def merge_consistent_paths(paths: list[list[int]]) -> list[list[int]]:
             for j in range(len(kept)):
                 if i == j:
                     continue
-                a, b = kept[i], kept[j]
+                a = kept[i]
+                # try both orientations of the second path: a merge may
+                # need it reverse-complemented (every x+y orientation
+                # case reduces to (i,j)-with-flipped-b by loop symmetry)
                 best = 0
-                for o in range(min(len(a), len(b)) - 1, 0, -1):
-                    if a[-o:] == b[:o]:
-                        best = o
+                for b in (kept[j],
+                          [flip(v) for v in reversed(kept[j])]):
+                    for o in range(min(len(a), len(b)) - 1, 0, -1):
+                        if a[-o:] == b[:o]:
+                            best = o
+                            break
+                    if best:
+                        kept[i] = a + b[best:]
+                        del kept[j]
+                        merged = True
                         break
-                if best:
-                    kept[i] = a + b[best:]
-                    del kept[j]
-                    merged = True
+                if merged:
                     break
             if merged:
                 break

@@ -45,6 +45,21 @@ def test_merge_consistent_paths():
     assert got == [2, 4, 6, 8] or flipped == [2, 4, 6, 8]
 
 
+def test_merge_paths_opposite_orientation():
+    """Per-seed paths sharing contigs in opposite senses must chain
+    into one path (each contig materialized exactly once) — regression
+    for duplicated contigs in stage-6 output."""
+    # fragments of the chain 2 4 6 8, one written reverse-complemented
+    a = [2, 4]                     # 1+ 2+
+    b = [7, 5]                     # 3- 2-  == flipped(4, 6) == 2+ 3+
+    c = [6, 8]                     # 3+ 4+
+    merged = pathtools.merge_consistent_paths([a, b, c])
+    assert len(merged) == 1
+    got = merged[0]
+    flipped = [v ^ 1 for v in reversed(got)]
+    assert got == [2, 4, 6, 8] or flipped == [2, 4, 6, 8]
+
+
 def test_full_pipeline_on_simulated_genome(tmp_path):
     # repeats shorter than the fragment length, so mate pairs can bridge
     # them and scaffolding has real work to do

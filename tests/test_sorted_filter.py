@@ -118,3 +118,26 @@ def test_count_bulk_packed_default():
     c_point = np.asarray(f.count(canon, valid))
     assert np.array_equal(c_fast, c_exact)
     assert np.array_equal(c_fast, c_point)
+
+
+def test_join_counts_merge_vs_packed():
+    """The bitonic-merge probe must agree with the packed-sort probe
+    on every shape (pow2 padding, empty table, tiny/lopsided sizes)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from abyss_tpu.ops.sort_join import (join_counts_merge,
+                                         join_counts_packed, pack_table)
+    rng = np.random.default_rng(17)
+    for M, N in [(4000, 3000), (1, 1), (257, 1), (1, 300), (0, 64),
+                 (1024, 1024)]:
+        table = np.unique(
+            rng.integers(0, 2 << 61, size=max(M, 1), dtype=np.uint64))[:M]
+        table.sort()
+        counts = rng.integers(1, 1000, size=len(table)).astype(np.int32)
+        q = rng.integers(0, 2 << 61, size=N, dtype=np.uint64)
+        if len(table):
+            q[: N // 2] = rng.choice(table, size=N // 2)
+        pt = pack_table(jnp.asarray(table), jnp.asarray(counts))
+        a = np.asarray(join_counts_packed(pt, jnp.asarray(q)))
+        b = np.asarray(join_counts_merge(pt, jnp.asarray(q)))
+        assert np.array_equal(a, b), (M, N)
