@@ -669,7 +669,7 @@ def rresolver_main(argv=None):
     r = int(np.median(first.lengths[:first.num_reads]))
     r = max(k + 10, min(r, first.codes.shape[1]))
     rmer = rresolver.build_rmer_filter(
-        (b.codes[:b.num_reads] for b in read_batches(args.reads, 4096, 512)),
+        (b.codes for b in read_batches(args.reads, 4096, 512)),
         r=r, size=1 << 22)
     stats = rresolver.resolve_repeats(g, seqs, rmer, k,
                                       support_threshold=args.threshold)

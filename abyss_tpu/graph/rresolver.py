@@ -23,7 +23,7 @@ import numpy as np
 
 from ..core import alphabet
 from ..ops import nthash
-from ..ops.bloom import CountingBloomFilter
+from ..ops.bloom import BitBloomFilter, CountingBloomFilter
 from .contig_graph import ContigGraph, flip, node
 
 
@@ -36,9 +36,15 @@ class RResolverStats:
 
 
 def build_rmer_filter(batches, r: int, size: int, num_hashes: int = 4,
-                      threshold: int = 1) -> CountingBloomFilter:
-    """Bloom filter of read r-mers (RResolver/BloomFilters.{h,cpp})."""
-    f = CountingBloomFilter.create(size, r, num_hashes, threshold)
+                      threshold: int = 1) -> BitBloomFilter:
+    """Bloom filter of read r-mers (RResolver/BloomFilters.{h,cpp}).
+
+    A plain bit filter, like the reference's vanilla
+    btllib::KmerBloomFilter (BloomFilters.h:12,25) — window support is
+    a membership test, so counting inserts (sort + RLE per batch)
+    would be wasted work.  `threshold` is accepted for signature
+    compatibility and ignored."""
+    f = BitBloomFilter.create(size, r, num_hashes)
     for codes in batches:
         if codes.shape[1] < r:
             continue
@@ -99,7 +105,7 @@ def _path_windows(g, seqs, path, k: int, r: int, min_moves: int,
 
 
 def resolve_repeats(g: ContigGraph, seqs: dict[str, str],
-                    rmer_filter: CountingBloomFilter, k: int,
+                    rmer_filter: BitBloomFilter | CountingBloomFilter, k: int,
                     support_threshold: int = 4, min_moves: int = 20,
                     max_moves: int = 36, max_branches: int = 75,
                     ) -> RResolverStats:
@@ -113,6 +119,13 @@ def resolve_repeats(g: ContigGraph, seqs: dict[str, str],
     r = rmer_filter.k
     stats = RResolverStats()
     edge_support: dict[tuple[int, int], bool] = {}
+
+    # pass 1 (host): enumerate every junction path and collect all of
+    # their r-windows; pass 2 (device): ONE batched filter probe over
+    # the whole window set — per-path device calls would mean thousands
+    # of tiny dispatches at ever-varying shapes
+    path_infos: list[tuple[tuple, int, int]] = []  # (path, start, n)
+    all_windows: list[str] = []
     for cid in list(g.contigs()):
         for s in (0, 1):
             v = node(cid, s)
@@ -126,27 +139,35 @@ def resolve_repeats(g: ContigGraph, seqs: dict[str, str],
                 stats.paths_tested += 1
                 if wins is None:
                     # unresolvable: treat as supported (do not cut)
-                    supported = True
+                    path_infos.append((path, 0, -1))
                 else:
-                    arr = np.full((len(wins), r), 4, np.uint8)
-                    for i, w in enumerate(wins):
-                        arr[i, :len(w)] = alphabet.encode(w)
-                    _, _, canon, valid = nthash.kmer_hashes(
-                        jnp.asarray(arr), r)
-                    hits = np.asarray(
-                        rmer_filter.contains(canon, valid))[:, 0]
-                    supported = int(hits.sum()) >= min(
-                        support_threshold, len(wins))
-                if supported:
-                    stats.paths_supported += 1
-                a, vv, b = path
-                edges = []
-                if a is not None:
-                    edges.append((a, vv))
-                if b is not None:
-                    edges.append((vv, b))
-                for e in edges:
-                    edge_support[e] = edge_support.get(e, False) | supported
+                    path_infos.append((path, len(all_windows), len(wins)))
+                    all_windows.extend(wins)
+
+    hits = np.zeros(0, bool)
+    if all_windows:
+        arr = np.full((len(all_windows), r), 4, np.uint8)
+        for i, w in enumerate(all_windows):
+            arr[i, :len(w)] = alphabet.encode(w)
+        _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(arr), r)
+        hits = np.asarray(rmer_filter.contains(canon, valid))[:, 0]
+
+    for path, start, nw in path_infos:
+        if nw < 0:
+            supported = True
+        else:
+            supported = int(hits[start:start + nw].sum()) >= min(
+                support_threshold, nw)
+        if supported:
+            stats.paths_supported += 1
+        a, vv, b = path
+        edges = []
+        if a is not None:
+            edges.append((a, vv))
+        if b is not None:
+            edges.append((vv, b))
+        for e in edges:
+            edge_support[e] = edge_support.get(e, False) | supported
 
     for (u, v), sup in sorted(edge_support.items()):
         if not sup and g.has_edge(u, v):

@@ -86,6 +86,7 @@ class CountingBloomFilter:
             idx = jnp.where(mask[..., None], idx, jnp.int32(self.size))
         return idx
 
+    @jax.jit
     def insert_counts(self, canon, counts, mask=None) -> "CountingBloomFilter":
         """Conservatively add `counts[j]` occurrences of each distinct k-mer.
 
@@ -103,6 +104,7 @@ class CountingBloomFilter:
         new = new.at[self.size].set(0)
         return self._replace(counters=new)
 
+    @jax.jit
     def insert(self, canon, mask=None) -> "CountingBloomFilter":
         """Insert a batch of k-mer hashes (duplicates allowed).
 
@@ -135,6 +137,7 @@ class CountingBloomFilter:
             valid = valid & (s != jnp.uint64(0xFFFFFFFFFFFFFFFF))
         return self.insert_counts(s, run_len, mask=valid)
 
+    @jax.jit
     def count(self, canon, mask=None):
         """Min-count per k-mer ([...] int32); masked lanes -> 0."""
         idx = self._indices(canon)
@@ -189,6 +192,7 @@ class BitBloomFilter:
             idx = jnp.where(mask[..., None], idx, jnp.int32(self.size))
         return idx
 
+    @jax.jit
     def insert(self, canon, mask=None) -> "BitBloomFilter":
         idx = self._indices(canon, mask).reshape(-1)
         new = self.bits.at[idx].max(jnp.uint8(1), mode="drop")

@@ -138,16 +138,16 @@ def join_counts_merge(packed_table, queries):
     """Counts per query via a log-depth bitonic MERGE of the pre-sorted
     packed table — not a full (M+N) re-sort.
 
-    An XLA `lax.sort` of n u64 keys is a ~log^2(n)/2-pass comparator
-    network (measured: 600M keys/s at 1.25M falling to 270M at 8.7M,
-    i.e. bandwidth x passes); but the table side is ALREADY sorted, so
-    grouping table rows with sorted queries only needs Batcher's
-    single bitonic merge: log2(P) compare-exchange passes.  The merge
-    records its swap masks, and after the count-transport scan the
-    masks are applied in reverse to route each element's count back to
-    its pre-merge slot — replacing the second full-width sort with
-    log2(P) cheap u32 select passes.  Remaining real sorts touch only
-    the N query words (sort by hash in, sort by index out).
+    MEASURED SLOWER than `join_counts_packed` on TPU v5e (12.5M vs
+    67.5M queries/s at M=N=1.25M, BENCH_NOTES.md): each hand-rolled
+    compare-exchange pass is a full HBM round trip at stride-hostile
+    layouts, while XLA's `lax.sort` fuses many network stages per HBM
+    pass inside VMEM.  Kept as the reference formulation of the
+    merge-with-inverse-routing idea (and for backends where sort is
+    comparator-bound): the table side is already sorted, so grouping
+    only needs Batcher's single bitonic merge (log2(P) passes) whose
+    recorded swap masks are replayed in reverse to route counts back
+    without a second full-width sort.
 
     queries: uint64[N], N < 2^23.  Returns int32[N] in query order.
     """
@@ -194,7 +194,8 @@ def join_solid_merge(packed_table, queries, threshold: int):
     """`join_counts_merge(...) >= threshold`, but the order-restoring
     sort carries only (index << 1 | solid-bit) u32 words — ~2x less
     comparator/bandwidth work than the u64 count-carrying unsort.
-    Returns bool[N] in query order."""
+    Returns bool[N] in query order.  Same measured caveat as
+    `join_counts_merge`: on TPU the packed sort probe wins."""
     M = packed_table.shape[0]
     N = queries.shape[0]
     if M == 0:

@@ -202,8 +202,10 @@ def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
         if first is not None and first.num_reads:
             r = int(np.median(first.lengths[:first.num_reads]))
             r = max(p.k + 10, min(r, first.codes.shape[1]))
+            # full padded batches keep one fixed shape -> one jit trace
+            # (padding rows are BAD-coded, so their k-mers are invalid)
             rmer = rresolver.build_rmer_filter(
-                (b.codes[:b.num_reads] for b in io_read_batches(
+                (b.codes for b in io_read_batches(
                     p.in_files, p.batch_size, p.max_read_len, q=p.q)),
                 r=r, size=1 << 22)
             stats = rresolver.resolve_repeats(
