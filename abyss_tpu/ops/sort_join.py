@@ -190,6 +190,33 @@ def join_counts_merge(packed_table, queries):
 
 
 @partial(jax.jit, static_argnums=2)
+def join_solid_packed(packed_table, queries, threshold: int):
+    """`join_counts_packed(...) >= threshold` with a cheaper finish:
+    the order-restoring sort carries (index << 1 | solid-bit) u32
+    words instead of u64 (index | count) — measured +8% on the whole
+    probe at 16K reads, more at larger batches (BENCH_NOTES.md).
+    Returns bool[N] in query order."""
+    M = packed_table.shape[0]
+    N = queries.shape[0]
+    if M == 0:
+        return jnp.zeros(N, bool)
+    sk = jax.lax.sort(jnp.concatenate([packed_table, pack_queries(queries)]))
+    prefix = sk >> jnp.uint64(PREFIX_SHIFT)
+    is_query = (sk & FLAG_BIT) != 0
+    enc = (prefix << jnp.uint64(16)) | jnp.where(
+        is_query, jnp.uint64(0), sk & COUNT_MASK)
+    run = jax.lax.associative_scan(jnp.maximum, enc)
+    bit = ((run >> jnp.uint64(16) == prefix) &
+           ((run & jnp.uint64(0xFFFF)) >= threshold)).astype(jnp.uint32)
+    back = jnp.where(is_query,
+                     ((sk & IDX_MASK) << jnp.uint64(1)).astype(jnp.uint32)
+                     | bit,
+                     jnp.uint32(0xFFFFFFFF))
+    sb = jax.lax.sort(back)
+    return (sb[:N] & jnp.uint32(1)).astype(bool)
+
+
+@partial(jax.jit, static_argnums=2)
 def join_solid_merge(packed_table, queries, threshold: int):
     """`join_counts_merge(...) >= threshold`, but the order-restoring
     sort carries only (index << 1 | solid-bit) u32 words — ~2x less

@@ -89,7 +89,19 @@ class SortedKmerFilter:
         return c
 
     def contains_bulk(self, canon, mask=None):
-        return self.count_bulk(canon, mask) >= self.threshold
+        """Bulk solidity: the u32-finish packed probe when available
+        (the classify hot path needs only the bit, not the count)."""
+        from .sort_join import join_solid_packed
+        canon = jnp.asarray(canon, jnp.uint64)
+        flat = canon.reshape(-1)
+        if self.packed is None or flat.shape[0] >= (1 << 23):
+            hit = self.count_bulk(canon, mask) >= self.threshold
+            return hit
+        hit = join_solid_packed(self.packed, flat,
+                                self.threshold).reshape(canon.shape)
+        if mask is not None:
+            hit = jnp.where(mask, hit, False)
+        return hit
 
 
 class SortedKmerCounter:

@@ -3,11 +3,21 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measures the pipeline's actual HOT LOOP 1 both ways:
-  * sorted mode (default engine): count k-mers by device sort + RLE,
-    probe by searchsorted + gather — the scatter-free TPU-native path;
-  * bloom mode: counting-Bloom conservative insert (scatter-bound on
-    TPU; kept for reference-parity memory behaviour).
+Models the pipeline's actual HOT LOOP: stage 1 counts every read
+batch's k-mers into the filter (device sort + scan-only RLE), then the
+assembly classifies every read batch against the finished table (the
+packed sort-merge probe, ops/sort_join.py).  The table is built ONCE
+from a fixed read sample and stays fixed while batches stream — like
+the real pipeline, where the k-mer filter is finished before
+classification starts.
+
+  * count: per-batch sort+RLE reduction (SortedKmerCounter._sort_rle)
+  * probe: join_solid_packed — one packed u64 sort of (table+batch),
+    count-transport scan, u32 order-restoring sort
+
+Batch size default 32768 reads: probe throughput rises with batch (the
+fixed table amortizes across more queries) until sort rate decay wins;
+32-64K reads is the measured sweet spot (BENCH_NOTES.md).
 
 Timing method: the axon platform's block_until_ready is unreliable and
 a D2H sync pays ~35 ms of tunnel latency, so each op is measured by
@@ -31,12 +41,12 @@ import jax
 import jax.numpy as jnp
 
 from abyss_tpu.ops import nthash
-from abyss_tpu.ops.bloom import CountingBloomFilter
-from abyss_tpu.ops.sorted_filter import SortedKmerCounter, SortedKmerFilter
+from abyss_tpu.ops.sort_join import join_solid_packed, pack_table
+from abyss_tpu.ops.sorted_filter import SortedKmerCounter
 
 K = int(os.environ.get("BENCH_K", 25))
-H = 4
-BATCH = int(os.environ.get("BENCH_BATCH", 16384))
+BATCH = int(os.environ.get("BENCH_BATCH", 32768))
+TABLE_READS = int(os.environ.get("BENCH_TABLE_READS", 16384))
 READ_LEN = 100
 ITERS = int(os.environ.get("BENCH_ITERS", 6))
 
@@ -69,7 +79,16 @@ def main():
         rng.integers(0, 4, size=(BATCH, READ_LEN), dtype=np.uint8))
     kmers_per_batch = BATCH * (READ_LEN - K + 1)
 
-    # ---- sorted mode: count (sort+RLE) ------------------------------------
+    # ---- fixed table: the filter the probe runs against -------------------
+    codes_t = jax.device_put(
+        rng.integers(0, 4, size=(TABLE_READS, READ_LEN), dtype=np.uint8))
+    _, _, canon_t, valid_t = nthash.kmer_hashes(codes_t, K)
+    skf = SortedKmerCounter(K, 1)
+    skf.add(canon_t, valid_t)
+    table = skf.finalize()
+    packed = pack_table(table.kmers, table.counts)
+
+    # ---- load: count a batch's k-mers (sort + RLE) ------------------------
     def mk_count_loop(n):
         @jax.jit
         def f(c):
@@ -86,24 +105,16 @@ def main():
 
     t_count = _loop_rate(mk_count_loop)
 
-    # ---- sorted mode: probe (searchsorted + gather) -----------------------
-    _, _, canon0, valid0 = nthash.kmer_hashes(codes, K)
-    skf = SortedKmerCounter(K, 2)
-    skf.add(canon0, valid0)
-    table = skf.finalize()
-
-    from abyss_tpu.ops.sort_join import join_counts_packed, pack_table
-
-    packed = pack_table(table.kmers, table.counts)
-
+    # ---- probe: classify a batch against the fixed table ------------------
     def mk_probe_loop(n):
         @jax.jit
         def f(tbl_p, c):
             def body(i, acc):
                 cc = jnp.bitwise_and(c + i.astype(jnp.uint8), jnp.uint8(3))
                 _, _, canon, valid = nthash.kmer_hashes(cc, K)
-                counts = join_counts_packed(tbl_p, canon.reshape(-1))
-                return acc + jnp.where(valid.reshape(-1), counts, 0).sum()
+                solid = join_solid_packed(tbl_p, canon.reshape(-1), 1)
+                return acc + jnp.where(valid.reshape(-1), solid,
+                                       False).sum(dtype=jnp.int64)
             return jax.lax.fori_loop(0, n, body, jnp.int64(0))
         return lambda: f(packed, codes)
 

@@ -141,3 +141,35 @@ def test_join_counts_merge_vs_packed():
         a = np.asarray(join_counts_packed(pt, jnp.asarray(q)))
         b = np.asarray(join_counts_merge(pt, jnp.asarray(q)))
         assert np.array_equal(a, b), (M, N)
+
+
+def test_join_solid_packed_and_contains_bulk():
+    """u32-finish solidity probe == thresholded packed counts, and
+    contains_bulk routes through it with identical results."""
+    import numpy as np
+    import jax.numpy as jnp
+    from abyss_tpu.ops import nthash
+    from abyss_tpu.ops.sort_join import (join_counts_packed,
+                                         join_solid_packed, pack_table)
+    from abyss_tpu.ops.sorted_filter import SortedKmerCounter
+    rng = np.random.default_rng(23)
+    table = np.unique(rng.integers(0, 2 << 61, size=4000,
+                                   dtype=np.uint64))
+    counts = rng.integers(1, 6, size=len(table)).astype(np.int32)
+    q = rng.integers(0, 2 << 61, size=3000, dtype=np.uint64)
+    q[:1500] = rng.choice(table, size=1500)
+    pt = pack_table(jnp.asarray(table), jnp.asarray(counts))
+    c = np.asarray(join_counts_packed(pt, jnp.asarray(q)))
+    for thr in (1, 2, 4):
+        s = np.asarray(join_solid_packed(pt, jnp.asarray(q), thr))
+        assert np.array_equal(s, c >= thr), thr
+
+    codes = rng.integers(0, 4, size=(64, 100), dtype=np.uint8)
+    ctr = SortedKmerCounter(25, 1)
+    _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), 25)
+    ctr.add(canon, valid)
+    f = ctr.finalize()
+    got = np.asarray(f.contains_bulk(canon, valid))
+    want = np.asarray(f.count_bulk(canon, valid, exact=True)
+                      >= f.threshold) & np.asarray(valid)
+    assert np.array_equal(got, want)
