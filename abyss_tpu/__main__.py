@@ -131,9 +131,48 @@ def main():
         print(f"unknown tool: {tool}", file=sys.stderr)
         return 1
     _, module, fn = TOOLS[tool]
+    args = sys.argv[2:]
+
+    # universal --db=FILE (the reference puts --db on EVERY binary,
+    # DataBase/DB.h:31): the dispatcher strips it and records the
+    # invocation, so each tool need not declare it.  Tools with their
+    # own richer --db recording keep theirs (flag passed through).
+    NATIVE_DB = {"pe", "bloom-dbg", "assemble", "distanceest", "scaffold"}
+    db_path = None
+    if tool not in NATIVE_DB:
+        remaining = []
+        i = 0
+        while i < len(args):
+            a = args[i]
+            if a.startswith("--db="):
+                db_path = a[5:]
+            elif a == "--db" and i + 1 < len(args):
+                db_path = args[i + 1]
+                i += 1
+            else:
+                remaining.append(a)
+            i += 1
+        if db_path:
+            args = remaining
+
     import importlib
+    import time as _time
     m = importlib.import_module(module)
-    return getattr(m, fn)(sys.argv[2:])
+    t0 = _time.time()
+    ok = False
+    try:
+        rc = getattr(m, fn)(args)
+        ok = True
+    finally:
+        if db_path:
+            from .utils.db import DB
+            from .utils.sysinfo import memory_usage_bytes
+            with DB(db_path, tool=tool,
+                    command=" ".join(sys.argv[1:])) as db:
+                db.add("wall_s", round(_time.time() - t0, 3))
+                db.add("peak_rss_bytes", memory_usage_bytes())
+                db.add("exit", "ok" if ok else "error")
+    return rc
 
 
 if __name__ == "__main__":

@@ -134,10 +134,10 @@ class SortedKmerCounter:
         n = s.shape[0]
         start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
         last = jnp.concatenate([s[:-1] != s[1:], jnp.ones((1,), bool)])
-        pos = jnp.arange(n)
+        pos = jnp.arange(n, dtype=jnp.int32)  # n < 2^31: half-width scan
         # end position of each run, propagated backward to every element
         end_pos = jax.lax.associative_scan(
-            jnp.minimum, jnp.where(last, pos, n), reverse=True)
+            jnp.minimum, jnp.where(last, pos, jnp.int32(n)), reverse=True)
         counts = jnp.where(start, end_pos - pos + 1, 0)
         keys = jnp.where(start, s, jnp.uint64(0xFFFFFFFFFFFFFFFF))
         return keys, counts
