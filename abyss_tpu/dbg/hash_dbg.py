@@ -115,19 +115,23 @@ def load_snapshot(path: str) -> KmerTable:
 
 def count_kmers(batches, k: int) -> KmerTable:
     """Load phase (LoadAlgorithm.h:12-178): read batches -> sorted
-    unique canonical k-mers with counts."""
-    chunks = []
+    unique canonical k-mers with counts.
+
+    Counting runs through the device streaming counter (per-chunk sort
+    + RLE reduction, ops/sorted_filter.SortedKmerCounter) rather than a
+    host np.unique over every k-mer occurrence: the host only ever
+    merges pre-reduced (distinct k-mer, count) pairs."""
+    from ..ops.sorted_filter import SortedKmerCounter
+    ctr = SortedKmerCounter(k, threshold=1)
     for codes in batches:
         _, _, canon, valid = pack_kmers(jnp.asarray(codes), k)
-        canon = np.asarray(canon).reshape(-1)
-        valid = np.asarray(valid).reshape(-1)
-        chunks.append(canon[valid])
-    if not chunks:
+        ctr.add(canon, valid)
+    f = ctr.finalize()
+    if f.n == 0:
         return KmerTable(k, np.zeros(0, np.uint64), np.zeros(0, np.int32),
                          np.zeros(0, bool))
-    allk = np.concatenate(chunks)
-    kmers, counts = np.unique(allk, return_counts=True)
-    counts = np.minimum(counts, COVERAGE_MAX).astype(np.int32)
+    kmers = np.asarray(f.kmers)
+    counts = np.minimum(np.asarray(f.counts), COVERAGE_MAX).astype(np.int32)
     return KmerTable(k, kmers, counts, np.ones(len(kmers), bool))
 
 

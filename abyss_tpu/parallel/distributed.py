@@ -228,6 +228,68 @@ def make_classify_step(mesh: Mesh, k: int, num_hashes: int, size: int,
     return jax.jit(classify)
 
 
+def distributed_count_kmers(mesh: Mesh, batches, k: int,
+                            packed: bool = True):
+    """Mesh-parallel k-mer counting for the sorted/exact engines.
+
+    Counting is embarrassingly parallel over reads: each device
+    sort+RLE-reduces its data-parallel slice of every batch on device
+    (the ABYSS-P load phase, NetworkSequenceCollection.cpp:454-500,
+    without the k-mer routing — ownership is irrelevant for a
+    reduction), and the host merges only the pre-reduced
+    (distinct k-mer, count) pairs, like the reference's per-rank merge.
+
+    `packed=True` counts 2-bit packed canonical k-mers (the exact
+    hash-DBG engine's key space, k <= 32); otherwise canonical ntHash
+    values (the sorted-filter key space, any k).
+
+    Returns host arrays (kmers uint64[N] sorted unique, counts int32[N]).
+    """
+    from ..dbg.hash_dbg import pack_kmers
+    from ..ops.sorted_filter import COUNTER_MAX as CMAX, SortedKmerCounter
+
+    n_data = mesh.shape["data"]
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=P("data", None), out_specs=(P("data"), P("data")))
+    def reduce_slice(codes):
+        if packed:
+            _, _, canon, valid = pack_kmers(codes, k)
+        else:
+            _, _, canon, valid = nthash.kmer_hashes(codes, k)
+        flat = jnp.where(valid, canon,
+                         jnp.uint64(0xFFFFFFFFFFFFFFFF)).reshape(-1)
+        return SortedKmerCounter._sort_rle(flat)
+
+    pairs = []
+    for codes in batches:
+        B = codes.shape[0]
+        pad = (-B) % n_data
+        if pad:
+            codes = np.concatenate(
+                [np.asarray(codes),
+                 np.full((pad,) + codes.shape[1:], 4, np.uint8)])
+        keys, counts = reduce_slice(shard_batch(mesh, codes))
+        keys = np.asarray(keys)
+        counts = np.asarray(counts)
+        keep = (counts > 0) & (keys != np.uint64(0xFFFFFFFFFFFFFFFF))
+        pairs.append((keys[keep], counts[keep]))
+
+    if not pairs:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+    keys = np.concatenate([p[0] for p in pairs])
+    counts = np.concatenate([p[1] for p in pairs])
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    counts = counts[order]
+    uniq = np.concatenate([[True], keys[1:] != keys[:-1]])
+    idx = np.cumsum(uniq) - 1
+    merged = np.zeros(int(uniq.sum()), np.int64)
+    np.add.at(merged, idx, counts)
+    return keys[uniq], np.minimum(merged, CMAX).astype(np.int32)
+
+
 def distributed_filter_build(mesh: Mesh, batches, k: int,
                              num_hashes: int = 4, threshold: int = 2,
                              size: int = 1 << 24) -> CountingBloomFilter:

@@ -137,9 +137,25 @@ def stage_unitigs_1(p: PipelineParams) -> str:
     if p.engine == "exact" and p.k <= 32:
         _log(p, f"stage 1: exact hash-DBG assembly -> {out}")
         from ..dbg import hash_dbg
-        batches = (b.codes[:b.num_reads] for b in io_read_batches(
+        batches = (b.codes for b in io_read_batches(
             p.in_files, p.batch_size, p.max_read_len, q=p.q))
-        contigs, _ = hash_dbg.assemble_reads(list(batches), p.k, kc=p.kc)
+        import jax
+        if p.np_devices > 1 and len(jax.devices()) >= p.np_devices:
+            # np= (ABYSS-P): mesh-parallel load phase, host merge of
+            # the pre-reduced per-device (k-mer, count) pairs
+            import numpy as np
+            from ..parallel import distributed as dist
+            _log(p, f"stage 1: mesh k-mer count over {p.np_devices} "
+                    "devices (np=)")
+            mesh = dist.make_mesh(p.np_devices, 1)
+            keys, counts = dist.distributed_count_kmers(
+                mesh, batches, p.k)
+            t = hash_dbg.KmerTable(p.k, keys, counts,
+                                   np.ones(len(keys), bool))
+            contigs = hash_dbg.assemble_table(t, kc=p.kc)
+        else:
+            contigs, _ = hash_dbg.assemble_reads(list(batches), p.k,
+                                                 kc=p.kc)
         with open(out + ".tmp", "w") as f:
             for i, (seq, cov) in enumerate(contigs):
                 f.write(f">{i} {len(seq)} {cov}\n{seq}\n")

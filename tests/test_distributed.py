@@ -112,3 +112,56 @@ def test_np_pipeline_matches_single(tmp_path):
     art = pe.run(p)
     total = sum(len(r.seq) for r in fastx.read_fastx(art["scaffolds"]))
     assert total > 0.9 * len(g)
+
+
+def test_distributed_count_kmers_matches_single():
+    """Mesh-parallel exact-engine counting == single-device counting,
+    exactly (kmers and counts), for both packed and hash key spaces."""
+    import numpy as np
+    from abyss_tpu.parallel import distributed as dist
+    from abyss_tpu.dbg import hash_dbg
+
+    rng = np.random.default_rng(11)
+    batches = [rng.integers(0, 4, size=(24, 60), dtype=np.uint8)
+               for _ in range(3)]
+    # make duplicates across batches certain
+    batches[1][:8] = batches[0][:8]
+    k = 21
+
+    mesh = dist.make_mesh(4, 2)
+    keys, counts = dist.distributed_count_kmers(mesh, batches, k)
+    t = hash_dbg.count_kmers(batches, k)
+    assert np.array_equal(keys, t.kmers)
+    assert np.array_equal(counts, t.counts)
+
+    # hash key space vs the sorted filter builder
+    from abyss_tpu.ops.sorted_filter import build_sorted_filter
+    keys_h, counts_h = dist.distributed_count_kmers(
+        mesh, batches, k, packed=False)
+    f = build_sorted_filter(batches, k, threshold=1)
+    assert np.array_equal(keys_h, np.asarray(f.kmers))
+    assert np.array_equal(counts_h, np.asarray(f.counts))
+
+
+def test_np_pipeline_exact_engine_matches_single(tmp_path):
+    """pe np=8 with the exact engine: the mesh load phase must produce
+    the same scaffolds as the single-device exact run."""
+    from abyss_tpu import sim
+    from abyss_tpu.io import fastx
+    from abyss_tpu.pipeline import pe
+    g = sim.random_genome(4000, seed=90)
+    pr = sim.simulate_paired_reads(g, coverage=20, read_len=100, seed=91)
+    p1, p2 = str(tmp_path / "e1.fq"), str(tmp_path / "e2.fq")
+    pr.write_fastq(p1, p2)
+    outs = {}
+    for tag, np_dev in (("single", 1), ("mesh", 8)):
+        d = tmp_path / tag
+        d.mkdir()
+        p = pe.PipelineParams(
+            name="ex", k=25, in_files=[p1, p2], outdir=str(d),
+            engine="exact", verbose=0, np_devices=np_dev, min_pairs=3,
+            batch_size=512, max_read_len=128)
+        art = pe.run(p)
+        outs[tag] = sorted(r.seq for r in fastx.read_fastx(art["scaffolds"]))
+    assert outs["single"] == outs["mesh"]
+    assert sum(map(len, outs["single"])) > 0.9 * len(g)
