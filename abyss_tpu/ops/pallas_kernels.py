@@ -188,8 +188,8 @@ def _hash_kernel_factory(k: int, L: int):
     return kernel
 
 
-@partial(jax.jit, static_argnums=(1,))
-def kmer_hashes_pallas(codes, k: int):
+@partial(jax.jit, static_argnums=(1, 2))
+def kmer_hashes_pallas(codes, k: int, interpret: bool = False):
     """Canonical window hashes via the Pallas kernel.
 
     codes: [B, L] uint8/int32. Returns (canon uint64[B, W],
@@ -222,6 +222,7 @@ def kmer_hashes_pallas(codes, k: int):
 
     call = pl.pallas_call(
         kernel,
+        interpret=interpret,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
