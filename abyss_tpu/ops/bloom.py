@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import nthash
+from .scan import running_max
 
 COUNTER_MAX = 255  # uint8 saturation, cf. CountingBloomFilter.hpp counter type
 
@@ -126,7 +127,7 @@ class CountingBloomFilter:
         pos = jnp.arange(s.shape[0])
         start_pos = jnp.where(start, pos, -1)
         # for each position, index of run start (cummax)
-        run_start = jax.lax.associative_scan(jnp.maximum, start_pos)
+        run_start = running_max(start_pos)
         # run length for starts = (next_start or N) - start
         # compute via segment trick: count elements per run start
         ones = jnp.ones_like(pos)

@@ -24,6 +24,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .scan import running_max
+
 
 @jax.jit
 def join_counts(table_keys, table_counts, queries):
@@ -61,7 +63,7 @@ def join_counts(table_keys, table_counts, queries):
     start = jnp.concatenate([jnp.ones((1,), bool), group[1:] != group[:-1]])
     seg = jnp.cumsum(start.astype(jnp.int64))
     enc = (seg << jnp.int64(32)) | (sp & jnp.int64(0xFFFFFFFF))
-    run = jax.lax.associative_scan(jnp.maximum, enc)
+    run = running_max(enc)
     counts_sorted = jnp.maximum(
         (run & jnp.int64(0xFFFFFFFF)).astype(jnp.int32) - 1, 0)
 
@@ -172,7 +174,7 @@ def join_counts_merge(packed_table, queries):
     is_query = (x & FLAG_BIT) != 0
     enc = (prefix << jnp.uint64(16)) | jnp.where(
         is_query, jnp.uint64(0), x & COUNT_MASK)
-    run = jax.lax.associative_scan(jnp.maximum, enc)
+    run = running_max(enc)
     count = jnp.where(run >> jnp.uint64(16) == prefix,
                       run & jnp.uint64(0xFFFF), jnp.uint64(0))
     count = count.astype(jnp.uint32)
@@ -205,7 +207,7 @@ def join_solid_packed(packed_table, queries, threshold: int):
     is_query = (sk & FLAG_BIT) != 0
     enc = (prefix << jnp.uint64(16)) | jnp.where(
         is_query, jnp.uint64(0), sk & COUNT_MASK)
-    run = jax.lax.associative_scan(jnp.maximum, enc)
+    run = running_max(enc)
     bit = ((run >> jnp.uint64(16) == prefix) &
            ((run & jnp.uint64(0xFFFF)) >= threshold)).astype(jnp.uint32)
     back = jnp.where(is_query,
@@ -243,7 +245,7 @@ def join_solid_merge(packed_table, queries, threshold: int):
     is_query = (x & FLAG_BIT) != 0
     enc = (prefix << jnp.uint64(16)) | jnp.where(
         is_query, jnp.uint64(0), x & COUNT_MASK)
-    run = jax.lax.associative_scan(jnp.maximum, enc)
+    run = running_max(enc)
     bit = ((run >> jnp.uint64(16) == prefix) &
            ((run & jnp.uint64(0xFFFF)) >= threshold)).astype(jnp.uint32)
 
@@ -274,7 +276,7 @@ def join_counts_packed(packed_table, queries):
     is_query = (sk & FLAG_BIT) != 0
     enc = (prefix << jnp.uint64(16)) | jnp.where(
         is_query, jnp.uint64(0), sk & COUNT_MASK)
-    run = jax.lax.associative_scan(jnp.maximum, enc)
+    run = running_max(enc)
     # the running max belongs to this element's prefix group by
     # monotonicity; its low 16 bits are the group's table count (0 if
     # the group has no table row)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import nthash
+from .scan import running_min
 
 COUNTER_MAX = 32767  # COVERAGE_MAX, Assembly/VertexData.h:33
 
@@ -136,8 +137,8 @@ class SortedKmerCounter:
         last = jnp.concatenate([s[:-1] != s[1:], jnp.ones((1,), bool)])
         pos = jnp.arange(n, dtype=jnp.int32)  # n < 2^31: half-width scan
         # end position of each run, propagated backward to every element
-        end_pos = jax.lax.associative_scan(
-            jnp.minimum, jnp.where(last, pos, jnp.int32(n)), reverse=True)
+        end_pos = running_min(
+            jnp.where(last, pos, jnp.int32(n)), reverse=True)
         counts = jnp.where(start, end_pos - pos + 1, 0)
         keys = jnp.where(start, s, jnp.uint64(0xFFFFFFFFFFFFFFFF))
         return keys, counts

@@ -173,3 +173,24 @@ def test_join_solid_packed_and_contains_bulk():
     want = np.asarray(f.count_bulk(canon, valid, exact=True)
                       >= f.threshold) & np.asarray(valid)
     assert np.array_equal(got, want)
+
+
+def test_running_scans_match_numpy():
+    """ops/scan Hillis-Steele ladders == numpy accumulate, all dtypes,
+    both directions, non-pow2 lengths."""
+    import numpy as np
+    import jax.numpy as jnp
+    from abyss_tpu.ops.scan import running_max, running_min, running_sum
+    rng = np.random.default_rng(0)
+    for n in (1, 3, 128, 4097):
+        for dt in (np.int32, np.uint64):
+            x = rng.integers(0, 1000, size=n).astype(dt)
+            assert np.array_equal(
+                np.asarray(running_max(jnp.asarray(x))),
+                np.maximum.accumulate(x))
+            assert np.array_equal(
+                np.asarray(running_min(jnp.asarray(x), reverse=True)),
+                np.minimum.accumulate(x[::-1])[::-1])
+            assert np.array_equal(
+                np.asarray(running_sum(jnp.asarray(x))),
+                np.cumsum(x).astype(dt))
