@@ -205,45 +205,66 @@ def _is_tip(length_kmers, lstat, rstat, trim):
     return short & ((l_dead & r_deadish) | (r_dead & l_deadish))
 
 
-def _ambiguous_end(cbf, end_kmer, expected_base, params, forward: bool):
-    """ambiguous(u, expected, dir) for one contig end
-    (ExtendPath.h:379-397): true if the successor search is AMBI_OUT or
-    resolves to a different vertex than the path neighbour."""
+def _ambiguous_ends(cbf, roots: np.ndarray, expected: np.ndarray, params):
+    """Batched ambiguous(u, expected, dir) over N contig ends
+    (ExtendPath.h:379-397): true where the successor search is AMBI_OUT
+    or resolves to a different vertex than the path neighbour.
+
+    roots: uint8[N, k] end k-mers already oriented in the walk
+    direction; expected: int[N] expected next base.  One device round
+    for the whole batch (per-contig calls were the k=96 bottleneck:
+    4 small dispatches per contig end)."""
     k, trim, width = params.k, params.trim_len, params.lookahead_width
-    root = end_kmer if forward else alphabet.revcomp_codes(end_kmer[None])[0]
-    roots = np.zeros((4, k), np.uint8)
-    for c in range(4):
-        roots[c] = np.concatenate([root[1:], np.asarray([c], np.uint8)])
-    rf, rr = nthash.hash_base(jnp.asarray(roots), k)
-    canon = np.asarray(jnp.minimum(rf, rr))
-    present = np.asarray(cbf.contains(jnp.asarray(canon)))[None, :]
+    N = len(roots)
+    if N == 0:
+        return np.zeros(0, bool)
+    P = 1 << max(N - 1, 1).bit_length()   # pow2 buckets bound retraces
+    if P != N:
+        roots = np.concatenate([roots, np.zeros((P - N, k), np.uint8)])
+    cand = np.zeros((P, 4, k), np.uint8)
+    cand[:, :, :k - 1] = roots[:, None, 1:]
+    cand[:, :, k - 1] = np.arange(4, dtype=np.uint8)[None, :]
+    flat = jnp.asarray(cand.reshape(P * 4, k))
+    rf, rr = nthash.hash_base(flat, k)
+    canon = jnp.minimum(rf, rr)
+    present = np.asarray(cbf.contains(canon)).reshape(P, 4)[:N]
     depths = np.asarray(ext.branch_depths(
-        cbf, jnp.asarray(roots), (rf, rr), k, trim, width))[None, :]
+        cbf, flat, (rf, rr), k, trim, width)).reshape(P, 4)[:N]
     code, base = ext.successor_decision(depths, present, trim)
-    if code[0] == ext.AMBI_OUT:
-        return True
-    if code[0] == ext.ACTIVE and base[0] != expected_base:
-        return True
-    return False
+    return (code == ext.AMBI_OUT) | \
+        ((code == ext.ACTIVE) & (base != expected))
 
 
-def _trim_branch_kmers(cbf, seq: np.ndarray, params) -> np.ndarray:
-    """trimBranchKmers (bloom-dbg.h:738-770): drop a branch k-mer from a
-    contig end if the edge into it is ambiguous, so adjacent unitigs
-    overlap by exactly k-1 bases."""
+def _trim_branch_kmers_batch(cbf, seqs: list, params) -> list:
+    """trimBranchKmers (bloom-dbg.h:738-770) over a whole batch of
+    contigs: drop a branch k-mer from a contig end if the edge into it
+    is ambiguous, so adjacent unitigs overlap by exactly k-1 bases."""
     k = params.k
-    if len(seq) < k + 1:
-        return seq
-    # forward-ambiguity of the first k-mer: expected next base = seq[k]
-    amb1 = _ambiguous_end(cbf, seq[:k], int(seq[k]), params, forward=True)
-    # reverse-ambiguity of the last k-mer: on rc, expected = comp(seq[-k-1])
-    amb2 = _ambiguous_end(cbf, seq[-k:], 3 - int(seq[-k - 1]), params,
-                          forward=False)
-    lo = 1 if amb1 else 0
-    hi = len(seq) - (1 if amb2 else 0)
-    if hi - lo < k:
-        return seq[lo:lo + k] if len(seq) >= k else seq
-    return seq[lo:hi]
+    idxs = [i for i, s in enumerate(seqs) if len(s) >= k + 1]
+    out = list(seqs)
+    if not idxs:
+        return out
+    roots = np.zeros((2 * len(idxs), k), np.uint8)
+    expected = np.zeros(2 * len(idxs), np.int64)
+    for j, i in enumerate(idxs):
+        s = seqs[i]
+        # forward-ambiguity of the first k-mer: expected next = s[k];
+        # reverse-ambiguity of the last k-mer on the rc strand:
+        # expected = comp(s[-k-1])
+        roots[2 * j] = s[:k]
+        expected[2 * j] = int(s[k])
+        roots[2 * j + 1] = alphabet.revcomp_codes(s[-k:][None])[0]
+        expected[2 * j + 1] = 3 - int(s[-k - 1])
+    amb = _ambiguous_ends(cbf, roots, expected, params)
+    for j, i in enumerate(idxs):
+        s = seqs[i]
+        lo = 1 if amb[2 * j] else 0
+        hi = len(s) - (1 if amb[2 * j + 1] else 0)
+        if hi - lo < k:
+            out[i] = s[lo:lo + k] if len(s) >= k else s
+        else:
+            out[i] = s[lo:hi]
+    return out
 
 
 def _canonical_seq(seq: np.ndarray) -> bytes:
@@ -335,12 +356,17 @@ class Assembler:
                 np.asarray([len(s) - k + 1 for s in seqs]), lstat, rstat,
                 p.trim_len)
 
+            keep = [j for j in range(len(rows)) if not tips[j]]
+            trimmed = _trim_branch_kmers_batch(
+                self.cbf, [seqs[j] for j in keep], p)
+            trimmed_of = dict(zip(keep, trimmed))
+
             emitted: list[np.ndarray] = []
             seen_in_batch: set[bytes] = set()
             for j, i in enumerate(rows):
                 if tips[j]:
                     continue
-                seq = _trim_branch_kmers(self.cbf, seqs[j], p)
+                seq = trimmed_of[j]
                 if len(seq) < k:
                     continue
                 key = _canonical_seq(seq)
