@@ -147,3 +147,48 @@ def test_read_log_trace(tmp_path):
     assert len(rows) - 1 == counters.read_count
     outcomes = {r.split("\t")[1] for r in rows[1:]}
     assert "EXTENDED" in outcomes or "ALL_KMERS_VISITED" in outcomes
+
+
+def test_trim_branch_kmers_batch_matches_singletons():
+    """_trim_branch_kmers_batch index bookkeeping: a mixed-length batch
+    (short contigs interleaved with junction-adjacent ones) must produce
+    exactly the per-contig results, in order (bloom-dbg.h:738-770)."""
+    import jax.numpy as jnp
+
+    from abyss_tpu.ops import nthash
+    from abyss_tpu.ops.sorted_filter import SortedKmerCounter
+
+    k = 25
+    core = sim.random_genome(400, seed=9)
+    alt1 = core + sim.random_genome(300, seed=10)
+    alt2 = core + sim.random_genome(300, seed=11)   # fork after `core`
+    params = AssemblyParams(k=k, bloom_bytes=4 << 20)
+    ctr = SortedKmerCounter(k, params.min_cov)
+    for seq in (alt1, alt2):
+        codes = alphabet.encode(seq)[None, :]
+        for _ in range(2):                          # make every k-mer solid
+            _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), k)
+            ctr.add(canon, valid)
+    cbf = ctr.finalize()
+
+    seqs = [
+        alphabet.encode(core),                      # ends at the junction
+        alphabet.encode(alt1[390:480]),             # spans the junction
+        alphabet.encode(core[:k]),                  # len == k: untouched
+        alphabet.encode(alt2[375:]),                # starts AT the fork k-mer
+        alphabet.encode(core[10:20]),               # len < k: untouched
+        alphabet.encode(alt1[100:200]),             # interior, no trim
+    ]
+    batch = bloom_dbg._trim_branch_kmers_batch(cbf, seqs, params)
+    singles = [bloom_dbg._trim_branch_kmers_batch(cbf, [s], params)[0]
+               for s in seqs]
+    assert len(batch) == len(seqs)
+    for got, want in zip(batch, singles):
+        np.testing.assert_array_equal(got, want)
+    # interior slice has unambiguous edges on both ends: unchanged
+    np.testing.assert_array_equal(batch[5], seqs[5])
+    # short inputs pass through untouched
+    np.testing.assert_array_equal(batch[2], seqs[2])
+    np.testing.assert_array_equal(batch[4], seqs[4])
+    # the junction-entering contig loses its ambiguous-edge end k-mer
+    assert len(batch[3]) < len(seqs[3])
