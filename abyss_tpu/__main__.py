@@ -105,6 +105,9 @@ TOOLS = {
                 "abyss_tpu.cli.tools2", "tigmint_main"),
     "arcs": ("linked-read barcode scaffolding links (arcs equivalent)",
              "abyss_tpu.cli.tools2", "arcs_main"),
+    "stack-size": ("run a tool with a raised stack/recursion budget "
+                   "(abyss-stack-size)",
+                   "abyss_tpu.cli.tools2", "stacksize_main"),
     "bwa": ("bwa wrapper w/ native fallback (abyss-bwa)",
             "abyss_tpu.align.wrappers", "bwa_main"),
     "bwamem": ("bwa-mem wrapper w/ native fallback (abyss-bwamem)",

@@ -38,9 +38,14 @@ def build_main(args) -> int:
             raise SystemExit(f"bad window {args.window}")
         w = size // n
         window = ((i - 1) * w, size if i == n else i * w)
-    if args.levels >= 2 or args.type == "counting":
+    if args.type == "counting":
         f = bloom_ops.CountingBloomFilter.create(
             size, args.kmer, args.num_hashes, threshold=max(args.levels, 2))
+    elif args.type == "cascading" or args.levels >= 2:
+        # reference `-l N` builds an N-level cascade
+        # (Bloom/CascadingBloomFilter.h via Bloom/bloom.cc --levels)
+        f = bloom_ops.CascadingBloomFilter.create(
+            size, args.kmer, args.num_hashes, depth=max(args.levels, 2))
     else:
         f = bloom_ops.BitBloomFilter.create(size, args.kmer, args.num_hashes)
     for canon, valid in _batches(args.files, args.kmer):
@@ -83,6 +88,13 @@ def info_main(args) -> int:
         print(f"counting bloom filter: size={f.size} counters, "
               f"k={f.k}, hashes={f.num_hashes}, threshold={f.threshold}")
         print(f"occupancy: {set_frac:.4f} nonzero, {solid:.4f} >= threshold")
+    elif isinstance(f, bloom_ops.CascadingBloomFilter):
+        arr = np.asarray(f.levels[:, :-1])
+        set_frac = float((arr[-1] > 0).mean())
+        print(f"cascading bloom filter: size={f.size} bits x "
+              f"{f.depth} levels, k={f.k}, hashes={f.num_hashes}")
+        for i in range(f.depth):
+            print(f"level {i + 1} occupancy: {(arr[i] > 0).mean():.4f}")
     else:
         arr = np.asarray(f.bits[:-1])
         set_frac = float((arr > 0).mean())
@@ -95,12 +107,17 @@ def info_main(args) -> int:
 
 
 def compare_main(args) -> int:
+    def _occupied(f):
+        if isinstance(f, bloom_ops.CountingBloomFilter):
+            return np.asarray(f.counters[:-1]) > 0
+        if isinstance(f, bloom_ops.CascadingBloomFilter):
+            return np.asarray(f.levels[0, :-1]) > 0
+        return np.asarray(f.bits[:-1]) > 0
+
     a = bloom_ops.load_filter(args.inputs[0])
     b = bloom_ops.load_filter(args.inputs[1])
-    xa = np.asarray(a.counters[:-1] if hasattr(a, "counters")
-                    else a.bits[:-1]) > 0
-    xb = np.asarray(b.counters[:-1] if hasattr(b, "counters")
-                    else b.bits[:-1]) > 0
+    xa = _occupied(a)
+    xb = _occupied(b)
     inter = int((xa & xb).sum())
     un = int((xa | xb).sum())
     if args.method == "jaccard":
@@ -218,7 +235,7 @@ def main(argv=None) -> int:
     b.add_argument("-H", "--num-hashes", type=int, default=4)
     b.add_argument("-l", "--levels", type=int, default=1,
                    help=">=2 builds a counting (cascading) filter")
-    b.add_argument("-t", "--type", choices=["bit", "counting"],
+    b.add_argument("-t", "--type", choices=["bit", "counting", "cascading"],
                    default="bit")
     b.add_argument("-w", "--window", default=None, metavar="i/N",
                    help="build only window i of N (sharded build)")

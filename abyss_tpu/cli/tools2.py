@@ -1064,3 +1064,38 @@ def tabtomd_main(argv=None):
     for r in rows[1:]:
         print(fmt(r))
     return 0
+
+
+def stacksize_main(argv=None):
+    """abyss-stack-size equivalent (bin/abyss-stack-size): run a tool
+    with a raised stack/recursion budget.  The reference raises the C
+    stack ulimit for deeply recursive tools (SimpleGraph,
+    PathConsensus); the Python analogue raises the interpreter
+    recursion limit and the OS stack rlimit, then dispatches."""
+    import argparse
+    import sys
+    p = argparse.ArgumentParser(
+        prog="stack-size",
+        description="run TOOL with a raised stack/recursion budget")
+    p.add_argument("size", help="stack size in bytes (e.g. 65536000)")
+    p.add_argument("tool", help="abyss_tpu tool name to dispatch")
+    p.add_argument("args", nargs=argparse.REMAINDER)
+    a = p.parse_args(argv)
+    nbytes = int(a.size)
+    try:
+        import resource
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        want = nbytes if hard == resource.RLIM_INFINITY else min(nbytes, hard)
+        if soft != resource.RLIM_INFINITY and want > soft:
+            resource.setrlimit(resource.RLIMIT_STACK, (want, hard))
+    except (ImportError, ValueError, OSError):
+        pass  # best-effort, like the reference's ulimit shim
+    # ~1 recursion frame per KiB of C stack is the usual rule of thumb
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), nbytes // 1024))
+    from .. import __main__ as dispatcher
+    old = sys.argv
+    sys.argv = [old[0], a.tool] + list(a.args)
+    try:
+        return dispatcher.main()
+    finally:
+        sys.argv = old

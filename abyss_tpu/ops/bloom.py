@@ -232,6 +232,114 @@ class BitBloomFilter:
         return int(jnp.sum(self.bits[:-1] > 0))
 
 
+@dataclass(frozen=True)
+class CascadingBloomFilter:
+    """Cascade of L bit Bloom filters (Konnector-era counting-by-cascade:
+    Bloom/CascadingBloomFilter.h; RResolver's hash-supplied variant
+    Bloom/HashAgnosticCascadingBloom.h).
+
+    Reference semantics: one insert promotes a key by exactly one level
+    (bits are set in the first level that does not yet contain it);
+    `contains` answers against the deepest level, i.e. "seen >= L
+    times".  All levels share the same H hash values per key, like the
+    reference (HashAgnosticCascadingBloom.h inserts one hash array into
+    each level).
+
+    TPU-native batched reformulation (order-invariant): the batch is
+    sorted + run-length-encoded, so a key with multiplicity c currently
+    at level l ends at min(L, l + c) — identical to c sequential
+    reference inserts, regardless of batch boundaries.
+    """
+
+    levels: jax.Array  # uint8[L, size + 1]; last slot is the masked sink
+    k: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_hashes: int = dataclasses.field(metadata=dict(static=True), default=4)
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def size(self) -> int:
+        return self.levels.shape[1] - 1
+
+    @property
+    def depth(self) -> int:
+        return self.levels.shape[0]
+
+    @property
+    def threshold(self) -> int:  # API parity with CountingBloomFilter
+        return self.depth
+
+    @staticmethod
+    def create(size: int, k: int, num_hashes: int = 4, depth: int = 2,
+               ) -> "CascadingBloomFilter":
+        _check_pow2(size)
+        return CascadingBloomFilter(
+            levels=jnp.zeros((depth, size + 1), jnp.uint8),
+            k=k, num_hashes=num_hashes)
+
+    def _indices(self, canon, mask=None):
+        hs = nthash.multi_hashes(canon, self.k, self.num_hashes)
+        idx = (hs & jnp.uint64(self.size - 1)).astype(jnp.int32)
+        if mask is not None:
+            idx = jnp.where(mask[..., None], idx, jnp.int32(self.size))
+        return idx
+
+    def _level_of(self, idx):
+        """Current level per key = # of consecutive containing levels
+        from the bottom (matches the reference's insert walk, including
+        its behaviour under false-positive lower levels)."""
+        bits = self.levels[:, idx.reshape(-1)]          # [L, N*H]
+        bits = bits.reshape((self.depth,) + idx.shape)  # [L, ..., H]
+        present = jnp.min(bits, axis=-1) > 0            # [L, ...]
+        return jnp.sum(jnp.cumprod(present.astype(jnp.int32), axis=0), axis=0)
+
+    @jax.jit
+    def insert(self, canon, mask=None) -> "CascadingBloomFilter":
+        """Insert a batch (duplicates allowed); each occurrence promotes
+        its key one level, saturating at the cascade depth."""
+        canon = jnp.asarray(canon, jnp.uint64).reshape(-1)
+        if mask is not None:
+            mask = jnp.asarray(mask).reshape(-1)
+            canon = jnp.where(mask, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        s = jnp.sort(canon)
+        start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+        pos = jnp.arange(s.shape[0])
+        run_start = running_max(jnp.where(start, pos, -1))
+        run_len = jax.ops.segment_sum(
+            jnp.ones_like(pos), run_start, num_segments=s.shape[0])
+        valid = start
+        if mask is not None:
+            valid = valid & (s != jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        idx = self._indices(s, valid)            # [N, H]
+        new_level = jnp.minimum(
+            self._level_of(idx) + run_len, self.depth)  # [N]
+        levels = self.levels
+        for i in range(self.depth):
+            hit = jnp.broadcast_to((new_level >= i + 1)[..., None], idx.shape)
+            li = jnp.where(hit, idx, jnp.int32(self.size)).reshape(-1)
+            levels = levels.at[i, li].max(jnp.uint8(1), mode="drop")
+        levels = levels.at[:, self.size].set(0)
+        return self._replace(levels=levels)
+
+    @jax.jit
+    def count(self, canon, mask=None):
+        """Level per key ([...] int32) — a count saturating at depth."""
+        canon = jnp.asarray(canon, jnp.uint64)
+        c = self._level_of(self._indices(canon))
+        if mask is not None:
+            c = jnp.where(mask, c, 0)
+        return c
+
+    def contains(self, canon, mask=None):
+        """Present in the deepest level (seen >= depth times), like
+        CascadingBloomFilter.h's contains-at-top."""
+        return self.count(canon, mask) >= self.depth
+
+    count_bulk = count
+    contains_bulk = contains
+
+
 def union(a, b):
     """Merge two filters of the same type/geometry (abyss-bloom union).
     For counting filters the conservative merge is elementwise add
@@ -240,12 +348,18 @@ def union(a, b):
         s = jnp.minimum(a.counters.astype(jnp.int32) +
                         b.counters.astype(jnp.int32), COUNTER_MAX)
         return a._replace(counters=s.astype(jnp.uint8))
+    if isinstance(a, CascadingBloomFilter):
+        # level-wise OR: conservative, matches the windowed-shard merge
+        # of abyss-bloom-dist.mk for cascades built on disjoint windows
+        return a._replace(levels=jnp.maximum(a.levels, b.levels))
     return a.union(b)
 
 
 def intersect(a, b):
     if isinstance(a, CountingBloomFilter):
         return a._replace(counters=jnp.minimum(a.counters, b.counters))
+    if isinstance(a, CascadingBloomFilter):
+        return a._replace(levels=jnp.minimum(a.levels, b.levels))
     return a.intersect(b)
 
 
@@ -258,6 +372,10 @@ def save_filter(path: str, f) -> None:
             k=f.k, num_hashes=f.num_hashes, threshold=f.threshold)
     elif isinstance(f, BitBloomFilter):
         np.savez_compressed(path, kind="bit", data=np.asarray(f.bits),
+                            k=f.k, num_hashes=f.num_hashes)
+    elif isinstance(f, CascadingBloomFilter):
+        np.savez_compressed(path, kind="cascading",
+                            data=np.asarray(f.levels),
                             k=f.k, num_hashes=f.num_hashes)
     else:
         raise TypeError(type(f))
@@ -273,6 +391,10 @@ def load_filter(path: str):
     if kind == "bit":
         return BitBloomFilter(bits=jnp.asarray(z["data"]), k=int(z["k"]),
                               num_hashes=int(z["num_hashes"]))
+    if kind == "cascading":
+        return CascadingBloomFilter(levels=jnp.asarray(z["data"]),
+                                    k=int(z["k"]),
+                                    num_hashes=int(z["num_hashes"]))
     raise ValueError(f"unknown filter kind {kind!r} in {path}")
 
 
@@ -293,3 +415,6 @@ jax.tree_util.register_dataclass(
     meta_fields=["k", "num_hashes", "threshold"])
 jax.tree_util.register_dataclass(
     BitBloomFilter, data_fields=["bits"], meta_fields=["k", "num_hashes"])
+jax.tree_util.register_dataclass(
+    CascadingBloomFilter, data_fields=["levels"],
+    meta_fields=["k", "num_hashes"])

@@ -136,3 +136,59 @@ def test_masked_lanes_are_noops():
 def test_recommended_sizes():
     c, v = bloom.recommended_sizes(9 * (1 << 20))
     assert c == 1 << 23 and v == 1 << 20
+
+
+def test_cascading_levels_semantics():
+    """One insert promotes one level; contains == seen >= depth times
+    (Bloom/CascadingBloomFilter.h)."""
+    k = 9
+    f = bloom.CascadingBloomFilter.create(1 << 16, k, depth=3)
+    canon = jnp.asarray(np.array([0x1234567, 0xABCDEF01, 0x55AA55AA],
+                                 dtype=np.uint64))
+    assert np.asarray(f.count(canon)).tolist() == [0, 0, 0]
+    f = f.insert(canon[:1])
+    assert np.asarray(f.count(canon)).tolist() == [1, 0, 0]
+    f = f.insert(canon[:2])
+    assert np.asarray(f.count(canon)).tolist() == [2, 1, 0]
+    f = f.insert(canon)
+    assert np.asarray(f.count(canon)).tolist() == [3, 2, 1]
+    assert np.asarray(f.contains(canon)).tolist() == [True, False, False]
+    # saturation at depth
+    f = f.insert(canon[:1])
+    assert int(np.asarray(f.count(canon[:1]))[0]) == 3
+
+
+def test_cascading_batch_matches_sequential():
+    """A batch with duplicate keys == the same keys inserted one at a
+    time (order-invariant batched promotion)."""
+    k = 11
+    rng = np.random.default_rng(5)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 300))
+    canon, valid = kmer_canon(seq, k)
+    canon = canon[valid]
+    batch = np.concatenate([canon, canon[::2], canon[::4]])  # mults 1-3
+    f1 = bloom.CascadingBloomFilter.create(1 << 16, k, depth=3)
+    f1 = f1.insert(jnp.asarray(batch))
+    f2 = bloom.CascadingBloomFilter.create(1 << 16, k, depth=3)
+    for h in batch:
+        f2 = f2.insert(jnp.asarray(np.array([h], dtype=np.uint64)))
+    np.testing.assert_array_equal(np.asarray(f1.levels),
+                                  np.asarray(f2.levels))
+
+
+def test_cascading_save_load_union(tmp_path):
+    k = 9
+    a = bloom.CascadingBloomFilter.create(1 << 14, k, depth=2)
+    b = bloom.CascadingBloomFilter.create(1 << 14, k, depth=2)
+    ka = jnp.asarray(np.array([111, 222], dtype=np.uint64))
+    kb = jnp.asarray(np.array([333, 444], dtype=np.uint64))
+    a = a.insert(ka).insert(ka)
+    b = b.insert(kb).insert(kb)
+    u = bloom.union(a, b)
+    assert np.asarray(u.contains(ka)).all()
+    assert np.asarray(u.contains(kb)).all()
+    p = str(tmp_path / "c.npz")
+    bloom.save_filter(p, u)
+    v = bloom.load_filter(p)
+    assert isinstance(v, bloom.CascadingBloomFilter)
+    assert np.asarray(v.contains(ka)).all() and v.depth == 2
