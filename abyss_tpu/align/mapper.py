@@ -121,7 +121,7 @@ def _vote_kernel(index_arrays, batch, k: int):
     key = jnp.where(hit, key, jnp.int64(-1))
 
     # vote: sort keys per read, run-length encode, take the mode
-    flat = jnp.sort(key.reshape(B, W * DUP), axis=1)
+    flat = jnp.sort(key.reshape(B, W * DUP), axis=1, stable=False)
     M = W * DUP
     start = jnp.concatenate(
         [jnp.ones((B, 1), bool), flat[:, 1:] != flat[:, :-1]], axis=1)

@@ -119,7 +119,7 @@ class CountingBloomFilter:
             mask = jnp.asarray(mask).reshape(-1)
             # send masked lanes to a sentinel that sorts last
             canon = jnp.where(mask, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-        s = jnp.sort(canon)
+        s = jnp.sort(canon, stable=False)
         # run starts
         start = jnp.concatenate(
             [jnp.ones((1,), bool), s[1:] != s[:-1]])
@@ -302,7 +302,7 @@ class CascadingBloomFilter:
         if mask is not None:
             mask = jnp.asarray(mask).reshape(-1)
             canon = jnp.where(mask, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-        s = jnp.sort(canon)
+        s = jnp.sort(canon, stable=False)
         start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
         pos = jnp.arange(s.shape[0])
         run_start = running_max(jnp.where(start, pos, -1))

@@ -15,6 +15,12 @@ slower than sorting.  The TPU-native bulk probe is therefore a JOIN:
 Everything is sort/scan, i.e. bandwidth-bound.  Used by the bulk
 classification and adjacency paths; point queries still use
 searchsorted (fine for small batches / CPU).
+
+All sorts here run `is_stable=False`: every key is either globally
+unique (query words carry their original index) or tied only with
+bit-identical words, so stability buys nothing — and XLA's stable sort
+pays for an implicit iota tie-breaker (measured on TPU v5e at 3.7M
+elements: u64 5.85→4.38 ms, u32 13.9→3.3 ms going unstable).
 """
 
 from __future__ import annotations
@@ -54,7 +60,7 @@ def join_counts(table_keys, table_counts, queries):
     payload = jnp.concatenate([
         jnp.asarray(table_counts, jnp.int32).astype(jnp.int64) + 1,
         (jnp.arange(N, dtype=jnp.int64) + 1) << jnp.int64(32)])
-    sk, sp = jax.lax.sort((keys, payload), num_keys=1)
+    sk, sp = jax.lax.sort((keys, payload), num_keys=1, is_stable=False)
 
     # group id = the hash sans flag bit; nondecreasing after the sort, so
     # a running max over (segment_id << 32 | count+1) leaves every element
@@ -72,7 +78,7 @@ def join_counts(table_keys, table_counts, queries):
     # original order.
     back = (sp & (jnp.int64(0xFFFFFFFF) << jnp.int64(32))).astype(
         jnp.uint64) | counts_sorted.astype(jnp.uint64)
-    sb = jax.lax.sort(back)
+    sb = jax.lax.sort(back, is_stable=False)
     return (sb[M:] & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
 
 
@@ -157,7 +163,7 @@ def join_counts_merge(packed_table, queries):
     N = queries.shape[0]
     if M == 0:
         return jnp.zeros(N, jnp.int32)
-    sq = jax.lax.sort(pack_queries(queries))
+    sq = jax.lax.sort(pack_queries(queries), is_stable=False)
 
     P = 1 << max(M + N - 1, 1).bit_length()
     pad = jnp.full(P - M - N, jnp.uint64(0xFFFFFFFFFFFFFFFF))
@@ -187,7 +193,7 @@ def join_counts_merge(packed_table, queries):
 
     # restore original query order: one N-word sort keyed by index
     back = ((sq & IDX_MASK) << jnp.uint64(16)) | cq.astype(jnp.uint64)
-    sb = jax.lax.sort(back)
+    sb = jax.lax.sort(back, is_stable=False)
     return (sb & jnp.uint64(0xFFFF)).astype(jnp.int32)
 
 
@@ -202,7 +208,7 @@ def join_solid_packed(packed_table, queries, threshold: int):
     N = queries.shape[0]
     if M == 0:
         return jnp.zeros(N, bool)
-    sk = jax.lax.sort(jnp.concatenate([packed_table, pack_queries(queries)]))
+    sk = jax.lax.sort(jnp.concatenate([packed_table, pack_queries(queries)]), is_stable=False)
     prefix = sk >> jnp.uint64(PREFIX_SHIFT)
     is_query = (sk & FLAG_BIT) != 0
     enc = (prefix << jnp.uint64(16)) | jnp.where(
@@ -214,7 +220,7 @@ def join_solid_packed(packed_table, queries, threshold: int):
                      ((sk & IDX_MASK) << jnp.uint64(1)).astype(jnp.uint32)
                      | bit,
                      jnp.uint32(0xFFFFFFFF))
-    sb = jax.lax.sort(back)
+    sb = jax.lax.sort(back, is_stable=False)
     return (sb[:N] & jnp.uint32(1)).astype(bool)
 
 
@@ -229,7 +235,7 @@ def join_solid_merge(packed_table, queries, threshold: int):
     N = queries.shape[0]
     if M == 0:
         return jnp.zeros(N, bool)
-    sq = jax.lax.sort(pack_queries(queries))
+    sq = jax.lax.sort(pack_queries(queries), is_stable=False)
 
     P = 1 << max(M + N - 1, 1).bit_length()
     pad = jnp.full(P - M - N, jnp.uint64(0xFFFFFFFFFFFFFFFF))
@@ -256,7 +262,7 @@ def join_solid_merge(packed_table, queries, threshold: int):
     bq = bit[P - N:][::-1]
 
     back = ((sq & IDX_MASK) << jnp.uint64(1)).astype(jnp.uint32) | bq
-    sb = jax.lax.sort(back)
+    sb = jax.lax.sort(back, is_stable=False)
     return (sb & jnp.uint32(1)).astype(bool)
 
 
@@ -270,7 +276,7 @@ def join_counts_packed(packed_table, queries):
     q = jnp.asarray(queries, jnp.uint64)
     qp = (q >> jnp.uint64(PREFIX_SHIFT) << jnp.uint64(PREFIX_SHIFT)) \
         | FLAG_BIT | jnp.arange(N, dtype=jnp.uint64)
-    sk = jax.lax.sort(jnp.concatenate([packed_table, qp]))
+    sk = jax.lax.sort(jnp.concatenate([packed_table, qp]), is_stable=False)
 
     prefix = sk >> jnp.uint64(PREFIX_SHIFT)
     is_query = (sk & FLAG_BIT) != 0
@@ -286,5 +292,5 @@ def join_counts_packed(packed_table, queries):
     back = jnp.where(is_query,
                      ((sk & IDX_MASK) << jnp.uint64(16)) | count,
                      jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    sb = jax.lax.sort(back)
+    sb = jax.lax.sort(back, is_stable=False)
     return (sb[:N] & jnp.uint64(0xFFFF)).astype(jnp.int32)

@@ -83,7 +83,7 @@ def _conservative_targets(counters, canon, counts, mask, k, num_hashes,
 def _rle_unique(canon, mask):
     """Sort + run-length-encode a batch of hashes (device-side)."""
     canon = jnp.where(mask, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    s = jnp.sort(canon.reshape(-1))
+    s = jnp.sort(canon.reshape(-1), stable=False)
     start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     pos = jnp.arange(s.shape[0])
     run_start = jax.lax.associative_scan(
