@@ -23,6 +23,19 @@ Orientation: only canonical k-mers are stored (min of packed fwd/rc,
 like Assembly/DBG.h:293-322); traversal works on *oriented* vertices
 2*i + strand.  Palindromic k-mers break chains, as in the reference
 (Assembly/DBG.h:202-207, AssembleAlgorithm.h:105).
+
+Wide k (k > 32): the reference packs multi-word k-mers up to
+MAX_KMER=192 (`--enable-maxk`, Common/Kmer.h:129-144, configure.ac:151)
+and compares them word-by-word.  Multi-word comparators are poison for
+a sort machine, so the TPU-native wide mode keys the table on the
+64-bit canonical **ntHash fingerprint** instead (sorts/joins stay one
+u64 word at ANY k — beyond 192 too), and carries two side arrays: the
+non-canonical hash (for orientation/palindrome tests + O(1) neighbour
+rolls, ops/nthash.roll_right/roll_left) and the 2-bit-packed k-mer
+text (for contig sequence reconstruction).  Collision odds for n
+distinct k-mers are ~n^2/2^65 (~1e-8 at n=20M) — far below the
+per-base sequencing error floor; the reference's Bloom-mode engine
+accepts 5% false positives by design.
 """
 
 from __future__ import annotations
@@ -79,7 +92,13 @@ def unpack_kmer(packed: int, k: int) -> str:
 
 @dataclass
 class KmerTable:
-    """Sorted canonical k-mer table with counts and adjacency."""
+    """Sorted canonical k-mer table with counts and adjacency.
+
+    Packed mode (k <= 32): `kmers` are 2-bit-packed canonical k-mers.
+    Wide mode (any k): `kmers` are canonical ntHash fingerprints and
+    the side arrays `hr` (non-canonical hash) + `text` (2-bit-packed
+    stored-orientation bases, 4/byte big-endian) are set.
+    """
     k: int
     kmers: np.ndarray      # uint64[N] sorted canonical packed k-mers
     counts: np.ndarray     # int32[N] multiplicities (saturated)
@@ -87,10 +106,50 @@ class KmerTable:
     nbr: np.ndarray | None = None   # int32[N, 8] neighbour row or -1
     # nbr columns 0-3: right extension by base c (stored orientation);
     # columns 4-7: left extension by base c.
+    hr: np.ndarray | None = None    # uint64[N] (wide mode)
+    text: np.ndarray | None = None  # uint8[N, ceil(k/4)] (wide mode)
 
     @property
     def n(self) -> int:
         return len(self.kmers)
+
+    @property
+    def wide(self) -> bool:
+        return self.text is not None
+
+    def end_bases(self) -> tuple[np.ndarray, np.ndarray]:
+        """(first, last) base codes of the stored orientation (wide);
+        memoized — chain emission asks per contig."""
+        cached = getattr(self, "_end_bases", None)
+        if cached is not None and len(cached[0]) == self.n:
+            return cached
+        k = self.k
+        first = (self.text[:, 0] >> 6) & 3
+        j = k - 1
+        last = (self.text[:, j // 4] >> (6 - 2 * (j % 4))) & 3
+        out = (first.astype(np.uint8), last.astype(np.uint8))
+        object.__setattr__(self, "_end_bases", out)
+        return out
+
+
+def pack_text(codes: np.ndarray, k: int) -> np.ndarray:
+    """2-bit-pack [N, k] base codes into uint8[N, ceil(k/4)] (4 bases
+    per byte, base 0 in the high bits — Common/Kmer.h:138 layout)."""
+    N = codes.shape[0]
+    TB = (k + 3) // 4
+    buf = np.zeros((N, TB * 4), np.uint8)
+    buf[:, :k] = codes
+    buf = buf.reshape(N, TB, 4)
+    return (buf[:, :, 0] << 6) | (buf[:, :, 1] << 4) | \
+        (buf[:, :, 2] << 2) | buf[:, :, 3]
+
+
+def unpack_text(row: np.ndarray, k: int) -> str:
+    """Inverse of pack_text for one row."""
+    out = []
+    for j in range(k):
+        out.append("ACGT"[(int(row[j // 4]) >> (6 - 2 * (j % 4))) & 3])
+    return "".join(out)
 
 
 def save_snapshot(t: KmerTable, path: str) -> None:
@@ -98,7 +157,9 @@ def save_snapshot(t: KmerTable, path: str) -> None:
     engine (Assembly/DBG.h:354-401): k-mers, counts, flags, adjacency."""
     np.savez_compressed(path, k=t.k, kmers=t.kmers, counts=t.counts,
                         alive=t.alive,
-                        nbr=t.nbr if t.nbr is not None else np.zeros(0))
+                        nbr=t.nbr if t.nbr is not None else np.zeros(0),
+                        hr=t.hr if t.hr is not None else np.zeros(0),
+                        text=t.text if t.text is not None else np.zeros(0))
     if not path.endswith(".npz"):
         os.replace(path + ".npz", path)
 
@@ -108,9 +169,13 @@ def load_snapshot(path: str) -> KmerTable:
     `.kmer` inputs instead of re-counting reads)."""
     z = np.load(path, allow_pickle=False)
     nbr = z["nbr"]
+    hr = z["hr"] if "hr" in z else np.zeros(0)
+    text = z["text"] if "text" in z else np.zeros(0)
     return KmerTable(int(z["k"]), z["kmers"], z["counts"],
                      z["alive"].astype(bool),
-                     nbr if nbr.ndim == 2 else None)
+                     nbr if nbr.ndim == 2 else None,
+                     hr=hr if hr.size else None,
+                     text=text if text.ndim == 2 else None)
 
 
 def count_kmers(batches, k: int) -> KmerTable:
@@ -122,6 +187,8 @@ def count_kmers(batches, k: int) -> KmerTable:
     host np.unique over every k-mer occurrence: the host only ever
     merges pre-reduced (distinct k-mer, count) pairs."""
     from ..ops.sorted_filter import SortedKmerCounter
+    if k > 32:
+        return _count_kmers_wide(batches, k)
     ctr = SortedKmerCounter(k, threshold=1)
     for codes in batches:
         _, _, canon, valid = pack_kmers(jnp.asarray(codes), k)
@@ -133,6 +200,71 @@ def count_kmers(batches, k: int) -> KmerTable:
     kmers = np.asarray(f.kmers)
     counts = np.minimum(np.asarray(f.counts), COVERAGE_MAX).astype(np.int32)
     return KmerTable(k, kmers, counts, np.ones(len(kmers), bool))
+
+
+def _count_kmers_wide(batches, k: int) -> KmerTable:
+    """Wide-mode load: key on the canonical ntHash fingerprint, then a
+    second pass fills per-distinct-k-mer side arrays (non-canonical
+    hash + packed text) from each fingerprint's first occurrence."""
+    from ..ops import nthash
+    from ..ops.sorted_filter import SortedKmerCounter
+    batches = list(batches)
+    ctr = SortedKmerCounter(k, threshold=1)
+    for codes in batches:
+        _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), k)
+        ctr.add(canon, valid)
+    f = ctr.finalize()
+    if f.n == 0:
+        return KmerTable(k, np.zeros(0, np.uint64), np.zeros(0, np.int32),
+                         np.zeros(0, bool), hr=np.zeros(0, np.uint64),
+                         text=np.zeros((0, (k + 3) // 4), np.uint8))
+    kmers = np.asarray(f.kmers)
+    counts = np.minimum(np.asarray(f.counts), COVERAGE_MAX).astype(np.int32)
+    t = KmerTable(k, kmers, counts, np.ones(len(kmers), bool))
+    return fill_wide_side(t, batches)
+
+
+def fill_wide_side(t: KmerTable, batches) -> KmerTable:
+    """Fill wide-mode side arrays (hr + packed text) for a table whose
+    `kmers` are sorted canonical ntHash fingerprints, from the first
+    occurrence of each fingerprint in the read batches.  Also used by
+    the mesh load phase (pe np= with k > 32)."""
+    from ..ops import nthash
+    k, kmers, N = t.k, t.kmers, t.n
+    hr = np.zeros(N, np.uint64)
+    text = np.zeros((N, (k + 3) // 4), np.uint8)
+    filled = np.zeros(N, bool)
+    for codes in batches:
+        codes_np = np.asarray(codes, np.uint8)
+        fh, rh, canon, valid = nthash.kmer_hashes(jnp.asarray(codes_np), k)
+        fh = np.asarray(fh).reshape(-1)
+        rh = np.asarray(rh).reshape(-1)
+        canon = np.asarray(canon).reshape(-1)
+        valid = np.asarray(valid).reshape(-1)
+        rows = np.searchsorted(kmers, canon)
+        rows = np.minimum(rows, N - 1)
+        hit = valid & (kmers[rows] == canon)
+        need = hit & ~filled[rows]
+        if not need.any():
+            if filled.all():
+                break
+            continue
+        # first occurrence of each still-unfilled row within this batch
+        occ = np.nonzero(need)[0]
+        first = occ[np.unique(rows[occ], return_index=True)[1]]
+        win = np.lib.stride_tricks.sliding_window_view(
+            codes_np, k, axis=1).reshape(-1, k)[first]
+        flip = rh[first] < fh[first]
+        win = np.where(flip[:, None], 3 - win[:, ::-1], win)
+        r = rows[first]
+        text[r] = pack_text(win.astype(np.uint8), k)
+        hr[r] = np.where(flip, fh[first], rh[first])
+        filled[r] = True
+        if filled.all():
+            break
+    t.hr = hr
+    t.text = text
+    return t
 
 
 def coverage_histogram(t: KmerTable) -> Histogram:
@@ -208,10 +340,38 @@ def _rc_packed(x, k: int):
     return x >> jnp.uint64(64 - 2 * k)
 
 
+@partial(jax.jit, static_argnums=(4,))
+def _neighbor_probe_wide(kmers, hr, firstb, lastb, k: int):
+    """Wide-mode neighbour probe: candidate fingerprints come from O(1)
+    ntHash rolls of the stored (fwd=canonical, rev=hr) hash state —
+    never from multi-word k-mer arithmetic."""
+    from ..ops import nthash
+    N = kmers.shape[0]
+    hf = kmers  # stored orientation: fwd hash IS the canonical min
+    rows = []
+    for c in range(4):
+        f2, r2 = nthash.roll_right(hf, hr, k, firstb, jnp.uint8(c))
+        rows.append(jnp.minimum(f2, r2))
+    for c in range(4):
+        f2, r2 = nthash.roll_left(hf, hr, k, lastb, jnp.uint8(c))
+        rows.append(jnp.minimum(f2, r2))
+    cand = jnp.stack(rows, axis=1)  # [N, 8]
+    idx = jnp.searchsorted(kmers, cand.reshape(-1)).reshape(N, 8)
+    idx = jnp.minimum(idx, N - 1)
+    hit = kmers[idx] == cand
+    return jnp.where(hit, idx.astype(jnp.int32), -1)
+
+
 def build_adjacency(t: KmerTable) -> KmerTable:
     """AdjacencyAlgorithm.h:9-46 as one batched probe."""
     if t.n == 0:
         t.nbr = np.zeros((0, 8), np.int32)
+        return t
+    if t.wide:
+        firstb, lastb = t.end_bases()
+        t.nbr = np.asarray(_neighbor_probe_wide(
+            jnp.asarray(t.kmers), jnp.asarray(t.hr),
+            jnp.asarray(firstb), jnp.asarray(lastb), t.k))
         return t
     t.nbr = np.asarray(_neighbor_probe(jnp.asarray(t.kmers), t.k))
     return t
@@ -320,11 +480,15 @@ def _oriented_next(t: KmerTable) -> np.ndarray:
     left_deg = ok[:, 4:].sum(axis=1)
 
     # palindromes break chains
-    rc = np.asarray(_rc_packed(jnp.asarray(kmers), k))
-    palin = rc == kmers
+    if t.wide:
+        palin = t.hr == kmers
+        firstb, lastb = t.end_bases()
+    else:
+        rc = np.asarray(_rc_packed(jnp.asarray(kmers), k))
+        palin = rc == kmers
 
     nxt = np.full(2 * N, -1, np.int64)
-    mask = (1 << (2 * k)) - 1
+    mask = (1 << (2 * min(k, 32))) - 1
 
     # strand 0: unique right extension
     for strand in (0, 1):
@@ -340,17 +504,36 @@ def _oriented_next(t: KmerTable) -> np.ndarray:
         base = np.argmax(sub, axis=1)
         # determine the successor's strand: compute the neighbour k-mer in
         # walk orientation and compare with its stored form
-        x = kmers[rows]
-        if strand == 0:
-            y = ((x << np.uint64(2)) | base.astype(np.uint64)) \
-                & np.uint64(mask)
+        if t.wide:
+            # walk-orientation fwd hash via an O(1) ntHash roll; the
+            # target is stored canonically, so stored==walk iff the
+            # rolled fwd hash equals the canonical fingerprint
+            from ..ops import nthash as _nt
+            if strand == 0:
+                f2, _ = _nt.roll_right(
+                    jnp.asarray(kmers[rows]), jnp.asarray(t.hr[rows]), k,
+                    jnp.asarray(firstb[rows]), jnp.asarray(base, jnp.uint8))
+            else:
+                # walk orientation is the rc: fwd/rev swap, first base is
+                # the complement of the stored last base, appended base
+                # is the complement of the stored left-extension base
+                f2, _ = _nt.roll_right(
+                    jnp.asarray(t.hr[rows]), jnp.asarray(kmers[rows]), k,
+                    jnp.asarray((3 - lastb[rows]).astype(np.uint8)),
+                    jnp.asarray((3 - base).astype(np.uint8)))
+            same = kmers[tgt] == np.asarray(f2)
         else:
-            # a stored-orientation LEFT extension by base c appends the
-            # complement base (3 - c) in the rc walk orientation
-            xr = np.asarray(_rc_packed(jnp.asarray(x), k))
-            y = ((xr << np.uint64(2)) |
-                 (3 - base).astype(np.uint64)) & np.uint64(mask)
-        same = kmers[tgt] == y
+            x = kmers[rows]
+            if strand == 0:
+                y = ((x << np.uint64(2)) | base.astype(np.uint64)) \
+                    & np.uint64(mask)
+            else:
+                # a stored-orientation LEFT extension by base c appends the
+                # complement base (3 - c) in the rc walk orientation
+                xr = np.asarray(_rc_packed(jnp.asarray(x), k))
+                y = ((xr << np.uint64(2)) |
+                     (3 - base).astype(np.uint64)) & np.uint64(mask)
+            same = kmers[tgt] == y
         tstrand = np.where(same, 0, 1)
         tpal = palin[tgt]
         ov_t = 2 * tgt + tstrand
@@ -437,6 +620,16 @@ def _chain_list(t: KmerTable) -> list[tuple[np.ndarray, np.ndarray]]:
 
 def _chain_seq(t: KmerTable, rows: np.ndarray, strands: np.ndarray) -> str:
     k = t.k
+    if t.wide:
+        s0 = unpack_text(t.text[int(rows[0])], k)
+        if strands[0] == 1:
+            s0 = alphabet.revcomp(s0)
+        firstb, lastb = t.end_bases()
+        # last base in walk orientation: stored last base (strand 0) or
+        # complement of the stored first base (strand 1)
+        tail = np.where(np.asarray(strands[1:]) == 0,
+                        lastb[rows[1:]], 3 - firstb[rows[1:]])
+        return s0 + "".join("ACGT"[b] for b in tail)
     s0 = unpack_kmer(int(t.kmers[int(rows[0])]), k)
     if strands[0] == 1:
         s0 = alphabet.revcomp(s0)

@@ -134,7 +134,7 @@ def stage_unitigs_1(p: PipelineParams) -> str:
                 f.write(f">{i} {len(seq)} 0\n{seq}\n")
         os.rename(out + ".tmp", out)
         return out
-    if p.engine == "exact" and p.k <= 32:
+    if p.engine == "exact":
         _log(p, f"stage 1: exact hash-DBG assembly -> {out}")
         from ..dbg import hash_dbg
         batches = (b.codes for b in io_read_batches(
@@ -148,10 +148,16 @@ def stage_unitigs_1(p: PipelineParams) -> str:
             _log(p, f"stage 1: mesh k-mer count over {p.np_devices} "
                     "devices (np=)")
             mesh = dist.make_mesh(p.np_devices, 1)
+            if p.k > 32:
+                batches = list(batches)
             keys, counts = dist.distributed_count_kmers(
                 mesh, batches, p.k)
             t = hash_dbg.KmerTable(p.k, keys, counts,
                                    np.ones(len(keys), bool))
+            if p.k > 32:
+                # mesh keys are ntHash fingerprints: fill the wide-mode
+                # side arrays (text + non-canonical hash) from the reads
+                t = hash_dbg.fill_wide_side(t, batches)
             contigs = hash_dbg.assemble_table(t, kc=p.kc)
         else:
             contigs, _ = hash_dbg.assemble_reads(list(batches), p.k,

@@ -15,9 +15,9 @@ classification starts.
   * probe: join_solid_packed — one packed u64 sort of (table+batch),
     count-transport scan, u32 order-restoring sort
 
-Batch size default 32768 reads: probe throughput rises with batch (the
-fixed table amortizes across more queries) until sort rate decay wins;
-32-64K reads is the measured sweet spot (BENCH_NOTES.md).
+Batch size default 49152 reads: probe throughput rises with batch (the
+fixed table amortizes across more queries) until sort-rate decay wins;
+with unstable sorts 49152 beats 32768 by ~5% combined (BENCH_NOTES.md).
 
 Timing method: the axon platform's block_until_ready is unreliable and
 a D2H sync pays ~35 ms of tunnel latency, so each op is measured by
@@ -45,7 +45,7 @@ from abyss_tpu.ops.sort_join import join_solid_packed, pack_table
 from abyss_tpu.ops.sorted_filter import SortedKmerCounter
 
 K = int(os.environ.get("BENCH_K", 25))
-BATCH = int(os.environ.get("BENCH_BATCH", 32768))
+BATCH = int(os.environ.get("BENCH_BATCH", 49152))
 TABLE_READS = int(os.environ.get("BENCH_TABLE_READS", 16384))
 READ_LEN = 100
 ITERS = int(os.environ.get("BENCH_ITERS", 6))

@@ -178,3 +178,75 @@ def test_remove_low_coverage_contigs():
     # the low-coverage junk contig is gone
     assert all(len(s) > 300 for s, _ in contigs), \
         [(len(s), c) for s, c in contigs]
+
+
+# ---------------------------------------------------------------------------
+# wide mode (k > 32): ntHash-fingerprint keys + packed-text side arrays
+# (reference supports exact k up to MAX_KMER=192, Common/Kmer.h:129-144)
+
+
+def test_wide_assemble_single_sequence():
+    k = 40
+    genome = sim.random_genome(400, seed=7)
+    t = hash_dbg.count_kmers([codes_of([genome])], k)
+    assert t.wide and t.n == len(genome) - k + 1
+    hash_dbg.build_adjacency(t)
+    contigs = hash_dbg.assemble(t)
+    assert len(contigs) == 1
+    s, _ = contigs[0]
+    assert s == genome or s == alphabet.revcomp(genome)
+
+
+def test_wide_matches_packed_at_small_k():
+    """The fingerprint engine must assemble the same contigs as the
+    exact packed engine where both apply."""
+    k = 21
+    genome = sim.random_genome(1500, seed=11)
+    pr = sim.simulate_paired_reads(genome, coverage=20, read_len=100,
+                                   seed=12)
+    seqs = [s for _, s, _ in pr.reads1] + [s for _, s, _ in pr.reads2]
+    batches = [codes_of(seqs, L=100)]
+    tp = hash_dbg.count_kmers(batches, k)
+    tw = hash_dbg._count_kmers_wide(batches, k)
+    assert not tp.wide and tw.wide
+    assert tp.n == tw.n
+    np.testing.assert_array_equal(np.sort(tp.counts), np.sort(tw.counts))
+    for t in (tp, tw):
+        hash_dbg.build_adjacency(t)
+    cp = sorted(s for s, _ in hash_dbg.assemble(tp))
+    cw = sorted(s for s, _ in hash_dbg.assemble(tw))
+    assert cp == cw
+
+
+def test_wide_full_engine_k96():
+    """E. coli-style config (README.md:259-263 documents k=96): reads
+    with errors through the full phase sequence at k=96."""
+    k = 96
+    genome = sim.random_genome(4000, seed=13)
+    pr = sim.simulate_paired_reads(genome, coverage=40, read_len=150,
+                                   error_rate=0.002, seed=14)
+    seqs = [s for _, s, _ in pr.reads1] + [s for _, s, _ in pr.reads2]
+    batches = [codes_of(seqs[i:i + 512], L=150)
+               for i in range(0, len(seqs), 512)]
+    contigs, t = hash_dbg.assemble_reads(batches, k, kc=3, erode_cov=2)
+    assert t.wide
+    grc = alphabet.revcomp(genome)
+    longest = max(len(s) for s, _ in contigs)
+    assert longest > 0.5 * len(genome)
+    matched = sum(len(s) for s, _ in contigs if s in genome or s in grc)
+    total = sum(len(s) for s, _ in contigs)
+    assert matched > 0.9 * total
+
+
+def test_wide_snapshot_roundtrip(tmp_path):
+    k = 48
+    genome = sim.random_genome(600, seed=15)
+    t = hash_dbg.count_kmers([codes_of([genome])], k)
+    hash_dbg.build_adjacency(t)
+    p = str(tmp_path / "wide.kmer.npz")
+    hash_dbg.save_snapshot(t, p)
+    t2 = hash_dbg.load_snapshot(p)
+    assert t2.wide and t2.k == k
+    c1 = sorted(s for s, _ in hash_dbg.assemble(t))
+    c2 = sorted(s for s, _ in hash_dbg.assemble(t2))
+    assert c1 == c2

@@ -157,3 +157,27 @@ def test_path_consensus_resolves_bubble():
     # consensus keeps the high-coverage arm (contig 1)
     assert node(1, 0) in paths[0]
     assert len(paths[0]) == 3
+
+
+def test_pipeline_exact_engine_wide_k(tmp_path):
+    """Exact engine above the one-word limit (wide fingerprint mode,
+    k=40): full pipeline, scaffolds must cover the genome."""
+    genome = sim.random_genome(8000, seed=401)
+    pr = sim.simulate_paired_reads(genome, coverage=30, read_len=100,
+                                   error_rate=0.001, seed=402)
+    p1, p2 = str(tmp_path / "w1.fq"), str(tmp_path / "w2.fq")
+    pr.write_fastq(p1, p2)
+    params = pe.PipelineParams(
+        name="w", k=40, in_files=[p1, p2], engine="exact",
+        outdir=str(tmp_path), min_pairs=5, verbose=0, batch_size=2048,
+        max_read_len=128)
+    artifacts = pe.run(params)
+    from abyss_tpu.core import alphabet as _a
+    total = 0
+    grc = _a.revcomp(genome)
+    for r in fastx.read_fastx(artifacts["scaffolds"]):
+        total += len(r.seq)
+        for block in r.seq.split("N"):
+            if len(block) >= 200:
+                assert block in genome or block in grc
+    assert total > 0.9 * len(genome)
