@@ -232,6 +232,11 @@ def konnector_main(argv=None):
     ap.add_argument("-P", "--max-paths", type=int, default=2)
     ap.add_argument("--extend", action="store_true",
                     help="extend connected reads outward through the DBG")
+    ap.add_argument("--cascade", type=int, default=0, metavar="L",
+                    help="use an L-level cascading Bloom filter for "
+                         "solidity (the reference konnector's "
+                         "CascadingBloomFilter, Konnector/konnector.cc; "
+                         "solid = seen >= L times)")
     ap.add_argument("-o", "--output-prefix", required=True)
     args = ap.parse_args(argv)
 
@@ -243,8 +248,21 @@ def konnector_main(argv=None):
     params = AssemblyParams(k=args.kmer,
                             bloom_bytes=parse_size(args.bloom_size),
                             min_cov=1)
-    cbf = bloom_dbg.load_filter(
-        io_read_batches([args.reads1, args.reads2], 4096, 512), params)
+    if args.cascade >= 2:
+        from ..ops import nthash
+        from ..ops.bloom import CascadingBloomFilter
+        size = 1 << (max(parse_size(args.bloom_size) // args.cascade,
+                         2).bit_length() - 1)
+        cbf = CascadingBloomFilter.create(size, args.kmer,
+                                          depth=args.cascade)
+        import jax.numpy as jnp
+        for batch in io_read_batches([args.reads1, args.reads2], 4096, 512):
+            _, _, canon, valid = nthash.kmer_hashes(
+                jnp.asarray(batch.codes), args.kmer)
+            cbf = cbf.insert(canon, valid)
+    else:
+        cbf = bloom_dbg.load_filter(
+            io_read_batches([args.reads1, args.reads2], 4096, 512), params)
     r1 = list(fastx.read_fastx(args.reads1))
     r2 = list(fastx.read_fastx(args.reads2))
     pairs = [(a.seq, b.seq) for a, b in zip(r1, r2)]

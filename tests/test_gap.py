@@ -99,3 +99,20 @@ def test_konnector_extend_outward():
     assert len(out[0]) > len(middle) + 200
     grc = alphabet.revcomp(genome)
     assert out[0] in genome or out[0] in grc
+
+
+def test_connect_with_cascading_filter():
+    """CascadingBloomFilter is drop-in for konnector solidity (the
+    reference's Konnector::CascadingBloomFilter path): 2x-inserted
+    genome k-mers are solid at depth 2, and pair connection works."""
+    genome = sim.random_genome(1000, seed=85)
+    f = bloom.CascadingBloomFilter.create(1 << 20, K, depth=2)
+    for _ in range(2):
+        codes = alphabet.encode(genome)[None]
+        _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), K)
+        f = f.insert(canon, valid)
+    r1 = genome[:100]
+    r2 = alphabet.revcomp(genome[300:400])
+    res = konnector.connect_pairs(f, [(r1, r2)], K, max_gap=400)[0]
+    assert res.reason == "CONNECTED", res
+    assert res.seq == genome[:400]
