@@ -137,9 +137,18 @@ def count_main(argv=None):
     for i, (_, s) in enumerate(contigs):
         codes[i, :len(s)] = alphabet.encode(s)
     table = hash_dbg.count_kmers([codes], args.kmer)
-    for km, cnt in zip(table.kmers, table.counts):
-        print(f"{hash_dbg.unpack_kmer(int(km), args.kmer)}\t{int(cnt)}")
+    _print_kmer_table(table, args.kmer)
     return 0
+
+
+def _print_kmer_table(table, k):
+    from ..dbg import hash_dbg
+    if table.wide:  # k > 32: sequence comes from the text side array
+        for row, cnt in zip(table.text, table.counts):
+            print(f"{hash_dbg.unpack_text(row, k)}\t{int(cnt)}")
+    else:
+        for km, cnt in zip(table.kmers, table.counts):
+            print(f"{hash_dbg.unpack_kmer(int(km), k)}\t{int(cnt)}")
 
 
 def dawg_main(argv=None):
@@ -839,8 +848,7 @@ def kmerprint_main(argv=None):
     batches = [b.codes[:b.num_reads]
                for b in read_batches(args.reads, 4096, 512)]
     table = hash_dbg.count_kmers(batches, args.kmer)
-    for km, cnt in zip(table.kmers, table.counts):
-        print(f"{hash_dbg.unpack_kmer(int(km), args.kmer)}\t{int(cnt)}")
+    _print_kmer_table(table, args.kmer)
     return 0
 
 
