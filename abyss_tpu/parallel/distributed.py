@@ -229,7 +229,7 @@ def make_classify_step(mesh: Mesh, k: int, num_hashes: int, size: int,
 
 
 def distributed_count_kmers(mesh: Mesh, batches, k: int,
-                            packed: bool = True):
+                            packed: bool | None = None):
     """Mesh-parallel k-mer counting for the sorted/exact engines.
 
     Counting is embarrassingly parallel over reads: each device
@@ -241,12 +241,16 @@ def distributed_count_kmers(mesh: Mesh, batches, k: int,
 
     `packed=True` counts 2-bit packed canonical k-mers (the exact
     hash-DBG engine's key space, k <= 32); otherwise canonical ntHash
-    values (the sorted-filter key space, any k).
+    values (the sorted-filter / wide-mode key space, any k).  Default:
+    packed for k <= 32, ntHash above.
 
     Returns host arrays (kmers uint64[N] sorted unique, counts int32[N]).
     """
     from ..dbg.hash_dbg import pack_kmers
     from ..ops.sorted_filter import COUNTER_MAX as CMAX, SortedKmerCounter
+
+    if packed is None:
+        packed = k <= 32
 
     n_data = mesh.shape["data"]
 
