@@ -114,10 +114,20 @@ def abyss_main(argv=None):
     finally:
         if out is not sys.stdout:
             out.close()
+    # SNR report (ABYSS/abyss.cc:128-132): assembled vs removed k-mers
+    n_total = int(getattr(table, "n", 0))
+    n_assembled = int(np.asarray(table.alive).sum()) if n_total else 0
+    n_removed = n_total - n_assembled
+    if n_removed > 0 and n_assembled > 0:
+        snr = 10 * np.log10(n_assembled / n_removed)
+        print(f"Removed {n_removed} k-mer.\n"
+              f"The signal-to-noise ratio (SNR) is {snr:.6g} dB.",
+              file=sys.stderr)
     from ..utils.db import open_db
     with open_db(args.db, "assemble", argv) as db:
         db.add("contigs", len(contigs))
-        db.add("kmers", int(getattr(table, "n", 0)))
+        db.add("kmers", n_total)
+        db.add("kmers_assembled", n_assembled)
 
 
 def adjlist_main(argv=None):
