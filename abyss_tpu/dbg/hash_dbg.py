@@ -318,10 +318,17 @@ def _neighbor_probe(kmers, k: int):
         ycan = jnp.minimum(y, yrc)
         rows.append(ycan)
     cand = jnp.stack(rows, axis=1)  # [N, 8]
-    idx = jnp.searchsorted(kmers, cand.reshape(-1)).reshape(N, 8)
-    idx = jnp.minimum(idx, N - 1)
-    hit = kmers[idx] == cand
-    return jnp.where(hit, idx.astype(jnp.int32), -1)
+    return _cand_rows(kmers, cand)
+
+
+def _cand_rows(kmers, cand):
+    """Table row per neighbour candidate (-1 absent) via the gather-free
+    sort join — a bulk searchsorted is ~23 full-array gather passes at
+    8N candidates and stalls/crashes the TPU at multi-million-row
+    tables (sort, don't gather)."""
+    from ..ops.sort_join import join_rows
+    N = cand.shape[0]
+    return join_rows(kmers, cand.reshape(-1)).reshape(N, 8)
 
 
 def _rc_packed(x, k: int):
@@ -356,10 +363,7 @@ def _neighbor_probe_wide(kmers, hr, firstb, lastb, k: int):
         f2, r2 = nthash.roll_left(hf, hr, k, lastb, jnp.uint8(c))
         rows.append(jnp.minimum(f2, r2))
     cand = jnp.stack(rows, axis=1)  # [N, 8]
-    idx = jnp.searchsorted(kmers, cand.reshape(-1)).reshape(N, 8)
-    idx = jnp.minimum(idx, N - 1)
-    hit = kmers[idx] == cand
-    return jnp.where(hit, idx.astype(jnp.int32), -1)
+    return _cand_rows(kmers, cand)
 
 
 def build_adjacency(t: KmerTable) -> KmerTable:

@@ -294,3 +294,53 @@ def join_counts_packed(packed_table, queries):
                      jnp.uint64(0xFFFFFFFFFFFFFFFF))
     sb = jax.lax.sort(back, is_stable=False)
     return (sb[:N] & jnp.uint64(0xFFFF)).astype(jnp.int32)
+
+
+@jax.jit
+def join_rows(table_keys, queries):
+    """Row index in sorted-unique `table_keys` for each query key
+    (-1 when absent) — the gather-free replacement for a bulk
+    `searchsorted` membership probe (adjacency builds probe 8 neighbour
+    candidates per stored k-mer, AdjacencyAlgorithm.h:9-46; at millions
+    of rows the binary search is ~23 full-array gather passes and
+    crashes/stalls the TPU, while this is two sorts + two scans).
+
+    Exact on the FULL 64-bit key (no prefix truncation, no flag-bit
+    stealing — packed k-mer keys may legitimately differ only in bit
+    0): equal-key grouping uses an unstable single-key sort, and the
+    unique table row of each group is propagated to its queries with a
+    forward AND a backward running max, so the tie order between the
+    table row and its queries never matters.
+
+    table_keys: uint64[M] sorted unique; queries: uint64[N] any order.
+    Returns int32[N] aligned with `queries`.
+    """
+    M = table_keys.shape[0]
+    N = queries.shape[0]
+    if M == 0:
+        return jnp.full(N, -1, jnp.int32)
+    keys = jnp.concatenate([jnp.asarray(table_keys, jnp.uint64),
+                            jnp.asarray(queries, jnp.uint64)])
+    # payload: table rows carry (0 | row+1); queries carry (qpos+1) << 32
+    payload = jnp.concatenate([
+        jnp.arange(1, M + 1, dtype=jnp.int64),
+        (jnp.arange(N, dtype=jnp.int64) + 1) << jnp.int64(32)])
+    sk, sp = jax.lax.sort((keys, payload), num_keys=1, is_stable=False)
+
+    start = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    seg = jnp.cumsum(start.astype(jnp.int64))
+    enc = (seg << jnp.int64(32)) | (sp & jnp.int64(0xFFFFFFFF))
+    fwd = running_max(enc)
+    bwd = running_max(
+        (-seg << jnp.int64(32)) | (sp & jnp.int64(0xFFFFFFFF)),
+        reverse=True)
+    row1 = jnp.maximum(
+        jnp.where(fwd >> jnp.int64(32) == seg,
+                  fwd & jnp.int64(0xFFFFFFFF), 0),
+        jnp.where((bwd >> jnp.int64(32)) == -seg,
+                  bwd & jnp.int64(0xFFFFFFFF), 0))
+
+    back = (sp & (jnp.int64(0xFFFFFFFF) << jnp.int64(32))).astype(
+        jnp.uint64) | row1.astype(jnp.uint64)
+    sb = jax.lax.sort(back, is_stable=False)
+    return ((sb[M:] & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32) - 1)

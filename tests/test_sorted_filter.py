@@ -194,3 +194,31 @@ def test_running_scans_match_numpy():
             assert np.array_equal(
                 np.asarray(running_sum(jnp.asarray(x))),
                 np.cumsum(x).astype(dt))
+
+
+def test_join_rows_exact_including_lsb_neighbors():
+    """join_rows must be exact on full 64-bit keys — packed k-mers that
+    differ only in the low bit are distinct table entries (the flag-bit
+    trick of join_counts would alias them)."""
+    import jax.numpy as jnp
+    from abyss_tpu.ops.sort_join import join_rows
+    table = np.array([4, 5, 10, 11, 200], dtype=np.uint64)  # LSB pairs!
+    queries = np.array([5, 4, 11, 10, 200, 7, 0], dtype=np.uint64)
+    rows = np.asarray(join_rows(jnp.asarray(table), jnp.asarray(queries)))
+    assert rows.tolist() == [1, 0, 3, 2, 4, -1, -1]
+
+
+def test_join_rows_random_matches_searchsorted():
+    rng = np.random.default_rng(17)
+    import jax.numpy as jnp
+    from abyss_tpu.ops.sort_join import join_rows
+    table = np.unique(rng.integers(0, 1 << 48, 5000).astype(np.uint64))
+    queries = np.concatenate([
+        rng.choice(table, 3000),
+        rng.integers(0, 1 << 48, 3000).astype(np.uint64)])
+    rng.shuffle(queries)
+    rows = np.asarray(join_rows(jnp.asarray(table), jnp.asarray(queries)))
+    idx = np.searchsorted(table, queries)
+    idx = np.minimum(idx, len(table) - 1)
+    expect = np.where(table[idx] == queries, idx, -1)
+    np.testing.assert_array_equal(rows, expect)
