@@ -44,12 +44,20 @@ def build_main(args) -> int:
     elif args.type == "cascading" or args.levels >= 2:
         # reference `-l N` builds an N-level cascade
         # (Bloom/CascadingBloomFilter.h via Bloom/bloom.cc --levels)
+        num_hashes = args.num_hashes
+        if window is not None and num_hashes != 1:
+            # windowed cascades are single-index (see insert_window)
+            print("note: windowed cascading build forces -H 1 "
+                  "(single-index cascade, CascadingBloomFilter.h)",
+                  file=sys.stderr)
+            num_hashes = 1
         f = bloom_ops.CascadingBloomFilter.create(
-            size, args.kmer, args.num_hashes, depth=max(args.levels, 2))
+            size, args.kmer, num_hashes, depth=max(args.levels, 2))
     else:
         f = bloom_ops.BitBloomFilter.create(size, args.kmer, args.num_hashes)
     for canon, valid in _batches(args.files, args.kmer):
-        if window is not None and isinstance(f, bloom_ops.BitBloomFilter):
+        if window is not None and not isinstance(
+                f, bloom_ops.CountingBloomFilter):
             f = f.insert_window(canon, window[0], window[1], valid)
         else:
             f = f.insert(canon, valid)
@@ -234,7 +242,9 @@ def main(argv=None) -> int:
     b.add_argument("-b", "--bloom-size", default="64M")
     b.add_argument("-H", "--num-hashes", type=int, default=4)
     b.add_argument("-l", "--levels", type=int, default=1,
-                   help=">=2 builds a counting (cascading) filter")
+                   help=">=2 builds an N-level cascading Bloom filter "
+                        "(contains = seen >= N times; use -t counting "
+                        "for min-counter semantics / additive union)")
     b.add_argument("-t", "--type", choices=["bit", "counting", "cascading"],
                    default="bit")
     b.add_argument("-w", "--window", default=None, metavar="i/N",

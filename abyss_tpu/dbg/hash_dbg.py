@@ -233,6 +233,9 @@ def fill_wide_side(t: KmerTable, batches) -> KmerTable:
     k, kmers, N = t.k, t.kmers, t.n
     hr = np.zeros(N, np.uint64)
     text = np.zeros((N, (k + 3) // 4), np.uint8)
+    if N == 0:
+        t.hr, t.text = hr, text
+        return t
     filled = np.zeros(N, bool)
     for codes in batches:
         codes_np = np.asarray(codes, np.uint8)
@@ -317,18 +320,22 @@ def _neighbor_probe(kmers, k: int):
         yrc = _rc_packed(y, k)
         ycan = jnp.minimum(y, yrc)
         rows.append(ycan)
-    cand = jnp.stack(rows, axis=1)  # [N, 8]
-    return _cand_rows(kmers, cand)
+    return _cand_rows(kmers, rows)
 
 
-def _cand_rows(kmers, cand):
+def _cand_rows(kmers, cand_list):
     """Table row per neighbour candidate (-1 absent) via the gather-free
     sort join — a bulk searchsorted is ~23 full-array gather passes at
     8N candidates and stalls/crashes the TPU at multi-million-row
-    tables (sort, don't gather)."""
+    tables (sort, don't gather).
+
+    Shapes stay flat / [8, N] on device: a [N, 8] array is
+    (8,128)-tile-padded 16x on TPU (measured: 8.7 GB for a 559 MB
+    array — instant OOM at 4.6M-row tables).  The host transposes.
+    """
     from ..ops.sort_join import join_rows
-    N = cand.shape[0]
-    return join_rows(kmers, cand.reshape(-1)).reshape(N, 8)
+    flat = jnp.concatenate(cand_list)       # [8N], one block per direction
+    return join_rows(kmers, flat).reshape(8, -1)
 
 
 def _rc_packed(x, k: int):
@@ -362,8 +369,7 @@ def _neighbor_probe_wide(kmers, hr, firstb, lastb, k: int):
     for c in range(4):
         f2, r2 = nthash.roll_left(hf, hr, k, lastb, jnp.uint8(c))
         rows.append(jnp.minimum(f2, r2))
-    cand = jnp.stack(rows, axis=1)  # [N, 8]
-    return _cand_rows(kmers, cand)
+    return _cand_rows(kmers, rows)
 
 
 def build_adjacency(t: KmerTable) -> KmerTable:
@@ -373,11 +379,12 @@ def build_adjacency(t: KmerTable) -> KmerTable:
         return t
     if t.wide:
         firstb, lastb = t.end_bases()
-        t.nbr = np.asarray(_neighbor_probe_wide(
+        t.nbr = np.ascontiguousarray(np.asarray(_neighbor_probe_wide(
             jnp.asarray(t.kmers), jnp.asarray(t.hr),
-            jnp.asarray(firstb), jnp.asarray(lastb), t.k))
+            jnp.asarray(firstb), jnp.asarray(lastb), t.k)).T)
         return t
-    t.nbr = np.asarray(_neighbor_probe(jnp.asarray(t.kmers), t.k))
+    t.nbr = np.ascontiguousarray(
+        np.asarray(_neighbor_probe(jnp.asarray(t.kmers), t.k)).T)
     return t
 
 

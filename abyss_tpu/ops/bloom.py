@@ -38,9 +38,34 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import nthash
-from .scan import running_max
-
 COUNTER_MAX = 255  # uint8 saturation, cf. CountingBloomFilter.hpp counter type
+
+
+_SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _sorted_run_lengths(canon, mask=None):
+    """Sort + run-length-encode a hash batch (device, scan-only — a
+    segment_sum would be a scatter, ~30x slower on TPU).
+
+    Returns (sorted values, run length at each run start, start mask);
+    masked lanes go to a sentinel excluded from the start mask.
+    """
+    from .scan import running_min
+    canon = jnp.asarray(canon, jnp.uint64).reshape(-1)
+    if mask is not None:
+        canon = jnp.where(jnp.asarray(mask).reshape(-1), canon, _SENTINEL)
+    s = jnp.sort(canon, stable=False)
+    n = s.shape[0]
+    start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    last = jnp.concatenate([s[:-1] != s[1:], jnp.ones((1,), bool)])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    end_pos = running_min(jnp.where(last, pos, jnp.int32(n)), reverse=True)
+    counts = jnp.where(start, end_pos - pos + 1, 0)
+    valid = start
+    if mask is not None:
+        valid = valid & (s != _SENTINEL)
+    return s, counts, valid
 
 
 def _check_pow2(size: int) -> int:
@@ -114,28 +139,7 @@ class CountingBloomFilter:
         conservative batched update.  Deterministic and batch-order
         invariant.
         """
-        canon = jnp.asarray(canon, jnp.uint64).reshape(-1)
-        if mask is not None:
-            mask = jnp.asarray(mask).reshape(-1)
-            # send masked lanes to a sentinel that sorts last
-            canon = jnp.where(mask, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-        s = jnp.sort(canon, stable=False)
-        # run starts
-        start = jnp.concatenate(
-            [jnp.ones((1,), bool), s[1:] != s[:-1]])
-        # count of each run at its start position: next start index - mine
-        pos = jnp.arange(s.shape[0])
-        start_pos = jnp.where(start, pos, -1)
-        # for each position, index of run start (cummax)
-        run_start = running_max(start_pos)
-        # run length for starts = (next_start or N) - start
-        # compute via segment trick: count elements per run start
-        ones = jnp.ones_like(pos)
-        run_len = jax.ops.segment_sum(
-            ones, run_start, num_segments=s.shape[0])
-        valid = start
-        if mask is not None:
-            valid = valid & (s != jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        s, run_len, valid = _sorted_run_lengths(canon, mask)
         return self.insert_counts(s, run_len, mask=valid)
 
     @jax.jit
@@ -298,19 +302,7 @@ class CascadingBloomFilter:
     def insert(self, canon, mask=None) -> "CascadingBloomFilter":
         """Insert a batch (duplicates allowed); each occurrence promotes
         its key one level, saturating at the cascade depth."""
-        canon = jnp.asarray(canon, jnp.uint64).reshape(-1)
-        if mask is not None:
-            mask = jnp.asarray(mask).reshape(-1)
-            canon = jnp.where(mask, canon, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-        s = jnp.sort(canon, stable=False)
-        start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-        pos = jnp.arange(s.shape[0])
-        run_start = running_max(jnp.where(start, pos, -1))
-        run_len = jax.ops.segment_sum(
-            jnp.ones_like(pos), run_start, num_segments=s.shape[0])
-        valid = start
-        if mask is not None:
-            valid = valid & (s != jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        s, run_len, valid = _sorted_run_lengths(canon, mask)
         idx = self._indices(s, valid)            # [N, H]
         new_level = jnp.minimum(
             self._level_of(idx) + run_len, self.depth)  # [N]
@@ -321,6 +313,32 @@ class CascadingBloomFilter:
             levels = levels.at[i, li].max(jnp.uint8(1), mode="drop")
         levels = levels.at[:, self.size].set(0)
         return self._replace(levels=levels)
+
+    def insert_window(self, canon, start: int, end: int,
+                      mask=None) -> "CascadingBloomFilter":
+        """Windowed shard build (Bloom/CascadingBloomFilterWindow.h /
+        abyss-bloom-dist.mk): process only keys whose hash index falls
+        in [start, end).
+
+        Requires num_hashes == 1: the reference cascade addresses ONE
+        bit per key per level (`Bloom::hash(key) % size`,
+        Bloom/CascadingBloomFilter.h:87-90), so each key's whole
+        cascade state lives in exactly one window — which is what makes
+        shard builds bit-exact under OR `union`.  With H > 1 a key's
+        bits would span windows and promotion would stall.
+        """
+        if self.num_hashes != 1:
+            raise ValueError(
+                "windowed cascading builds require num_hashes=1 (the "
+                "reference's single-index cascade)")
+        from . import nthash
+        canon = jnp.asarray(canon, jnp.uint64)
+        hs = nthash.multi_hashes(canon, self.k, 1)[..., 0]
+        idx = (hs & jnp.uint64(self.size - 1)).astype(jnp.int32)
+        own = (idx >= start) & (idx < end)
+        if mask is not None:
+            own = own & jnp.asarray(mask)
+        return self.insert(canon, own)
 
     @jax.jit
     def count(self, canon, mask=None):
@@ -349,8 +367,12 @@ def union(a, b):
                         b.counters.astype(jnp.int32), COUNTER_MAX)
         return a._replace(counters=s.astype(jnp.uint8))
     if isinstance(a, CascadingBloomFilter):
-        # level-wise OR: conservative, matches the windowed-shard merge
-        # of abyss-bloom-dist.mk for cascades built on disjoint windows
+        # Level-wise OR — exact for WINDOW-sharded builds (each shard
+        # saw all reads, insert_window: disjoint index ownership).  For
+        # filters built from disjoint READ sets this undercounts: a key
+        # seen once on each of two shards ORs to level 1, not 2 — split
+        # multiplicity across shards needs the counting filter's
+        # additive union instead.
         return a._replace(levels=jnp.maximum(a.levels, b.levels))
     return a.union(b)
 

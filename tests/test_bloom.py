@@ -192,3 +192,38 @@ def test_cascading_save_load_union(tmp_path):
     v = bloom.load_filter(p)
     assert isinstance(v, bloom.CascadingBloomFilter)
     assert np.asarray(v.contains(ka)).all() and v.depth == 2
+
+
+def test_cascading_windowed_union_matches_single_shot():
+    """Window-sharded cascade builds OR-merge to the single-shot filter
+    (CascadingBloomFilterWindow.h semantics: single-index cascade, each
+    key's state lives in one window)."""
+    k = 11
+    rng = np.random.default_rng(21)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 400))
+    canon, valid = kmer_canon(seq, k)
+    canon = np.concatenate([canon[valid], canon[valid][::2]])
+    size = 1 << 14
+    single = bloom.CascadingBloomFilter.create(size, k, num_hashes=1,
+                                               depth=2)
+    single = single.insert(jnp.asarray(canon))
+    merged = None
+    nw = 4
+    for i in range(nw):
+        shard = bloom.CascadingBloomFilter.create(size, k, num_hashes=1,
+                                                  depth=2)
+        shard = shard.insert_window(jnp.asarray(canon), i * size // nw,
+                                    (i + 1) * size // nw)
+        merged = shard if merged is None else bloom.union(merged, shard)
+    np.testing.assert_array_equal(np.asarray(single.levels),
+                                  np.asarray(merged.levels))
+
+
+def test_cascading_window_requires_single_hash():
+    f = bloom.CascadingBloomFilter.create(1 << 14, 9, num_hashes=4)
+    try:
+        f.insert_window(jnp.asarray(np.array([1], np.uint64)), 0, 100)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError for H>1 windowed build")
