@@ -38,38 +38,72 @@ class KmerIndex:
     names: list
     lengths: list
 
+    CHUNK = 1 << 18  # fixed device shape for index hashing
+
     @staticmethod
     def build(contigs: list[tuple[str, str]], k: int) -> "KmerIndex":
-        hs, cid, pos, isf = [], [], [], []
-        for i, (name, seq) in enumerate(contigs):
-            if len(seq) < k:
-                continue
-            codes = alphabet.encode(seq)[None]
-            f, r, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), k)
-            f = np.asarray(f)[0]
-            canon_np = np.asarray(canon)[0]
-            v = np.asarray(valid)[0]
-            idx = np.nonzero(v)[0]
-            hs.append(canon_np[idx])
-            cid.append(np.full(len(idx), i, np.int32))
-            pos.append(idx.astype(np.int32))
-            isf.append((f == canon_np)[idx])
-        if hs:
-            hs = np.concatenate(hs)
-            cid = np.concatenate(cid)
-            pos = np.concatenate(pos)
-            isf = np.concatenate(isf)
+        """Hash all contigs in FIXED-SHAPE chunks of one concatenated
+        code array (separator code 4 invalidates cross-contig windows).
+
+        Hashing each contig separately would trace/compile one program
+        per distinct contig LENGTH — thousands of XLA compiles on a
+        multi-k-contig assembly (measured: the mapping stage of a
+        4.6 Mb run never finished).  Chunked, it is ~20 calls of one
+        compiled shape; window -> (contig, offset) mapping is host-side
+        numpy over the boundary array.
+        """
+        C = KmerIndex.CHUNK
+        keep = [(n, s) for n, s in contigs if len(s) >= k]
+        if keep:
+            parts = []
+            starts = []  # global start of each contig's bases
+            g = 0
+            for n, s in keep:
+                starts.append(g)
+                parts.append(alphabet.encode(s))
+                parts.append(np.full(1, 4, np.uint8))  # separator
+                g += len(s) + 1
+            big = np.concatenate(parts)
+            starts = np.asarray(starts, np.int64)
+            ends = starts + np.asarray([len(s) for _, s in keep],
+                                       np.int64)
+            hs_l, gpos_l, isf_l = [], [], []
+            step = C - k + 1
+            for lo in range(0, len(big), step):
+                chunk = big[lo:lo + C]
+                if len(chunk) < C:
+                    chunk = np.concatenate(
+                        [chunk, np.full(C - len(chunk), 4, np.uint8)])
+                f, r, canon, valid = nthash.kmer_hashes(
+                    jnp.asarray(chunk[None]), k)
+                v = np.asarray(valid)[0]
+                idx = np.nonzero(v)[0]
+                hs_l.append(np.asarray(canon)[0][idx])
+                isf_l.append((np.asarray(f)[0] == np.asarray(canon)[0])[idx])
+                gpos_l.append(lo + idx)
+            hs = np.concatenate(hs_l)
+            gpos = np.concatenate(gpos_l)
+            isf = np.concatenate(isf_l)
+            cid = (np.searchsorted(starts, gpos, "right") - 1).astype(
+                np.int32)
+            # windows spanning a separator are already invalid, but a
+            # window may start past its contig's end (inside a later
+            # short gap) — guard:
+            ok = gpos + k <= ends[cid]
+            hs, gpos, isf, cid = hs[ok], gpos[ok], isf[ok], cid[ok]
+            pos = (gpos - starts[cid]).astype(np.int32)
         else:
             hs = np.zeros(0, np.uint64)
             cid = pos = np.zeros(0, np.int32)
             isf = np.zeros(0, bool)
         order = np.argsort(hs, kind="stable")
+        # cid indexes the >=k subset: report names/lengths of that subset
         return KmerIndex(
             k=k, hashes=jnp.asarray(hs[order]),
             contig=jnp.asarray(cid[order]), pos=jnp.asarray(pos[order]),
             is_fwd=jnp.asarray(isf[order]),
-            names=[n for n, _ in contigs],
-            lengths=[len(s) for _, s in contigs])
+            names=[n for n, s in contigs if len(s) >= k],
+            lengths=[len(s) for _, s in contigs if len(s) >= k])
 
 
 @dataclass

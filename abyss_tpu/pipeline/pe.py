@@ -45,8 +45,9 @@ class PipelineParams:
     in_files: list = field(default_factory=list)
     # unitig engine: "bloom" = read-seeded extension walks over the solid
     # k-mer structure (reference bloom-dbg semantics, any k); "exact" =
-    # sorted-table DBG with pointer-doubling assembly (k <= 32; the TPU
-    # fast path, SURVEY.md ABYSS engine)
+    # sorted-table DBG with pointer-doubling assembly (the TPU fast
+    # path, SURVEY.md ABYSS engine; k <= 32 packed, k > 32 via the wide
+    # ntHash-fingerprint mode)
     engine: str = "bloom"
     bloom_bytes: int = 64 << 20
     kc: int = 2
