@@ -150,10 +150,10 @@ def kmers_main(args) -> int:
         if len(seq) < k:
             continue
         from ..core import alphabet
-        codes = alphabet.encode(seq)[None, :]
-        _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), k)
-        hit = np.asarray(f.contains(canon, valid))[0]
-        valid_np = np.asarray(valid)[0]
+        codes = alphabet.encode(seq)
+        _, _, canon, valid = nthash.kmer_hashes_padded(codes, k)
+        hit = np.asarray(f.contains(canon, valid))
+        valid_np = np.asarray(valid)
         for i in range(len(seq) - k + 1):
             if not valid_np[i]:
                 continue
@@ -177,9 +177,9 @@ def trim_main(args) -> int:
         seq = rec.seq.upper()
         if len(seq) < k:
             continue
-        codes = alphabet.encode(seq)[None, :]
-        _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), k)
-        hit = np.asarray(f.contains(canon, valid))[0]
+        codes = alphabet.encode(seq)
+        _, _, canon, valid = nthash.kmer_hashes_padded(codes, k)
+        hit = np.asarray(f.contains(canon, valid))
         nk = len(seq) - k + 1
         best_len = best_start = cur_len = cur_start = 0
         for i in range(nk):
@@ -211,9 +211,11 @@ def graph_main(args) -> int:
     kmers: set[str] = set()
     for rec in fastx.read_fastx(args.query):
         seq = rec.seq.upper()
-        codes = alphabet.encode(seq)[None, :]
-        _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), k)
-        hit = np.asarray(f.contains(canon, valid))[0]
+        if len(seq) < k:
+            continue
+        codes = alphabet.encode(seq)
+        _, _, canon, valid = nthash.kmer_hashes_padded(codes, k)
+        hit = np.asarray(f.contains(canon, valid))
         for i in range(len(seq) - k + 1):
             if hit[i]:
                 km = seq[i:i + k]

@@ -295,22 +295,17 @@ class Assembler:
         if not seqs:
             return
         k = self.params.k
-        total = sum(len(s) - k + 1 for s in seqs)
-        pad = 1 << max(total - 1, 1).bit_length()
-        canon = np.zeros(pad, np.uint64)
-        n = 0
-        for s in seqs:
-            _, _, c, _ = nthash.kmer_hashes(jnp.asarray(s[None]), k)
-            c = np.asarray(c)[0]
-            canon[n:n + len(c)] = c
-            n += len(c)
-        mask = np.arange(pad) < n
-        self.visited = self.visited.insert(jnp.asarray(canon),
-                                           jnp.asarray(mask))
+        # one padded hash call over the separator-joined contigs:
+        # per-contig hashing would compile one program per distinct
+        # contig length (code 4 separators invalidate joint windows)
+        joined = np.concatenate(
+            [x for s in seqs for x in (s, np.full(1, 4, np.uint8))])
+        _, _, canon, valid = nthash.kmer_hashes_padded(joined, k)
+        self.visited = self.visited.insert(canon, valid)
 
     def _coverage(self, seq: np.ndarray) -> int:
-        _, _, c, _ = nthash.kmer_hashes(jnp.asarray(seq[None]), self.params.k)
-        return int(np.asarray(self.cbf.count(c)).sum())
+        _, _, c, v = nthash.kmer_hashes_padded(seq, self.params.k)
+        return int(np.asarray(self.cbf.count(c, v)).sum())
 
     def process_batch(self, batch: fastx.ReadBatch) -> list[Contig]:
         """Assemble one read batch; returns newly emitted contigs."""
@@ -383,8 +378,9 @@ class Assembler:
                     self.contig_end_kmers.add(k1)
                     self.contig_end_kmers.add(k2)
                 else:
-                    _, _, c, _ = nthash.kmer_hashes(jnp.asarray(seq[None]), k)
-                    if np.asarray(self.visited.contains(c)).all():
+                    _, _, c, v = nthash.kmer_hashes_padded(seq, k)
+                    hit = np.asarray(self.visited.contains(c, v))
+                    if hit[np.asarray(v)].all():
                         continue
                 emitted.append(seq)
                 out.append(Contig(self.counters.contig_id,

@@ -38,9 +38,11 @@ class ConnectResult:
 
 
 def _solid_kmer(cbf, codes: np.ndarray, k: int, from_end: bool):
-    """Index of the first/last solid k-mer window of a read, or -1."""
-    _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes[None]), k)
-    solid = np.asarray(cbf.contains(canon, valid))[0]
+    """Index of the first/last solid k-mer window of a read, or -1.
+    Padded device shapes: per-length tracing would compile one program
+    per distinct read length."""
+    _, _, canon, valid = nthash.kmer_hashes_padded(codes, k)
+    solid = np.asarray(cbf.contains(canon, valid))
     idx = np.nonzero(solid)[0]
     if not len(idx):
         return -1

@@ -316,3 +316,25 @@ def roll_left(f, r, k: int, c_out, c_in):
                ^ jnp.take(ftab_k, c_in) ^ jnp.take(ftab, c_out))
     r2 = srol(r, 1) ^ jnp.take(rtab, c_in) ^ jnp.take(rtab_k, c_out)
     return f2, r2
+
+
+def kmer_hashes_padded(codes_1d, k: int):
+    """Hash ONE variable-length sequence with a power-of-two padded
+    device shape, so repeated calls compile O(log max_len) programs
+    instead of one per distinct length (per-length tracing made the
+    4.6 Mb pipeline's per-contig hashing unboundedly slow; padding code
+    4 invalidates the padded windows).
+
+    Returns (fwd, rev, canon, valid) numpy arrays of the PADDED window
+    count — callers keep the padded shape through downstream jitted
+    filter calls (otherwise those retrace per length) and mask with
+    `valid`, which is False for every padded window.
+    """
+    import numpy as np
+    codes_1d = np.asarray(codes_1d, np.uint8).reshape(-1)
+    n = codes_1d.shape[0]
+    P = max(1 << max(n - 1, 1).bit_length(), 64)
+    buf = np.full(P, 4, np.uint8)
+    buf[:n] = codes_1d
+    f, r, canon, valid = kmer_hashes(jnp.asarray(buf[None]), k)
+    return f[0], r[0], canon[0], valid[0]

@@ -46,11 +46,13 @@ def contig_breakpoints(genome: str | list[tuple[str, str]],
         stats.total_bases += len(seq)
         if len(seq) < k:
             continue
-        codes = alphabet.encode(seq)[None]
-        f, r, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), k)
-        canon_np = np.asarray(canon)[0]
-        read_fwd = np.asarray(f == canon)[0]
-        valid_np = np.asarray(valid)[0]
+        codes = alphabet.encode(seq)
+        # padded shapes: one compile per power-of-two length bucket
+        f, r, canon, valid = nthash.kmer_hashes_padded(codes, k)
+        W = len(seq) - k + 1
+        canon_np = np.asarray(canon)[:W]
+        read_fwd = np.asarray(f == canon)[:W]
+        valid_np = np.asarray(valid)[:W]
         N = index.hashes.shape[0]
         base = np.asarray(jnp.searchsorted(index.hashes,
                                            jnp.asarray(canon_np)))
