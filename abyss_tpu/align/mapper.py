@@ -139,23 +139,27 @@ def _vote_kernel(index_arrays, batch, k: int):
     B, W = canon.shape
     N = hashes.shape[0]
 
+    # DUP axis LEADS: a [B, W, DUP] layout tile-pads the 4-wide minor
+    # dimension to 128 lanes (32x HBM blowup — OOM at 8K-read batches);
+    # [DUP, B, W] pads only W -> 128.
     base = jnp.searchsorted(hashes, canon.reshape(-1)).reshape(B, W)
-    cand = base[..., None] + jnp.arange(DUP)[None, None, :]
+    cand = base[None] + jnp.arange(DUP)[:, None, None]
     cand = jnp.minimum(cand, max(N - 1, 0))
-    hit = (hashes[cand] == canon[..., None]) & valid[..., None] & (N > 0)
+    hit = (hashes[cand] == canon[None]) & valid[None] & (N > 0)
 
     c_contig = contig[cand]
     c_pos = pos[cand]
     c_fwd = is_fwd[cand]
-    w = jnp.arange(W, dtype=jnp.int32)[None, :, None]
-    strand = (c_fwd != read_fwd[..., None]).astype(jnp.int64)
+    w = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    strand = (c_fwd != read_fwd[None]).astype(jnp.int64)
     diag = jnp.where(strand == 0, c_pos - w, c_pos + w)
     key = (((c_contig.astype(jnp.int64) << 1) | strand) << 22) \
         + diag + DIAG_OFF
     key = jnp.where(hit, key, jnp.int64(-1))
 
     # vote: sort keys per read, run-length encode, take the mode
-    flat = jnp.sort(key.reshape(B, W * DUP), axis=1, stable=False)
+    flat = jnp.sort(key.transpose(1, 0, 2).reshape(B, W * DUP),
+                    axis=1, stable=False)
     M = W * DUP
     start = jnp.concatenate(
         [jnp.ones((B, 1), bool), flat[:, 1:] != flat[:, :-1]], axis=1)
@@ -176,11 +180,11 @@ def _vote_kernel(index_arrays, batch, k: int):
     run_len2 = jnp.where(flat == best_key[:, None], 0, run_len)
     second_count = jnp.max(run_len2, axis=1)
 
-    # seed span in read coordinates for the winning key
-    is_best = (key == best_key[:, None, None]) & hit
+    # seed span in read coordinates for the winning key ([DUP, B, W])
+    is_best = (key == best_key[None, :, None]) & hit
     wb = jnp.broadcast_to(w, key.shape)
-    qstart = jnp.min(jnp.where(is_best, wb, W), axis=(1, 2))
-    qend = jnp.max(jnp.where(is_best, wb, -1), axis=(1, 2)) + k
+    qstart = jnp.min(jnp.where(is_best, wb, W), axis=(0, 2))
+    qend = jnp.max(jnp.where(is_best, wb, -1), axis=(0, 2)) + k
 
     return best_key, best_count, second_count, qstart, qend
 
