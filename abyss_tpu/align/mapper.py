@@ -97,11 +97,23 @@ class KmerIndex:
             cid = pos = np.zeros(0, np.int32)
             isf = np.zeros(0, bool)
         order = np.argsort(hs, kind="stable")
+        hs, cid, pos, isf = hs[order], cid[order], pos[order], isf[order]
+        # pad to a power of two: the vote kernel retraces per index
+        # LENGTH, and every pipeline stage has a different contig count
+        # — unpadded, each stage pays a full remote XLA compile.
+        # Sentinel 0xFF..F sorts last and never equals a real hash.
+        P = max(1 << max(len(hs) - 1, 1).bit_length(), 1024)
+        padn = P - len(hs)
+        hs = np.concatenate(
+            [hs, np.full(padn, np.uint64(0xFFFFFFFFFFFFFFFF))])
+        cid = np.concatenate([cid, np.zeros(padn, np.int32)])
+        pos = np.concatenate([pos, np.zeros(padn, np.int32)])
+        isf = np.concatenate([isf, np.zeros(padn, bool)])
         # cid indexes the >=k subset: report names/lengths of that subset
         return KmerIndex(
-            k=k, hashes=jnp.asarray(hs[order]),
-            contig=jnp.asarray(cid[order]), pos=jnp.asarray(pos[order]),
-            is_fwd=jnp.asarray(isf[order]),
+            k=k, hashes=jnp.asarray(hs),
+            contig=jnp.asarray(cid), pos=jnp.asarray(pos),
+            is_fwd=jnp.asarray(isf),
             names=[n for n, s in contigs if len(s) >= k],
             lengths=[len(s) for _, s in contigs if len(s) >= k])
 
@@ -201,7 +213,12 @@ class KmerAligner:
     def align_batch(self, codes: np.ndarray, lengths: np.ndarray,
                     ids: list[str]) -> list[Alignment | None]:
         """Align a padded [B, L] read batch; one best alignment per read
-        (None if unmapped/ambiguous)."""
+        (None if unmapped/ambiguous).
+
+        Pass the FULL fixed-shape batch (padding rows included) — only
+        the first len(ids) results are returned.  Slicing to num_reads
+        would retrace the kernel per distinct batch fill.
+        """
         idx_arrays = (self.index.hashes, self.index.contig, self.index.pos,
                       self.index.is_fwd)
         best_key, count, second, qstart, qend = jax.device_get(

@@ -79,8 +79,8 @@ def _stream_alignments(p, contigs, read_files, k, batch_size=4096,
     from ..io import read_batches
     al = KmerAligner(contigs, k=k)
     for batch in read_batches(read_files, batch_size, max_len, q=q):
-        yield from al.align_batch(batch.codes[:batch.num_reads],
-                                  batch.lengths[:batch.num_reads],
+        yield from al.align_batch(batch.codes,
+                                  batch.lengths,
                                   batch.ids)
 
 
@@ -706,8 +706,8 @@ def consensus_main(argv=None):
     pile = Pileup(contigs)
     al = KmerAligner(contigs, k=args.seed_length)
     for batch in read_batches(args.reads, 4096, 512):
-        alns = al.align_batch(batch.codes[:batch.num_reads],
-                              batch.lengths[:batch.num_reads], batch.ids)
+        alns = al.align_batch(batch.codes,
+                              batch.lengths, batch.ids)
         for i, a in enumerate(alns):
             if a is None:
                 continue
@@ -991,8 +991,8 @@ def tigmint_main(argv=None):
     al = KmerAligner(contigs, k=args.seed_length)
     alns, barcodes = [], {}
     for batch in read_batches(args.reads, 4096, 512):
-        alns.extend(al.align_batch(batch.codes[:batch.num_reads],
-                                   batch.lengths[:batch.num_reads],
+        alns.extend(al.align_batch(batch.codes,
+                                   batch.lengths,
                                    batch.ids))
         for rid, c in zip(batch.ids, batch.comments or []):
             bc = lr.barcode_of(c)
@@ -1031,8 +1031,8 @@ def arcs_main(argv=None):
     al = KmerAligner(contigs, k=args.seed_length)
     alns, barcodes = [], {}
     for batch in read_batches(args.reads, 4096, 512):
-        alns.extend(al.align_batch(batch.codes[:batch.num_reads],
-                                   batch.lengths[:batch.num_reads],
+        alns.extend(al.align_batch(batch.codes,
+                                   batch.lengths,
                                    batch.ids))
         for rid, c in zip(batch.ids, batch.comments or []):
             bc = lr.barcode_of(c)

@@ -273,8 +273,8 @@ def _map_all(p: PipelineParams, target_fa: str):
     all_alns = []
     for batch in io_read_batches(p.in_files, p.batch_size,
                                     p.max_read_len, q=p.q):
-        alns = al.align_batch(batch.codes[:batch.num_reads],
-                              batch.lengths[:batch.num_reads], batch.ids)
+        alns = al.align_batch(batch.codes,
+                              batch.lengths, batch.ids)
         all_alns.extend(alns)
     return fixmate.fixmate(all_alns)
 
@@ -452,8 +452,8 @@ def _map_all_files(p: PipelineParams, target_fa: str, files):
     all_alns = []
     for batch in io_read_batches(files, p.batch_size, p.max_read_len,
                                  q=p.q):
-        alns = al.align_batch(batch.codes[:batch.num_reads],
-                              batch.lengths[:batch.num_reads], batch.ids)
+        alns = al.align_batch(batch.codes,
+                              batch.lengths, batch.ids)
         all_alns.extend(alns)
     return fixmate.fixmate(all_alns)
 

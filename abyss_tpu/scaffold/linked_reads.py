@@ -199,8 +199,8 @@ def rescaffold_linked(contigs: list[tuple[str, str]], read_files,
         alns = []
         barcodes = {}
         for batch in read_batches(read_files, batch_size, max_read_len):
-            res = al.align_batch(batch.codes[:batch.num_reads],
-                                 batch.lengths[:batch.num_reads],
+            res = al.align_batch(batch.codes,
+                                 batch.lengths,
                                  batch.ids)
             alns.extend(res)
             for rid, comment in zip(batch.ids, batch.comments or []):
