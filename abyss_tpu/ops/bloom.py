@@ -41,7 +41,9 @@ from . import nthash
 COUNTER_MAX = 255  # uint8 saturation, cf. CountingBloomFilter.hpp counter type
 
 
-_SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+# np (not jnp): a module-level jnp constant would initialize the JAX
+# backend at import time, which breaks dryrun_multichip's CPU override.
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _sorted_run_lengths(canon, mask=None):

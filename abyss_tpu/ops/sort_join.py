@@ -29,6 +29,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .scan import running_max
 
@@ -99,9 +100,11 @@ def join_contains(table_keys, table_counts, queries, threshold: int):
 # the max count (conservative, like the Bloom filter's union bound).
 
 PREFIX_SHIFT = 24
-FLAG_BIT = jnp.uint64(1 << 23)
-IDX_MASK = jnp.uint64((1 << 23) - 1)
-COUNT_MASK = jnp.uint64((1 << 15) - 1)
+# np (not jnp): module-level jnp constants would initialize the JAX
+# backend at import time (breaks dryrun_multichip's CPU override).
+FLAG_BIT = np.uint64(1 << 23)
+IDX_MASK = np.uint64((1 << 23) - 1)
+COUNT_MASK = np.uint64((1 << 15) - 1)
 
 
 def pack_table(table_keys, table_counts):
