@@ -36,31 +36,32 @@ def nw_traceback(a: np.ndarray, b: np.ndarray, match: int = 1,
     like the reference's overlap consensus mode."""
     n, m = len(a), len(b)
     score = np.zeros((n + 1, m + 1), np.int32)
-    ptr = np.zeros((n + 1, m + 1), np.uint8)  # 0 diag, 1 up (gap in b), 2 left
     score[:, 0] = np.arange(n + 1) * gap
     score[0, :] = 0 if free_ends else np.arange(m + 1) * gap
-    ptr[1:, 0] = 1
-    ptr[0, 1:] = 2
     sub = np.where(a[:, None] == b[None, :], match, mismatch)
+    # Row recurrence: cur[j] = max(diag[j-1], prev[j]+gap, cur[j-1]+gap).
+    # The cur[j-1]+gap term is a max-prefix-scan (see nw.nw_score_np), so
+    # each row is pure vector ops; pointers are recomputed from the score
+    # matrix during traceback (diag > up > left priority, matching the
+    # original cell-by-cell argmax order).
+    off = np.arange(m + 1) * (-gap)
+    best = np.empty(m + 1, np.int32)
     for i in range(1, n + 1):
-        diag = score[i - 1, :-1] + sub[i - 1]
-        for j in range(1, m + 1):
-            d = diag[j - 1]
-            u = score[i - 1, j] + gap
-            left = score[i, j - 1] + gap
-            best = d
-            p = 0
-            if u > best:
-                best, p = u, 1
-            if left > best:
-                best, p = left, 2
-            score[i, j] = best
-            ptr[i, j] = p
+        prev = score[i - 1]
+        best[0] = score[i, 0]
+        np.maximum(prev[:-1] + sub[i - 1], prev[1:] + gap, out=best[1:])
+        score[i] = np.maximum.accumulate(best + off) - off
     # traceback
     ra, rb = [], []
     i, j = n, m
     while i > 0 or j > 0:
-        p = ptr[i, j]
+        if i > 0 and j > 0 and \
+                score[i, j] == score[i - 1, j - 1] + sub[i - 1, j - 1]:
+            p = 0
+        elif i > 0 and score[i, j] == score[i - 1, j] + gap:
+            p = 1
+        else:
+            p = 2
         if i > 0 and j > 0 and p == 0:
             ra.append(a[i - 1])
             rb.append(b[j - 1])

@@ -23,14 +23,17 @@ def nw_score_np(a: np.ndarray, b: np.ndarray, match: int = 1,
     """Host NW score between two code arrays (no traceback)."""
     la, lb = len(a), len(b)
     prev = np.arange(lb + 1) * gap
+    off = np.arange(lb + 1) * (-gap)  # gap < 0: -gap > 0
     for i in range(1, la + 1):
-        cur = np.empty(lb + 1, prev.dtype)
-        cur[0] = i * gap
         sub = prev[:-1] + np.where(b == a[i - 1], match, mismatch)
-        # running maximum with gap moves requires a scan; do it simply
-        for j in range(1, lb + 1):
-            cur[j] = max(sub[j - 1], prev[j] + gap, cur[j - 1] + gap)
-        prev = cur
+        # cur[j] = max(sub[j-1], prev[j]+gap, cur[j-1]+gap) is a
+        # max-prefix-scan in disguise: with best[j] = the non-gap-row
+        # candidate, cur[j] = max_{m<=j}(best[m] + (j-m)*gap)
+        #            = maximum.accumulate(best - j*gap)[j] + j*gap.
+        best = np.empty(lb + 1, prev.dtype)
+        best[0] = i * gap
+        np.maximum(sub, prev[1:] + gap, out=best[1:])
+        prev = np.maximum.accumulate(best + off) - off
     return int(prev[lb])
 
 
@@ -47,12 +50,13 @@ def nw_identity_np(sa: str, sb: str) -> float:
         return 0.0
     prev = np.zeros(lb + 1, np.int32)
     for i in range(1, la + 1):
+        # cur[j] = max(prev[j-1]+eq[j-1], prev[j], cur[j-1]): with zero
+        # gap cost the cur[j-1] term is a plain running max.
         cur = np.empty(lb + 1, np.int32)
         cur[0] = 0
         eq = (b == a[i - 1]).astype(np.int32)
-        for j in range(1, lb + 1):
-            cur[j] = max(prev[j - 1] + eq[j - 1], prev[j], cur[j - 1])
-        prev = cur
+        np.maximum(prev[:-1] + eq, prev[1:], out=cur[1:])
+        prev = np.maximum.accumulate(cur)
     matches = int(prev[lb])
     return matches / max(la, lb)
 
