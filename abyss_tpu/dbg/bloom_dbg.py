@@ -307,6 +307,24 @@ class Assembler:
         _, _, c, v = nthash.kmer_hashes_padded(seq, self.params.k)
         return int(np.asarray(self.cbf.count(c, v)).sum())
 
+    def _joined_hashes(self, seqs: list[np.ndarray]):
+        """Hash many sequences in ONE padded device call (separator
+        joining, like _mark_assembled): per-sequence calls each pay a
+        device round trip, which dominated pass 2 at genome scale.
+
+        Returns (canon, valid, bounds) where bounds[i] = (lo, hi) is
+        sequence i's window range in the joined arrays."""
+        k = self.params.k
+        parts, bounds, pos = [], [], 0
+        sep = np.full(1, 4, np.uint8)
+        for s in seqs:
+            parts.extend((s, sep))
+            bounds.append((pos, pos + max(len(s) - k + 1, 0)))
+            pos += len(s) + 1
+        joined = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        _, _, canon, valid = nthash.kmer_hashes_padded(joined, k)
+        return canon, valid, bounds
+
     def process_batch(self, batch: fastx.ReadBatch) -> list[Contig]:
         """Assemble one read batch; returns newly emitted contigs."""
         p = self.params
@@ -315,10 +333,16 @@ class Assembler:
         lengths = batch.lengths.copy()
         lengths[batch.num_reads:] = 0
 
+        tick = time.time() if p.verbose >= 3 else 0.0
         for round_no in range(64):
             cls = _classify_batch(
                 self.cbf, self.visited, batch.codes, lengths, k,
                 p.fp_look_ahead, p.lookahead_width)
+            if p.verbose >= 3:
+                now = time.time()
+                print(f"[bloom-dbg]   round {round_no}: classify "
+                      f"{now - tick:.2f}s", file=sys.stderr, flush=True)
+                tick = now
             if round_no == 0:
                 self.counters.read_count += batch.num_reads
                 self.counters.solid_reads += int(cls["all_solid"].sum())
@@ -346,6 +370,12 @@ class Assembler:
                 s = cls["first_unvisited"][i]
                 seeds[j] = batch.codes[i, s:s + k]
             seqs, lstat, rstat = _extend_both(self.cbf, seeds, p)
+            if p.verbose >= 3:
+                now = time.time()
+                print(f"[bloom-dbg]   round {round_no}: extend "
+                      f"{len(rows)} seeds {now - tick:.2f}s",
+                      file=sys.stderr, flush=True)
+                tick = now
 
             tips = _is_tip(
                 np.asarray([len(s) - k + 1 for s in seqs]), lstat, rstat,
@@ -356,18 +386,27 @@ class Assembler:
                 self.cbf, [seqs[j] for j in keep], p)
             trimmed_of = dict(zip(keep, trimmed))
 
+            # candidate contigs of this round: ONE device round trip for
+            # the visited-redundancy windows (outputContig's dedupe,
+            # bloom-dbg.h:566-599) and the coverage sums, instead of two
+            # per-contig calls (each a tunnel round trip at genome scale)
+            cands = [(j, i, trimmed_of[j]) for j, i in enumerate(rows)
+                     if not tips[j] and len(trimmed_of.get(j, ())) >= k]
+            if cands:
+                canon, valid, bounds = self._joined_hashes(
+                    [seq for _, _, seq in cands])
+                hits = np.asarray(self.visited.contains(canon, valid))
+                covs = np.asarray(self.cbf.count(canon, valid))
+                valid = np.asarray(valid)
+
             emitted: list[np.ndarray] = []
             seen_in_batch: set[bytes] = set()
-            for j, i in enumerate(rows):
-                if tips[j]:
-                    continue
-                seq = trimmed_of[j]
-                if len(seq) < k:
-                    continue
+            for idx, (j, i, seq) in enumerate(cands):
                 key = _canonical_seq(seq)
                 if key in seen_in_batch:
                     continue
                 seen_in_batch.add(key)
+                lo, hi = bounds[idx]
                 # redundancy check (outputContig, bloom-dbg.h:566-599)
                 if len(seq) < k + p.fp_look_ahead - 1:
                     k1 = _canonical_seq(seq[:k])
@@ -377,19 +416,22 @@ class Assembler:
                         continue
                     self.contig_end_kmers.add(k1)
                     self.contig_end_kmers.add(k2)
-                else:
-                    _, _, c, v = nthash.kmer_hashes_padded(seq, k)
-                    hit = np.asarray(self.visited.contains(c, v))
-                    if hit[np.asarray(v)].all():
-                        continue
+                elif hits[lo:hi][valid[lo:hi]].all():
+                    continue
                 emitted.append(seq)
                 out.append(Contig(self.counters.contig_id,
                                   alphabet.decode(seq),
-                                  self._coverage(seq),
+                                  int(covs[lo:hi].sum()),
                                   batch.ids[i]))
                 self.counters.contig_id += 1
                 self.counters.bases_assembled += len(seq)
             self._mark_assembled(emitted)
+            if p.verbose >= 3:
+                now = time.time()
+                print(f"[bloom-dbg]   round {round_no}: trim+emit "
+                      f"{len(emitted)} contigs {now - tick:.2f}s",
+                      file=sys.stderr, flush=True)
+                tick = now
             # next round re-classifies: reads whose k-mers are now covered
             # drop out; remaining reads seed their next unassembled k-mer
         return out
@@ -450,6 +492,12 @@ def assemble(paths: Sequence[str] | str, params: AssemblyParams,
             continue  # already processed before the checkpoint
         for contig in asm.process_batch(batch):
             fastx.write_fasta(out, [(contig.header, contig.seq)])
+        if params.verbose >= 2:
+            # progress cadence (bloom-dbg.h:998-1007 logs per-batch state)
+            print(f"[bloom-dbg] pass 2: {reads_seen} reads, "
+                  f"{counters.contig_id} contigs, "
+                  f"{counters.bases_assembled} bases "
+                  f"({time.time() - t1:.1f}s)", file=sys.stderr, flush=True)
         if use_ckpt and reads_seen - last_ckpt >= params.checkpoint_every:
             if hasattr(out, "flush"):
                 out.flush()

@@ -540,7 +540,11 @@ def main(argv=None):
         min_pairs=int(kv.get("n", 10)),
         min_len=int(kv.get("s", 200)),
         outdir=kv.get("outdir", "."),
-        verbose=int(kv.get("v", 1)),
+        # reference abyss-pe passes verbosity as flag text (v=-v / v=-vv,
+        # appended to every tool's options, bin/abyss-pe:220); accept that
+        # form as well as a plain integer
+        verbose=(kv["v"].count("v") if kv.get("v", "").lstrip("-").strip("v")
+                 == "" and "v" in kv else int(kv.get("v", 1))),
         engine=kv.get("engine", "bloom"),
         lr_files=kv.get("lr", "").split(),
         long_files=kv.get("long", "").split(),

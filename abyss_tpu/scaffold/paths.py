@@ -113,7 +113,7 @@ def simple_graph_paths(g: ContigGraph, estimates: dict, names_index: dict,
     the highest-coverage candidate, otherwise candidates fall back to
     the agreed path prefix.
     """
-    from ..align.dialign import msa_consensus
+    from ..align.nw import nw_identity_np
 
     by_seed: dict[int, list[Constraint]] = {}
     for (un, su, vn, sv), e in estimates.items():
@@ -152,12 +152,20 @@ def simple_graph_paths(g: ContigGraph, estimates: dict, names_index: dict,
                            for s in sols]
                 texts = ([materialize_path(s, g, seqs) for s in middles]
                          if all(middles) else [""])
-                if texts[0] and max(map(len, texts)) <= 20_000:
-                    cons, _ident = msa_consensus(
-                        texts, min_identity=consensus_identity)
-                else:
-                    cons = None
-                if cons is not None:
+                # identity gate only — the consensus STRING is unused
+                # here (the collapse keeps the best candidate verbatim),
+                # so score-only pairwise identity replaces the full
+                # MSA-with-traceback; cap at fragment scale, the size of
+                # the ambiguous segments PathConsensus.cpp aligns
+                # (gap-bubble paths bounded by the distance constraint)
+                ok = None
+                if texts[0] and max(map(len, texts)) <= 2_000:
+                    idents = [nw_identity_np(texts[i], texts[j])
+                              for i in range(len(texts))
+                              for j in range(i + 1, len(texts))]
+                    ok = idents and \
+                        sum(idents) / len(idents) >= consensus_identity
+                if ok:
                     best = max(
                         sols,
                         key=lambda s: sum(g.coverages[v >> 1] for v in s))
