@@ -31,19 +31,59 @@ def main():
     os.makedirs(outdir, exist_ok=True)
 
     t0 = time.time()
-    genome = sim.genome_with_repeats(genome_bp, seed=7, n_repeats=12,
-                                     repeat_len=700)
-    reads = sim.simulate_paired_reads(genome, coverage=coverage,
-                                      read_len=150, fragment_mean=500,
-                                      fragment_sd=50, error_rate=0.005,
-                                      seed=11)
     r1 = os.path.join(outdir, "r1.fq")
     r2 = os.path.join(outdir, "r2.fq")
-    if not (os.path.exists(r1) and os.path.exists(r2)):
-        reads.write_fastq(r1, r2)
-    t_sim = time.time() - t0
-    print(f"[sim] {genome_bp}bp genome, {len(reads.reads1)} pairs "
-          f"in {t_sim:.1f}s", flush=True)
+    # The read cache (and the resumable stage outputs) are only valid
+    # for the parameter tuple they were generated with: stamp it in
+    # params.json and regenerate + clear stale stage outputs on change.
+    params_sentinel = os.path.join(outdir, "params.json")
+    params_now = {"genome_bp": genome_bp, "coverage": coverage}
+    cached = None
+    if os.path.exists(params_sentinel):
+        try:
+            with open(params_sentinel) as f:
+                cached = json.load(f)
+        except (OSError, ValueError):
+            cached = None
+    if (cached == params_now and os.path.exists(r1)
+            and os.path.exists(r2)):
+        n_pairs = sum(1 for line in open(r1) if line.startswith("@"))
+        print(f"[sim] cached reads: {n_pairs} pairs", flush=True)
+    else:
+        for stale in os.listdir(outdir):
+            if stale.startswith("ecoli-"):
+                os.remove(os.path.join(outdir, stale))
+        genome = sim.genome_with_repeats(genome_bp, seed=7, n_repeats=12,
+                                         repeat_len=700)
+        reads = sim.simulate_paired_reads(genome, coverage=coverage,
+                                          read_len=150, fragment_mean=500,
+                                          fragment_sd=50, error_rate=0.005,
+                                          seed=11)
+        # write via temp names + rename so a killed run never leaves a
+        # truncated FASTQ that a rerun would silently reuse
+        reads.write_fastq(r1 + ".tmp", r2 + ".tmp")
+        os.rename(r1 + ".tmp", r1)
+        os.rename(r2 + ".tmp", r2)
+        with open(params_sentinel, "w") as f:
+            json.dump(params_now, f)
+        n_pairs = len(reads.reads1)
+        print(f"[sim] {genome_bp}bp genome, {n_pairs} pairs "
+              f"in {time.time() - t0:.1f}s", flush=True)
+    # a changed k invalidates stage outputs too (reads stay valid)
+    k_sentinel = os.path.join(outdir, "k.json")
+    cached_k = None
+    if os.path.exists(k_sentinel):
+        try:
+            with open(k_sentinel) as f:
+                cached_k = json.load(f)
+        except (OSError, ValueError):
+            cached_k = None
+    if cached_k != k:
+        for stale in os.listdir(outdir):
+            if stale.startswith("ecoli-"):
+                os.remove(os.path.join(outdir, stale))
+        with open(k_sentinel, "w") as f:
+            json.dump(k, f)
 
     t1 = time.time()
     p = pe.PipelineParams(name="ecoli", k=k, in_files=[r1, r2],
@@ -55,7 +95,7 @@ def main():
     h = Histogram.of(len(s) for s in seqs if len(s) >= 500)
     summary = {
         "genome_bp": genome_bp, "k": k, "coverage": coverage,
-        "pairs": len(reads.reads1), "wall_s": round(wall, 1),
+        "pairs": n_pairs, "wall_s": round(wall, 1),
         "n_scaffolds_500": h.size(), "sum": int(h.sum()),
         "n50": int(h.n50()), "max": int(h.maximum()),
     }

@@ -1,0 +1,104 @@
+// minimal SFINAE-friendly boost::graph_traits + category tags + tie +
+// property-map/color machinery (scratch parity build; ABySS specializes
+// graph_traits for its own graph types, so the primary template only
+// needs to forward member typedefs when they exist)
+#ifndef STUB_BOOST_GRAPH_TRAITS
+#define STUB_BOOST_GRAPH_TRAITS 1
+#include <cstddef>
+#include <utility>
+#include <tuple>
+#include <type_traits>
+namespace boost {
+using std::tie;
+using std::make_tuple;
+using std::get;
+namespace tuples { using std::tie; using std::get; using std::ignore; }
+struct directed_tag {};
+struct undirected_tag {};
+struct bidirectional_tag : directed_tag {};
+struct allow_parallel_edge_tag {};
+struct disallow_parallel_edge_tag {};
+struct incidence_graph_tag {};
+struct adjacency_graph_tag {};
+struct bidirectional_graph_tag : incidence_graph_tag {};
+struct vertex_list_graph_tag {};
+struct edge_list_graph_tag {};
+namespace gt_detail {
+template <class...> using void_t = void;
+#define STUB_GT_MEMBER(NAME) \
+template <class G, class = void> struct has_##NAME {}; \
+template <class G> struct has_##NAME<G, void_t<typename G::NAME>> { \
+	typedef typename G::NAME NAME; };
+STUB_GT_MEMBER(vertex_descriptor)
+STUB_GT_MEMBER(edge_descriptor)
+STUB_GT_MEMBER(directed_category)
+STUB_GT_MEMBER(edge_parallel_category)
+STUB_GT_MEMBER(traversal_category)
+STUB_GT_MEMBER(vertices_size_type)
+STUB_GT_MEMBER(edges_size_type)
+STUB_GT_MEMBER(degree_size_type)
+STUB_GT_MEMBER(vertex_iterator)
+STUB_GT_MEMBER(edge_iterator)
+STUB_GT_MEMBER(out_edge_iterator)
+STUB_GT_MEMBER(in_edge_iterator)
+STUB_GT_MEMBER(adjacency_iterator)
+#undef STUB_GT_MEMBER
+template <class G, class = void> struct null_v {};
+template <class G> struct null_v<G, void_t<typename G::vertex_descriptor>> {
+	static typename G::vertex_descriptor null_vertex() {
+		return typename G::vertex_descriptor();
+	}
+};
+}
+template <class G>
+struct graph_traits
+	: gt_detail::has_vertex_descriptor<G>,
+	  gt_detail::has_edge_descriptor<G>,
+	  gt_detail::has_directed_category<G>,
+	  gt_detail::has_edge_parallel_category<G>,
+	  gt_detail::has_traversal_category<G>,
+	  gt_detail::has_vertices_size_type<G>,
+	  gt_detail::has_edges_size_type<G>,
+	  gt_detail::has_degree_size_type<G>,
+	  gt_detail::has_vertex_iterator<G>,
+	  gt_detail::has_edge_iterator<G>,
+	  gt_detail::has_out_edge_iterator<G>,
+	  gt_detail::has_in_edge_iterator<G>,
+	  gt_detail::has_adjacency_iterator<G>,
+	  gt_detail::null_v<G> {};
+// property-map machinery (real boost spreads this over properties.hpp /
+// property_map.hpp; centralized here so include order never matters)
+template <class PM> struct property_traits {
+	typedef typename PM::key_type key_type;
+	typedef typename PM::value_type value_type;
+	typedef typename PM::reference reference;
+	typedef typename PM::category category;
+};
+struct readable_property_map_tag {};
+struct writable_property_map_tag {};
+struct read_write_property_map_tag : readable_property_map_tag, writable_property_map_tag {};
+struct lvalue_property_map_tag : read_write_property_map_tag {};
+template <class Reference, class PropertyMap>
+struct put_get_helper {};
+template <class R, class PM>
+inline typename PM::reference get(const put_get_helper<R, PM>& pm, const typename PM::key_type& k) {
+	return static_cast<const PM&>(pm)[k];
+}
+enum default_color_type { white_color, gray_color, green_color, red_color, black_color };
+template <class ColorValue>
+struct color_traits {
+	static default_color_type white() { return white_color; }
+	static default_color_type gray() { return gray_color; }
+	static default_color_type green() { return green_color; }
+	static default_color_type red() { return red_color; }
+	static default_color_type black() { return black_color; }
+};
+}
+// BGL provides source/target for std::pair edge descriptors; declared at
+// global scope here so ADL via globally-declared graph types finds them
+// (scratch parity build)
+template <class T, class G>
+inline T source(std::pair<T, T> e, const G&) { return e.first; }
+template <class T, class G>
+inline T target(std::pair<T, T> e, const G&) { return e.second; }
+#endif

@@ -1,0 +1,1 @@
+#include <boost/multi_index_container.hpp>

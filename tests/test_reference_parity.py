@@ -1,0 +1,112 @@
+"""Output parity against the REAL reference binaries (VERDICT r1 #3).
+
+scripts/refbuild/build_reference.sh compiles the reference's own
+`abyss-bloom-dbg` and `ABYSS` from /root/reference (g++ + hand-written
+config.h + a ~300-line clean-room boost stub; ~18 s, cached in
+/tmp/refbuild).  These tests run both reference engines and both of
+ours on the same simulated read sets and assert the canonical unitig
+SETS are identical (BASELINE.md target: "bit-identical unitigs").
+
+Known intentional divergences are documented in PARITY.md §divergences.
+"""
+
+import os
+import subprocess
+
+import pytest
+
+from abyss_tpu import sim
+from abyss_tpu.core import alphabet
+
+REFBUILD = "/tmp/refbuild"
+SCRIPT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts", "refbuild",
+    "build_reference.sh")
+
+
+@pytest.fixture(scope="module")
+def ref_bins():
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("no reference tree in this environment")
+    r = subprocess.run(["sh", SCRIPT, REFBUILD], capture_output=True,
+                       timeout=300)
+    if r.returncode != 0:
+        pytest.skip(f"reference build failed: {r.stderr[-500:]}")
+    return {"bloom": os.path.join(REFBUILD, "abyss-bloom-dbg"),
+            "abyss": os.path.join(REFBUILD, "ABYSS")}
+
+
+@pytest.fixture(scope="module")
+def repeat_reads(tmp_path_factory):
+    """Error-free paired reads from a 20 kb genome with exact repeats:
+    enough structure for 16 unitigs, small enough for CI."""
+    genome = sim.genome_with_repeats(20000, seed=5, n_repeats=6,
+                                     repeat_len=400)
+    reads = sim.simulate_paired_reads(genome, coverage=40, read_len=100,
+                                      seed=3)
+    path = str(tmp_path_factory.mktemp("parity") / "reads.fa")
+    with open(path, "w") as f:
+        for (n1, s1, _), (n2, s2, _) in zip(reads.reads1, reads.reads2):
+            f.write(f">{n1}\n{s1}\n>{n2}\n{s2}\n")
+    return path
+
+
+def canon_set(seqs):
+    return sorted(min(s, alphabet.revcomp(s)) for s in seqs)
+
+
+def read_fa_seqs(path):
+    seqs, cur = [], None
+    for line in open(path):
+        line = line.strip()
+        if line.startswith(">"):
+            if cur:
+                seqs.append(cur)
+            cur = ""
+        elif cur is not None:
+            cur += line
+    if cur:
+        seqs.append(cur)
+    return seqs
+
+
+@pytest.mark.slow
+def test_bloom_unitig_parity(ref_bins, repeat_reads, tmp_path):
+    """abyss-bloom-dbg -k25 --kc=2 == our bloom engine, set-identical
+    (BloomDBG/bloom-dbg.h:783-882 semantics)."""
+    ref_out = tmp_path / "ref.fa"
+    with open(ref_out, "w") as f:
+        subprocess.run([ref_bins["bloom"], "-k25", "-b20M", "--kc=2",
+                        "-H4", "-j1", "-q0", repeat_reads],
+                       stdout=f, stderr=subprocess.DEVNULL, check=True,
+                       timeout=300)
+    from abyss_tpu.dbg import bloom_dbg
+    from abyss_tpu.dbg.params import AssemblyParams
+    params = AssemblyParams(k=25, num_hashes=4, min_cov=2,
+                            bloom_bytes=20 << 20, q=0, verbose=0)
+    ours = tmp_path / "ours.fa"
+    with open(ours, "w") as f:
+        bloom_dbg.assemble(repeat_reads, params, out=f)
+    a = canon_set(read_fa_seqs(ref_out))
+    b = canon_set(read_fa_seqs(ours))
+    assert len(a) > 4, "fixture should produce several unitigs"
+    assert a == b
+
+
+@pytest.mark.slow
+def test_exact_unitig_parity(ref_bins, repeat_reads, tmp_path):
+    """ABYSS -k25 -e2 -E0 -c0 --kc=2 == our exact hash-DBG engine,
+    set-identical (Assembly/ phases, ABYSS/abyss.cc:58-133)."""
+    ref_out = tmp_path / "ref.fa"
+    subprocess.run([ref_bins["abyss"], "-k25", "-e2", "-E0", "-c0",
+                    "-q0", "--kc=2", repeat_reads, "-o", str(ref_out)],
+                   stderr=subprocess.DEVNULL, check=True, timeout=300)
+    from abyss_tpu.dbg import hash_dbg
+    from abyss_tpu.io import read_batches
+    batches = [b.codes for b in read_batches([repeat_reads], 4096, 256,
+                                             q=0)]
+    contigs, _ = hash_dbg.assemble_reads(batches, 25, kc=2, erode_cov=2)
+    a = canon_set(read_fa_seqs(ref_out))
+    b = canon_set([s for s, cov in contigs])
+    assert len(a) > 4
+    assert a == b
