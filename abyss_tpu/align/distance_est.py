@@ -41,6 +41,15 @@ class PMF:
         var = sum(v * (k - mean) ** 2 for k, v in h.counts.items()) / n
         return PMF(probs=probs, minp=1.0 / n, mean=mean, sd=math.sqrt(var))
 
+    @property
+    def median(self) -> float:
+        """Population median of the fragment-size distribution."""
+        c = np.cumsum(self.probs)
+        total = c[-1] if len(c) else 0.0
+        if total <= 0:
+            return self.mean
+        return float(np.searchsorted(c, total / 2.0))
+
     def __getitem__(self, x):
         x = np.asarray(x)
         out = np.where((x >= 0) & (x < len(self.probs)),
@@ -133,9 +142,15 @@ def estimate_distances(links: list[PairLink], hist: Histogram,
                        min_pairs: int = 10, min_align: int = 32,
                        min_dist: int | None = None,
                        max_dist: int | None = None,
+                       mode: str = "mle",
                        ) -> dict[tuple[str, int, str, int], DistanceEstimate]:
     """Group pair links by oriented contig pair and estimate distances
-    (DistanceEst.cpp main loop).  Returns {(u, su, v, sv): estimate}."""
+    (DistanceEst.cpp main loop).  Returns {(u, su, v, sv): estimate}.
+
+    mode: "mle" (window-corrected likelihood, the default), "median" or
+    "mean" (population median/mean of the fragment distribution minus
+    the sample median/mean span — DistanceEst --median/--mean, used by
+    abyss-pe's scaffold stage, bin/abyss-pe:355 scaffold_deopt)."""
     pmf = PMF.from_histogram(hist)
     if min_dist is None:
         min_dist = -(len(pmf.probs) - 1)
@@ -155,9 +170,16 @@ def estimate_distances(links: list[PairLink], hist: Histogram,
         if len(vals) < min_pairs:
             continue
         samples = [v[0] for v in vals]
-        d, n = maximum_likelihood_estimate(
-            samples, pmf, vals[0][1], vals[0][2],
-            first=min_dist, last=max_dist, min_align=min_align)
+        if mode in ("median", "mean"):
+            import numpy as np
+            pop = (pmf.median if mode == "median" else pmf.mean)
+            samp = (float(np.median(samples)) if mode == "median"
+                    else float(np.mean(samples)))
+            d, n = int(round(pop - samp)), len(samples)
+        else:
+            d, n = maximum_likelihood_estimate(
+                samples, pmf, vals[0][1], vals[0][2],
+                first=min_dist, last=max_dist, min_align=min_align)
         if n < min_pairs:
             continue
         out[key] = DistanceEstimate(

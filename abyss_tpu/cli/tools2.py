@@ -405,7 +405,10 @@ def _load_estimates(path, graphio, distance_est, formats):
 
 
 def simplegraph_main(argv=None):
-    """SimpleGraph: constrained path search over distance estimates."""
+    """SimpleGraph: constrained path search over distance estimates;
+    emits per-seed paths, using ambiguous `nN` entries when several
+    solutions agree only on a prefix/suffix
+    (SimpleGraph.cpp constructAmbiguousPath)."""
     ap = argparse.ArgumentParser(prog="abyss-tpu simplegraph")
     ap.add_argument("graph")
     ap.add_argument("dist")
@@ -419,12 +422,14 @@ def simplegraph_main(argv=None):
     from ..scaffold import paths as pathtools
     g, k = _read_graph_any(args.graph)
     est = _load_estimates(args.dist, graphio, distance_est, formats)
-    seqs = dict(_read_fa(args.fasta)) if args.fasta else None
     names_index = {g.names[c]: c for c in g.contigs()}
-    sols = pathtools.simple_graph_paths(g, est, names_index, seqs=seqs)
+    seed_paths = pathtools.simple_graph_seed_paths(
+        g, est, names_index, k=args.kmer or k)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
-        pathtools.write_paths(sols, g, out, start_id=0)
+        pathtools.write_paths(
+            [p for _, p in sorted(seed_paths.items())], g, out,
+            [g.name(u) for u in sorted(seed_paths)])
     finally:
         if out is not sys.stdout:
             out.close()
@@ -432,34 +437,45 @@ def simplegraph_main(argv=None):
 
 
 def _read_paths(path, g):
-    """Read a .path file (vertex names per line, `name\tv0 v1 ...`)."""
-    from ..graph.contig_graph import parse_vertex_name
-    paths = []
-    with open(path) as f:
-        for line in f:
-            parts = line.split()
-            if not parts:
-                continue
-            verts = parts[1:] if "\t" in line or len(parts) > 1 else parts
-            try:
-                paths.append([parse_vertex_name(v, g._index)
-                              for v in verts])
-            except (KeyError, ValueError):
-                continue
+    """Read a .path file (vertex names per line, `name\tv0 v1 ...`,
+    ambiguous entries as `<n>N`)."""
+    from ..scaffold.paths import read_paths
+    _, paths = read_paths(path, g)
     return paths
 
 
 def mergepaths_main(argv=None):
-    """MergePaths: merge consistent per-seed paths."""
+    """MergePaths: merge consistent per-seed paths; the default is the
+    non-greedy path-overlap-graph consensus (MergePaths.cpp
+    assemblePathGraph), --greedy selects extendPaths."""
     ap = argparse.ArgumentParser(prog="abyss-tpu mergepaths")
     ap.add_argument("graph")
     ap.add_argument("paths")
+    ap.add_argument("-k", "--kmer", type=int, default=0)
+    ap.add_argument("-s", "--seed-length", type=int, default=0)
+    ap.add_argument("--greedy", action="store_true")
+    ap.add_argument("--no-greedy", dest="greedy", action="store_false")
     ap.add_argument("-o", "--out", default="-")
     args = ap.parse_args(argv)
+    from ..scaffold import path_algebra as pa
     from ..scaffold import paths as pathtools
-    g, _ = _read_graph_any(args.graph)
-    paths = _read_paths(args.paths, g)
-    merged = pathtools.merge_consistent_paths(paths)
+    from ..scaffold.paths import read_paths
+    g, k = _read_graph_any(args.graph)
+    k = args.kmer or k or 1
+    names, paths = read_paths(args.paths, g)
+    # key by seed contig id (the reference's path file names the seed)
+    by_cid = {}
+    for name, p in zip(names, paths):
+        try:
+            cid = g.id_of(name.rstrip("+-"))
+        except KeyError:
+            cid = p[0] >> 1 if p and not pa.is_amb(p[0]) else None
+        if cid is None or (args.seed_length and
+                           g.lengths[cid] < args.seed_length):
+            continue
+        by_cid[cid] = p
+    lengths_kmer = [max(1, ln - k + 1) for ln in g.lengths]
+    merged = pa.merge_paths(lengths_kmer, by_cid, greedy=args.greedy)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
         pathtools.write_paths(merged, g, out, start_id=0)
@@ -470,37 +486,86 @@ def mergepaths_main(argv=None):
 
 
 def pathoverlap_main(argv=None):
-    """PathOverlap --assemble: merge overlapping paths (PathOverlap/)."""
-    return mergepaths_main(argv)
+    """PathOverlap: --assemble merges overlapping paths; --overlap
+    (default) emits the next-stage graph with paths as vertices;
+    --trim cuts overlapped ends (PathOverlap/PathOverlap.cpp)."""
+    ap = argparse.ArgumentParser(prog="abyss-tpu pathoverlap")
+    ap.add_argument("graph")
+    ap.add_argument("paths")
+    ap.add_argument("-k", "--kmer", type=int, default=0)
+    ap.add_argument("--assemble", dest="mode", action="store_const",
+                    const="assemble", default="overlap")
+    ap.add_argument("--overlap", dest="mode", action="store_const",
+                    const="overlap")
+    ap.add_argument("--trim", dest="mode", action="store_const",
+                    const="trim")
+    ap.add_argument("-o", "--out", default="-")
+    args = ap.parse_args(argv)
+    from ..graph import graphio
+    from ..scaffold import path_overlap
+    from ..scaffold import paths as pathtools
+    from ..scaffold.paths import read_paths
+    g, k = _read_graph_any(args.graph)
+    names, paths = read_paths(args.paths, g)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    try:
+        if args.mode == "assemble":
+            merged = path_overlap.assemble_overlapping_paths(paths)
+            pathtools.write_paths(merged, g, out, start_id=0)
+        elif args.mode == "trim":
+            trimmed = path_overlap.trim_overlaps(paths)
+            pathtools.write_paths(trimmed, g, out, start_id=0)
+        else:
+            g2 = path_overlap.path_graph(g, paths, names)
+            graphio.write_dot(g2, out, k=args.kmer or k)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
 
 
 def pathconsensus_main(argv=None):
-    """PathConsensus: resolve ambiguous path segments by MSA consensus
-    (MergePaths/PathConsensus.cpp + Align/dialign)."""
+    """PathConsensus: resolve ambiguous `nN` path segments through
+    graph search + NW/MSA consensus, emitting new consensus contigs
+    (MergePaths/PathConsensus.cpp)."""
     ap = argparse.ArgumentParser(prog="abyss-tpu pathconsensus")
     ap.add_argument("fasta")
     ap.add_argument("graph")
     ap.add_argument("paths")
+    ap.add_argument("-k", "--kmer", type=int, default=0)
     ap.add_argument("-p", "--identity", type=float, default=0.9)
-    ap.add_argument("-o", "--out", default="-")
+    ap.add_argument("-a", "--branches", type=int, default=4)
+    ap.add_argument("-o", "--out", required=True,
+                    help="output paths file")
+    ap.add_argument("-s", "--consensus", required=True,
+                    help="output consensus FASTA")
+    ap.add_argument("-g", "--graph-out", default=None)
     args = ap.parse_args(argv)
-    from ..align.dialign import msa_consensus
+    from ..graph import graphio
+    from ..scaffold import path_consensus
     from ..scaffold import paths as pathtools
-    g, _ = _read_graph_any(args.graph)
+    from ..scaffold.paths import read_paths
+    g, k = _read_graph_any(args.graph)
+    k = args.kmer or k
     seqs = dict(_read_fa(args.fasta))
-    paths = _read_paths(args.paths, g)
-    out = sys.stdout if args.out == "-" else open(args.out, "w")
-    n_resolved = 0
-    try:
-        for i, p in enumerate(paths):
-            seq = pathtools.materialize_path(p, g, seqs)
-            out.write(f">{i} {len(seq)}\n{seq}\n")
-            n_resolved += 1
-    finally:
-        if out is not sys.stdout:
-            out.close()
-    print(f"materialized {n_resolved} paths "
-          f"(consensus identity >= {args.identity})", file=sys.stderr)
+    names, paths = read_paths(args.paths, g)
+    res = path_consensus.resolve_paths(
+        g, seqs, paths, k, identity=args.identity,
+        num_branches=args.branches)
+    with open(args.consensus, "w") as f:
+        for n, s, c in res.new_contigs:
+            f.write(f">{n} {len(s)} {c}\n{s}\n")
+    pathtools.write_paths(res.paths, g, args.out,
+                          names if len(names) == len(res.paths)
+                          else 0)
+    if args.graph_out:
+        graphio.write_dot(g, args.graph_out, k=k)
+    st = res.stats
+    print(f"Ambiguous paths: {st.num_amb}\nMerged:          {st.merged}"
+          f"\nNo paths:        {st.no_paths}"
+          f"\nToo many paths:  {st.too_many}"
+          f"\nToo complex:     {st.too_complex}"
+          f"\nDissimilar:      {st.dissimilar}", file=sys.stderr)
     return 0
 
 
@@ -538,51 +603,51 @@ def mergecontigs_main(argv=None):
 
 
 def scaffold_main(argv=None):
-    """abyss-scaffold: scaffold over the distance graph with a line
-    search over n (min pairs) maximizing scaffold N50
-    (Scaffold/scaffold.cc:1138-1166)."""
+    """abyss-scaffold: clean the distance graph (cycles, forks, tips,
+    repeats, transitive, bubbles, weak edges) and assemble scaffold
+    paths, grid/line-searching (n, s) to maximize N50
+    (Scaffold/scaffold.cc:220-795,1138-1166)."""
     ap = argparse.ArgumentParser(prog="abyss-tpu scaffold")
     ap.add_argument("dist", help="distance graph (.dist.dot)")
+    ap.add_argument("-k", "--kmer", type=int, default=0)
     ap.add_argument("-n", "--min-pairs", default="10",
-                    help="N or Nmin-Nmax line search")
-    ap.add_argument("-s", "--min-len", type=int, default=200)
+                    help="N or Nmin-Nmax search range")
+    ap.add_argument("-s", "--min-len", default="200",
+                    help="S or Smin-Smax search range")
+    ap.add_argument("--search", choices=["grid", "line"],
+                    default="grid")
+    ap.add_argument("-g", "--graph-out", default=None)
     ap.add_argument("-o", "--out", default="-")
     ap.add_argument("--db", default=None, help="SQLite telemetry file")
     args = ap.parse_args(argv)
     from ..graph import graphio
     from ..scaffold import paths as pathtools
-    from ..core.histogram import contiguity_stats
-    dg, _ = graphio.read_dot(args.dist)
-    if "-" in args.min_pairs:
-        lo, hi = (int(x) for x in args.min_pairs.split("-"))
-        ns = list(range(lo, hi + 1))
-    else:
-        ns = [int(args.min_pairs)]
-    best = None
-    for n in ns:
-        chains = pathtools.scaffold_paths(dg, n, args.min_len)
-        used = set()
-        lengths = []
-        for p in chains:
-            total = sum(dg.lengths[v >> 1] for v in p)
-            lengths.append(total)
-            used.update(v >> 1 for v in p)
-        lengths += [dg.lengths[c] for c in dg.contigs() if c not in used]
-        st = contiguity_stats(lengths, min_size=args.min_len)
-        n50 = st["N50"]
-        print(f"n={n} N50={n50}", file=sys.stderr)
-        if best is None or n50 > best[1]:
-            best = (n, n50, chains)
-    n, n50, chains = best
-    print(f"best n={n} N50={n50}", file=sys.stderr)
+    from ..scaffold import scaffolder
+
+    def parse_range(text):
+        if "-" in text:
+            lo, hi = text.split("-", 1)
+            return (int(lo), int(hi))
+        return (int(text), int(text))
+
+    dg, k = graphio.read_dot(args.dist)
+    result = scaffolder.search_scaffold_params(
+        dg, parse_range(args.min_pairs), parse_range(args.min_len),
+        k=args.kmer or k, strategy=args.search, verbose=1)
+    print(f"best n={result.n} s={result.s} N50={result.n50}",
+          file=sys.stderr)
     from ..utils.db import open_db
     with open_db(args.db, "scaffold", argv) as db:
-        db.add("n", n)
-        db.add("N50", n50)
-        db.add("scaffolds", len(chains))
+        db.add("n", result.n)
+        db.add("s", result.s)
+        db.add("N50", result.n50)
+        db.add("scaffolds", len(result.paths))
+    if args.graph_out:
+        graphio.write_dot(result.graph, args.graph_out,
+                          k=args.kmer or k)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
-        pathtools.write_paths(chains, dg, out, start_id=0)
+        pathtools.write_paths(result.paths, dg, out, start_id=0)
     finally:
         if out is not sys.stdout:
             out.close()

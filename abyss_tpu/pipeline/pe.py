@@ -1,20 +1,41 @@
 """Pipeline driver: the abyss-pe equivalent (reference: bin/abyss-pe).
 
-Runs the stage DAG unitigs -> contigs -> scaffolds -> stats through
-filesystem artifacts named like the reference's
-(`name-1.fa ... name-8.fa`, `name-3.dist.dot`, `name-stats.tab`), with
+Runs the reference's stage DAG unitigs -> contigs -> scaffolds -> stats
+through filesystem artifacts named like the reference's
+(`name-1.fa ... name-8.fa`, `{lib}-3.hist`, `{lib}-3.dist`,
+`{lib}-6.dist.dot`, `name-4.path1/2/3`, `name-stats.tab`), with
 Make-style resumability: a stage is skipped when its output already
-exists (like abyss-pe's dependency semantics, bin/abyss-pe:553-973).
+exists (bin/abyss-pe:553-973, .DELETE_ON_ERROR semantics via tmp+rename).
 
-Stage map (bloom mode, cf. SURVEY.md §3.1):
-  stage 1   abyss-bloom-dbg        reads -> name-1.fa (+ -1.dot AdjList)
-  stage 2   abyss-filtergraph      tips/islands pruned, chains merged
-  stage 3   PopBubbles             name-3.fa = unitigs
-  stage 4-5 map + fixmate + DistanceEst -> name-3.hist, name-3.dist.dot
-  stage 6   SimpleGraph + MergePaths + MergeContigs -> name-6.fa = contigs
-  stage 7   map(mp) + DistanceEst  -> name-6.dist.dot
-  stage 8   abyss-scaffold         -> name-8.fa = scaffolds
-  stats     abyss-fac              -> name-stats.tab
+Libraries (bin/abyss-pe:140-160, 189-373): `lib=` names paired-end
+libraries (each name a key listing its files), `pe=` selects which of
+them drive contig building (default: all of lib), `mp=` names the
+mate-pair libraries that drive scaffolding (default: pe).  Per-library
+overrides `{lib}_l/_s/_n` tune alignment seed length, DistanceEst seed
+length and min pair count (deopt/scaffold_deopt).
+
+Stage map (bloom mode, cf. SURVEY.md §3.1 and bin/abyss-pe:553-749):
+  1    abyss-bloom-dbg        reads -> name-1.fa
+       AdjList                name-1.fa -> name-1.dot
+       abyss-rresolver-short  -> name-1-rr.{fa,dot}       (Bloom mode)
+  2    abyss-filtergraph + MergeContigs -> name-2.{fa,dot}
+  3    PopBubbles + MergeContigs -> name-3.{fa,dot} = unitigs
+  per pe lib: map | fixmate -> {lib}-3.hist; DistanceEst -> {lib}-3.dist
+       merged (abyss-todot --dist) -> name-3.dist
+  4    Overlap                -> name-4.{fa,dot}
+       SimpleGraph            -> name-4.path1
+       MergePaths (non-greedy consensus) -> name-4.path2
+       PathOverlap --assemble -> name-4.path3
+  5    PathConsensus          -> name-5.{path,fa,dot}
+  6    MergeContigs           -> name-6.fa = contigs
+       PathOverlap --overlap  -> name-6.dot
+  per mp lib: map -> {lib}-6.hist; DistanceEst --median -> {lib}-6.dist.dot
+  7-8  abyss-scaffold (n,s search) -> name-6.path
+       PathConsensus          -> name-7.{path,fa,dot}
+       MergeContigs           -> name-8.fa = scaffolds
+       PathOverlap --overlap  -> name-8.dot
+  10   lr=/long= rescaffolding -> name-10.fa
+  stats abyss-fac             -> name-stats.{tab,csv,md}
 """
 
 from __future__ import annotations
@@ -27,7 +48,6 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..align import distance_est, fixmate, mapper, nw
-from ..core import alphabet
 from ..core.histogram import Histogram, contiguity_stats, format_stats_table
 from ..dbg import bloom_dbg
 from ..dbg.params import AssemblyParams
@@ -35,7 +55,21 @@ from ..graph import adjlist, algorithms, graphio
 from ..graph.contig_graph import ContigGraph, node
 from ..io import fastx
 from ..io import read_batches as io_read_batches
+from ..io.formats import read_dist_text, write_dist_text
+from ..scaffold import path_algebra as pa
+from ..scaffold import path_consensus, path_overlap, scaffolder
 from ..scaffold import paths as pathtools
+
+
+@dataclass
+class Library:
+    """A named read library with per-library parameters
+    (bin/abyss-pe:189-373 `$i_l/$i_s/$i_n`)."""
+    name: str
+    files: list = field(default_factory=list)
+    l: int | None = None   # min alignment / seed length
+    s: int | None = None   # DistanceEst / MergePaths seed length
+    n: int | None = None   # min pairs
 
 
 @dataclass
@@ -43,11 +77,17 @@ class PipelineParams:
     name: str = "abyss"
     k: int = 25
     in_files: list = field(default_factory=list)
-    # unitig engine: "bloom" = read-seeded extension walks over the solid
-    # k-mer structure (reference bloom-dbg semantics, any k); "exact" =
-    # sorted-table DBG with pointer-doubling assembly (the TPU fast
-    # path, SURVEY.md ABYSS engine; k <= 32 packed, k > 32 via the wide
-    # ntHash-fingerprint mode)
+    # named libraries: lib= / pe= / mp= / se= (bin/abyss-pe:140-160).
+    # When empty, a single anonymous library is built from in_files
+    # (lib?=$(name), $(lib)?=$(in)).
+    libs: dict = field(default_factory=dict)       # name -> Library
+    pe_names: list = field(default_factory=list)   # pe ?= lib
+    mp_names: list = field(default_factory=list)   # mp ?= pe
+    se_files: list = field(default_factory=list)   # single-end, asm only
+    # unitig engine: "bloom" = read-seeded extension walks (reference
+    # bloom-dbg semantics, any k); "exact" = sorted-table DBG with
+    # pointer-doubling assembly (the TPU fast path; k <= 32 packed,
+    # k > 32 via the wide ntHash-fingerprint mode)
     engine: str = "bloom"
     bloom_bytes: int = 64 << 20
     kc: int = 2
@@ -57,37 +97,69 @@ class PipelineParams:
     tip_len: int | None = None      # default 2k
     island_len: int | None = None   # default 2k
     bubble_identity: float = 0.9    # p
+    max_branches: int = 4           # a (PathConsensus candidate cap)
     rresolve: bool = True           # run RResolver before filtergraph
     rresolve_threshold: int = 4     # t (RResolver/README.md)
     # distance estimation / paths
-    align_k: int = 32               # seed length for the mapper (l analogue)
+    align_k: int = 32               # l default (seed length analogue)
     min_pairs: int = 10             # n
-    min_len: int = 200              # s (scaffolding min contig len)
+    min_len: int = 200              # s (seed/contig length threshold)
+    # scaffolding search ranges (S=, N=, bin/abyss-pe:348-356);
+    # None = single-point at (min_pairs, min_len)
+    scaffold_s: tuple | None = None   # S=lo-hi
+    scaffold_n: tuple | None = None   # N=lo-hi
     outdir: str = "."
     verbose: int = 1
     batch_size: int = 4096
     max_read_len: int = 256
     # linked reads (lr=, bin/abyss-pe:752-849): tigmint cut + arcs
-    # barcode links + rescaffold -> name-10.fa
     lr_files: list = field(default_factory=list)
     # long reads (long=): longseqdist + rescaffold -> name-10.fa
     long_files: list = field(default_factory=list)
-    # paired DBG span (K=, bin/abyss-pe:556-564 selects abyss-paired-dbg)
+    # paired DBG span (K=, bin/abyss-pe:556-564)
     K: int = 0
     # gap sealing after scaffolding (abyss-sealer, sealer_ks)
     sealer_ks: list = field(default_factory=list)
-    # SQLite telemetry (db=)
     db_path: str | None = None
-    # multi-device stage-1 filter build (np=, the ABYSS-P analogue:
-    # reads data-parallel over a device mesh, psum-merged filter)
+    # multi-device stage-1 build (np=, the ABYSS-P analogue)
     np_devices: int = 1
-    # read->contig aligner (aligner=, bin/abyss-pe:276-302): "map" is
-    # the native k-mer seed mapper; bwa/bwamem/bowtie2 shell out when
-    # the binary exists (align/wrappers.py), falling back to map
     aligner: str = "map"
 
-    def path(self, suffix: str) -> str:
-        return os.path.join(self.outdir, f"{self.name}-{suffix}")
+    def path(self, suffix: str, lib: str | None = None) -> str:
+        base = lib if lib else self.name
+        return os.path.join(self.outdir, f"{base}-{suffix}")
+
+    def pe_libs(self) -> list[Library]:
+        names = self.pe_names or sorted(self.libs)
+        if not names:
+            return [Library(self.name, list(self.in_files))]
+        return [self.libs[n] for n in names]
+
+    def mp_libs(self) -> list[Library]:
+        names = self.mp_names
+        if not names:
+            return self.pe_libs()
+        return [self.libs[n] for n in names]
+
+    def lib_l(self, lib: Library) -> int:
+        return lib.l if lib.l is not None else self.align_k
+
+    def lib_s(self, lib: Library) -> int:
+        return lib.s if lib.s is not None else self.min_len
+
+    def lib_n(self, lib: Library) -> int:
+        return lib.n if lib.n is not None else self.min_pairs
+
+    def assembly_files(self) -> list:
+        files = list(self.in_files)
+        for lib in self.libs.values():
+            for f in lib.files:
+                if f not in files:
+                    files.append(f)
+        for f in self.se_files:
+            if f not in files:
+                files.append(f)
+        return files
 
 
 def _log(p: PipelineParams, msg: str):
@@ -112,22 +184,27 @@ def _write_contigs(path: str, contigs: list[tuple[str, str]],
     for i, (name, seq) in enumerate(contigs):
         cov = covs[i] if covs else 0
         recs.append((f"{name} {len(seq)} {cov}", seq))
-    fastx.write_fasta(path, recs)
+    fastx.write_fasta(path + ".tmp", recs)
+    os.rename(path + ".tmp", path)
 
 
 def _fresh(p: PipelineParams, out: str) -> bool:
     return not os.path.exists(out)
 
 
+# -- stage 1: unitig assembly ----------------------------------------------
+
+
 def stage_unitigs_1(p: PipelineParams) -> str:
     out = p.path("1.fa")
     if not _fresh(p, out):
         return out
+    in_files = p.assembly_files()
     if p.K:
         _log(p, f"stage 1: paired-DBG assembly (k={p.k} K={p.K}) -> {out}")
         from ..dbg import paired_dbg
         batches = [b.codes[:b.num_reads] for b in io_read_batches(
-            p.in_files, p.batch_size, p.max_read_len, q=p.q)]
+            in_files, p.batch_size, p.max_read_len, q=p.q)]
         contigs = paired_dbg.assemble_pairs(batches, p.k, p.K, kc=p.kc)
         with open(out + ".tmp", "w") as f:
             for i, item in enumerate(contigs):
@@ -139,12 +216,11 @@ def stage_unitigs_1(p: PipelineParams) -> str:
         _log(p, f"stage 1: exact hash-DBG assembly -> {out}")
         from ..dbg import hash_dbg
         batches = (b.codes for b in io_read_batches(
-            p.in_files, p.batch_size, p.max_read_len, q=p.q))
+            in_files, p.batch_size, p.max_read_len, q=p.q))
         import jax
         if p.np_devices > 1 and len(jax.devices()) >= p.np_devices:
-            # np= (ABYSS-P): mesh-parallel load phase, host merge of
-            # the pre-reduced per-device (k-mer, count) pairs
-            import numpy as np
+            # np= (ABYSS-P): mesh-parallel load, host merge of the
+            # pre-reduced per-device (k-mer, count) pairs
             from ..parallel import distributed as dist
             _log(p, f"stage 1: mesh k-mer count over {p.np_devices} "
                     "devices (np=)")
@@ -156,8 +232,6 @@ def stage_unitigs_1(p: PipelineParams) -> str:
             t = hash_dbg.KmerTable(p.k, keys, counts,
                                    np.ones(len(keys), bool))
             if p.k > 32:
-                # mesh keys are ntHash fingerprints: fill the wide-mode
-                # side arrays (text + non-canonical hash) from the reads
                 t = hash_dbg.fill_wide_side(t, batches)
             contigs = hash_dbg.assemble_table(t, kc=p.kc)
         else:
@@ -183,10 +257,9 @@ def stage_unitigs_1(p: PipelineParams) -> str:
                     "devices (np=)")
             mesh = dist.make_mesh(p.np_devices, 1)
             size = 1 << (max(p.bloom_bytes, 2).bit_length() - 1)
-            # pad batches to full so every device gets an equal slice
             prebuilt = dist.distributed_filter_build(
                 mesh, (b.codes for b in io_read_batches(
-                    p.in_files, p.batch_size, p.max_read_len, q=p.q)),
+                    in_files, p.batch_size, p.max_read_len, q=p.q)),
                 p.k, num_hashes=p.num_hashes, threshold=p.kc,
                 size=size)
             params = AssemblyParams(
@@ -198,18 +271,22 @@ def stage_unitigs_1(p: PipelineParams) -> str:
             _log(p, f"np={p.np_devices} requested but only "
                     f"{len(jax.devices())} devices; single-device build")
     with open(out + ".tmp", "w") as f:
-        bloom_dbg.assemble(p.in_files, params, out=f,
+        bloom_dbg.assemble(in_files, params, out=f,
                            prebuilt_filter=prebuilt)
     os.rename(out + ".tmp", out)
     return out
 
 
+# -- stages 1.dot-3: graph cleanup -> unitigs ------------------------------
+
+
 def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
-    """AdjList + filtergraph + PopBubbles -> name-3.fa (unitigs)."""
+    """AdjList + RResolver + filtergraph(-2) + PopBubbles(-3)."""
     out_fa = p.path("3.fa")
     out_dot = p.path("3.dot")
     if not _fresh(p, out_fa):
         return out_fa, out_dot
+    in_files = p.assembly_files()
     contigs, covs = _read_contigs(p.path("1.fa"))
     _log(p, f"stage 2-3: graph cleanup of {len(contigs)} contigs")
     g = adjlist.build_overlap_graph(contigs, p.k, covs)
@@ -217,19 +294,16 @@ def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
     seqs = dict(contigs)
 
     if p.rresolve:
-        # RResolver (abyss-rresolver-short, bin/abyss-pe:581-585): cut
-        # junction paths unsupported by read-length r-mers
+        # RResolver (abyss-rresolver-short, bin/abyss-pe:581-585)
         from ..graph import rresolver
-        first = next(io_read_batches(p.in_files, 256, p.max_read_len,
+        first = next(io_read_batches(in_files, 256, p.max_read_len,
                                      q=p.q), None)
         if first is not None and first.num_reads:
             r = int(np.median(first.lengths[:first.num_reads]))
             r = max(p.k + 10, min(r, first.codes.shape[1]))
-            # full padded batches keep one fixed shape -> one jit trace
-            # (padding rows are BAD-coded, so their k-mers are invalid)
             rmer = rresolver.build_rmer_filter(
                 (b.codes for b in io_read_batches(
-                    p.in_files, p.batch_size, p.max_read_len, q=p.q)),
+                    in_files, p.batch_size, p.max_read_len, q=p.q)),
                 r=r, size=1 << 22)
             stats = rresolver.resolve_repeats(
                 g, seqs, rmer, p.k, support_threshold=p.rresolve_threshold)
@@ -237,62 +311,99 @@ def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
                     f"at {stats.junctions} junctions (r={r})")
             graphio.write_dot(g, p.path("1-rr.dot"), k=p.k)
 
+    # filtergraph: tips/islands, then merge chains -> -2
     tip_len = p.tip_len if p.tip_len is not None else 2 * p.k
     island_len = p.island_len if p.island_len is not None else 2 * p.k
     algorithms.prune_tips(g, tip_len)
     algorithms.remove_islands(g, island_len)
-    check = nw.identity_check_factory(seqs, g.names, p.bubble_identity)
-    popped = algorithms.pop_bubbles(g, identity_check=check)
-    _log(p, f"stage 3: popped {len(popped)} bubbles")
-    g2, seqs2, chains = algorithms.merge_linear_chains(g, seqs)
-    out_contigs = [(n, seqs2[n]) for n in
+    g2, seqs2, _ = algorithms.merge_linear_chains(g, seqs)
+    two_contigs = [(n, seqs2[n]) for n in
                    (g2.names[c] for c in g2.contigs())]
-    out_covs = [g2.coverages[c] for c in g2.contigs()]
+    two_covs = [g2.coverages[c] for c in g2.contigs()]
+    _write_contigs(p.path("2.fa"), two_contigs, two_covs)
+    graphio.write_dot(g2, p.path("2.dot"), k=p.k)
+
+    # PopBubbles -> -3 (unitigs)
+    check = nw.identity_check_factory(seqs2, g2.names, p.bubble_identity)
+    popped = algorithms.pop_bubbles(g2, identity_check=check)
+    _log(p, f"stage 3: popped {len(popped)} bubbles")
+    g3, seqs3, _ = algorithms.merge_linear_chains(g2, seqs2)
+    out_contigs = [(n, seqs3[n]) for n in
+                   (g3.names[c] for c in g3.contigs())]
+    out_covs = [g3.coverages[c] for c in g3.contigs()]
     _write_contigs(out_fa, out_contigs, out_covs)
-    graphio.write_dot(g2, out_dot, k=p.k)
+    graphio.write_dot(g3, out_dot, k=p.k)
     return out_fa, out_dot
 
 
-def _map_all(p: PipelineParams, target_fa: str):
-    """Map all reads to the target contigs; returns (hist, links)."""
+# -- per-library mapping + distance estimation -----------------------------
+
+
+def _map_library(p: PipelineParams, target_fa: str, files: list,
+                 seed_len: int):
+    """Map one library's reads to target contigs; returns (hist, links)
+    (the align | fixmate | sort pipe, bin/abyss-pe:620-624)."""
     if p.aligner != "map":
         from ..align import sam as sammod, wrappers
         if wrappers.available(p.aligner):
             _log(p, f"aligner={p.aligner} (external)")
             import io as _io
             buf = _io.StringIO()
-            wrappers.align_sam(p.aligner, target_fa, p.in_files, buf,
-                               seed_len=p.align_k)
+            wrappers.align_sam(p.aligner, target_fa, files, buf,
+                               seed_len=seed_len)
             alns = [sammod.parse(line)
                     for line in buf.getvalue().splitlines()
                     if line and not line.startswith("@")]
             return fixmate.fixmate(alns)
         _log(p, f"aligner={p.aligner} not found; using the native mapper")
     contigs, _ = _read_contigs(target_fa)
-    al = mapper.KmerAligner(contigs, k=p.align_k)
+    al = mapper.KmerAligner(contigs, k=seed_len)
     all_alns = []
-    for batch in io_read_batches(p.in_files, p.batch_size,
-                                    p.max_read_len, q=p.q):
-        alns = al.align_batch(batch.codes,
-                              batch.lengths, batch.ids)
+    for batch in io_read_batches(files, p.batch_size,
+                                 p.max_read_len, q=p.q):
+        alns = al.align_batch(batch.codes, batch.lengths, batch.ids)
         all_alns.extend(alns)
     return fixmate.fixmate(all_alns)
 
 
 def stage_dist_5(p: PipelineParams) -> str:
-    out = p.path("3.dist.dot")
+    """Per-pe-library map + fixmate + DistanceEst -> {lib}-3.dist,
+    merged into name-3.dist (bin/abyss-pe:620-655)."""
+    out = p.path("3.dist")
     if not _fresh(p, out):
         return out
-    _log(p, "stage 4-5: mapping reads + distance estimation")
-    hist, links = _map_all(p, p.path("3.fa"))
-    with open(p.path("3.hist"), "w") as f:
-        f.write(hist.to_text())
-    est = distance_est.estimate_distances(
-        links, hist, min_pairs=p.min_pairs, min_align=p.align_k)
     contigs, _ = _read_contigs(p.path("3.fa"))
+    merged: dict = {}
+    for lib in p.pe_libs():
+        _log(p, f"stage 4-5: mapping library {lib.name} "
+                f"({len(lib.files)} files)")
+        hist, links = _map_library(p, p.path("3.fa"), lib.files,
+                                   p.lib_l(lib))
+        with open(p.path("3.hist", lib.name), "w") as f:
+            f.write(hist.to_text())
+        est = distance_est.estimate_distances(
+            links, hist, min_pairs=p.lib_n(lib),
+            min_align=p.lib_l(lib))
+        lib_dist = p.path("3.dist", lib.name)
+        with open(lib_dist + ".tmp", "w") as f:
+            write_dist_text(est, f)
+        os.rename(lib_dist + ".tmp", lib_dist)
+        # merge libraries, keeping the better-supported estimate
+        # (abyss-todot --dist -e, bin/abyss-pe:648-650)
+        for key, e in est.items():
+            if key not in merged or e.num_pairs > merged[key].num_pairs:
+                merged[key] = e
+    with open(out + ".tmp", "w") as f:
+        write_dist_text(merged, f)
+    os.rename(out + ".tmp", out)
+    # the .dist.dot view for tools that want the dot form
     distance_est.write_dist_dot(
-        est, {n: len(s) for n, s in contigs}, out, k=p.k)
+        merged, {n: len(s) for n, s in contigs},
+        p.path("3.dist.dot"), k=p.k)
     return out
+
+
+# -- stages 4-6: Overlap -> paths -> consensus -> contigs ------------------
 
 
 def stage_contigs_6(p: PipelineParams) -> str:
@@ -302,82 +413,213 @@ def stage_contigs_6(p: PipelineParams) -> str:
     contigs, covs = _read_contigs(p.path("3.fa"))
     seqs = dict(contigs)
     g = adjlist.build_overlap_graph(contigs, p.k, covs)
-    dist_g, _ = graphio.read_dot(p.path("3.dist.dot"))
-    estimates = {}
-    ss = {"+": 0, "-": 1}
-    for u in dist_g.vertices():
-        for v, prop in dist_g.out_edges(u):
-            if not prop or "n" not in prop:
-                continue
-            estimates[(dist_g.names[u >> 1], u & 1,
-                       dist_g.names[v >> 1], v & 1)] = \
-                distance_est.DistanceEstimate(
-                    prop.get("d", 0), prop.get("n", 0),
-                    float(prop.get("e", 0.0)))
-    _log(p, f"stage 6: path search over {len(estimates)} distance edges")
-    names_index = {n: g.id_of(n) for n, _ in contigs}
-    sg_paths = pathtools.simple_graph_paths(g, estimates, names_index,
-                                        seqs=seqs)
-    merged = pathtools.merge_consistent_paths(sg_paths)
-    pathtools.write_paths(merged, g, p.path("4.path"), start_id=0)
-    _log(p, f"stage 6: {len(sg_paths)} seed paths -> {len(merged)} merged")
+    estimates = {key: distance_est.DistanceEstimate(d, n, sd)
+                 for key, (d, n, sd)
+                 in read_dist_text(p.path("3.dist")).items()}
 
+    # Overlap (bin/abyss-pe:658-659, Overlap/Overlap.cpp): add edges
+    # for blunt contigs whose negative distance estimates verify
+    from ..graph.overlap_tool import add_overlap_edges
+    added = add_overlap_edges(g, seqs, estimates)
+    _log(p, f"stage 4: Overlap added {added} verified overlap edges")
+    graphio.write_dot(g, p.path("4.dot"), k=p.k)
+    # -4.fa holds contigs created by Overlap; our edge-only
+    # implementation adds none (they are spliced at MergeContigs time)
+    _write_contigs(p.path("4.fa"), [])
+
+    # SimpleGraph -> -4.path1 (per-seed constrained search)
+    names_index = {n: g.id_of(n) for n, _ in contigs}
+    seed_paths = pathtools.simple_graph_seed_paths(
+        g, estimates, names_index, k=p.k)
+    _log(p, f"stage 4: SimpleGraph found {len(seed_paths)} seed paths")
+    pathtools.write_paths(
+        [pth for _, pth in sorted(seed_paths.items())], g,
+        p.path("4.path1"),
+        [g.name(u) for u in sorted(seed_paths)])
+
+    # MergePaths (non-greedy pivot consensus) -> -4.path2
+    # combine each contig's two oriented seed paths into one
+    by_cid: dict[int, list[int]] = {}
+    for u in sorted(seed_paths):
+        cid = u >> 1
+        pth = seed_paths[u] if (u & 1) == 0 else pa.path_rc(seed_paths[u])
+        if cid not in by_cid:
+            by_cid[cid] = pth
+        else:
+            got, d = pa.align_pair(
+                [max(1, ln - p.k + 1) for ln in g.lengths],
+                by_cid[cid], pth, node(cid, 0))
+            if d != pa.DIR_X:
+                by_cid[cid] = got
+    lengths_kmer = [max(1, ln - p.k + 1) for ln in g.lengths]
+    # ignore seeds shorter than the seed-length threshold; their
+    # contigs can still appear inside other seeds' paths
+    # (MergePaths.cpp readPaths, opt::seedLen = s)
+    by_cid = {c: pth for c, pth in by_cid.items()
+              if g.lengths[c] >= p.min_len}
+    merged = pa.merge_paths(lengths_kmer, by_cid, greedy=False,
+                            verbose=p.verbose)
+    pathtools.write_paths(merged, g, p.path("4.path2"), start_id=0)
+    _log(p, f"stage 4: MergePaths {len(by_cid)} seed paths -> "
+            f"{len(merged)} merged")
+
+    # PathOverlap --assemble -> -4.path3
+    assembled = path_overlap.assemble_overlapping_paths(merged)
+    pathtools.write_paths(assembled, g, p.path("4.path3"), start_id=0)
+
+    # PathConsensus -> -5.{path,fa,dot} (resolve ambiguous N entries)
+    res = path_consensus.resolve_paths(
+        g, seqs, assembled, p.k, identity=p.bubble_identity,
+        num_branches=p.max_branches)
+    st = res.stats
+    if st.num_amb:
+        _log(p, f"stage 5: PathConsensus resolved {st.merged} of "
+                f"{st.num_amb} ambiguous gaps "
+                f"({st.no_paths} no-path, {st.too_many} too-many, "
+                f"{st.dissimilar} dissimilar)")
+    _write_contigs(p.path("5.fa"),
+                   [(n, s) for n, s, _ in res.new_contigs],
+                   [c for _, _, c in res.new_contigs])
+    graphio.write_dot(g, p.path("5.dot"), k=p.k)
+    next_id = max((int(n) for n in g.names if n.isdigit()),
+                  default=-1) + 1
+    pathtools.write_paths(res.paths, g, p.path("5.path"),
+                          start_id=next_id)
+
+    # MergeContigs -> -6.fa = contigs
     used = set()
     out_contigs = []
     out_covs = []
-    next_id = max((int(n) for n, _ in contigs if n.isdigit()), default=-1) + 1
-    for path in merged:
-        seq = pathtools.materialize_path(path, g, seqs)
-        cov = sum(g.coverages[v >> 1] for v in path)
+    for pth in res.paths:
+        seq = pathtools.materialize_path(pth, g, seqs, k=p.k)
+        cov = sum(g.coverages[v >> 1] for v in pth if not pa.is_amb(v))
         out_contigs.append((str(next_id), seq))
         out_covs.append(cov)
         next_id += 1
-        used.update(v >> 1 for v in path)
+        used.update(v >> 1 for v in pth if not pa.is_amb(v))
     for cid in g.contigs():
         if cid not in used:
             n = g.names[cid]
             out_contigs.append((n, seqs[n]))
             out_covs.append(g.coverages[cid])
     _write_contigs(out, out_contigs, out_covs)
+
+    # PathOverlap --overlap -> -6.dot (next-stage graph)
+    g6 = path_overlap.path_graph(
+        g, res.paths,
+        [n for n, _ in out_contigs[:len(res.paths)]], seqs=seqs, k=p.k)
+    graphio.write_dot(g6, p.path("6.dot"), k=p.k)
     return out
+
+
+# -- stages 7-8: mate-pair scaffolding -------------------------------------
 
 
 def stage_scaffolds_8(p: PipelineParams) -> str:
     out = p.path("8.fa")
     if not _fresh(p, out):
         return out
-    _log(p, "stage 7-8: scaffolding")
     contigs, covs = _read_contigs(p.path("6.fa"))
     seqs = dict(contigs)
-    hist, links = _map_all(p, p.path("6.fa"))
-    est = distance_est.estimate_distances(
-        links, hist, min_pairs=p.min_pairs, min_align=p.align_k)
+
+    # per-mp-library mapping + DistanceEst --median (abyss-pe:710-734,
+    # scaffold_deopt)
+    merged: dict = {}
+    for lib in p.mp_libs():
+        _log(p, f"stage 7: mapping mp library {lib.name}")
+        hist, links = _map_library(p, p.path("6.fa"), lib.files,
+                                   p.lib_l(lib))
+        with open(p.path("6.hist", lib.name), "w") as f:
+            f.write(hist.to_text())
+        est = distance_est.estimate_distances(
+            links, hist, min_pairs=p.lib_n(lib),
+            min_align=p.lib_l(lib), mode="median")
+        distance_est.write_dist_dot(
+            est, {n: len(s) for n, s in contigs},
+            p.path("6.dist.dot", lib.name), k=p.k)
+        for key, e in est.items():
+            if key not in merged or e.num_pairs > merged[key].num_pairs:
+                merged[key] = e
+    distance_est.write_dist_dot(
+        merged, {n: len(s) for n, s in contigs},
+        p.path("6.dist.dot"), k=p.k)
+
     # distance graph over contigs
     dg = ContigGraph()
     for name, seq in contigs:
         dg.add_contig(name, len(seq))
-    for (un, su, vn, sv), e in est.items():
+    for (un, su, vn, sv), e in merged.items():
         dg.add_edge(node(dg.id_of(un), su), node(dg.id_of(vn), sv),
                     {"d": e.distance, "n": e.num_pairs,
                      "sd": e.std_dev})
-    distance_est.write_dist_dot(
-        est, {n: len(s) for n, s in contigs}, p.path("6.dist.dot"), k=p.k)
-    chains = pathtools.scaffold_paths(dg, p.min_pairs, p.min_len)
+
+    # abyss-scaffold with (n,s) search -> -6.path (scaffold.cc)
+    n_range = p.scaffold_n or (p.min_pairs, p.min_pairs)
+    s_range = p.scaffold_s or (p.min_len, p.min_len)
+    result = scaffolder.search_scaffold_params(
+        dg, n_range, s_range, k=p.k, verbose=max(0, p.verbose - 1))
+    _log(p, f"stage 8: scaffold n={result.n} s={result.s} "
+            f"N50={result.n50} ({len(result.paths)} scaffolds)")
+    pathtools.write_paths(result.paths, dg, p.path("6.path"), start_id=0)
+
+    # PathConsensus over the scaffold gaps -> -7 (abyss-pe:738-741);
+    # use the CONTIG adjacency graph for gap search, the distance graph
+    # has no walkable sequence edges
+    g6, _ = graphio.read_dot(p.path("6.dot"))
+    # translate scaffold paths into g6's vertex ids (same names)
+    remap = []
+    for pth in result.paths:
+        q = []
+        ok = True
+        for e in pth:
+            if pa.is_amb(e):
+                q.append(e)
+                continue
+            nm = dg.names[e >> 1]
+            if nm not in g6._index:
+                ok = False
+                break
+            q.append(node(g6.id_of(nm), e & 1))
+        if ok:
+            remap.append(q)
+    res = path_consensus.resolve_paths(
+        g6, seqs, remap, p.k, identity=p.bubble_identity,
+        num_branches=p.max_branches)
+    st = res.stats
+    if st.num_amb:
+        _log(p, f"stage 7: PathConsensus closed {st.merged} of "
+                f"{st.num_amb} scaffold gaps")
+    _write_contigs(p.path("7.fa"),
+                   [(n, s) for n, s, _ in res.new_contigs],
+                   [c for _, _, c in res.new_contigs])
+    graphio.write_dot(g6, p.path("7.dot"), k=p.k)
+    next_id = max((int(n) for n in g6.names if n.isdigit()),
+                  default=-1) + 1
+    pathtools.write_paths(res.paths, g6, p.path("7.path"),
+                          start_id=next_id)
+
+    # MergeContigs -> -8.fa = scaffolds
     used = set()
     out_contigs = []
-    next_id = max((int(n) for n, _ in contigs if n.isdigit()), default=-1) + 1
-    for path in chains:
-        seq = pathtools.materialize_path(path, dg, seqs)
+    for pth in res.paths:
+        seq = pathtools.materialize_path(pth, g6, seqs, k=p.k)
         out_contigs.append((str(next_id), seq))
         next_id += 1
-        used.update(v >> 1 for v in path)
-    for cid in dg.contigs():
+        used.update(v >> 1 for v in pth if not pa.is_amb(v))
+    n_scaffolds = len(out_contigs)
+    for cid in g6.contigs():
         if cid not in used:
-            n = dg.names[cid]
-            out_contigs.append((n, seqs[n]))
+            n = g6.names[cid]
+            if n in seqs:
+                out_contigs.append((n, seqs[n]))
     _write_contigs(out, out_contigs)
-    _log(p, f"stage 8: {len(chains)} scaffolds + "
-            f"{len(out_contigs) - len(chains)} singletons")
+    # PathOverlap --overlap -> -8.dot
+    g8 = path_overlap.path_graph(
+        g6, res.paths, [n for n, _ in out_contigs[:n_scaffolds]],
+        seqs=seqs, k=p.k)
+    graphio.write_dot(g8, p.path("8.dot"), k=p.k)
+    _log(p, f"stage 8: {n_scaffolds} scaffolds + "
+            f"{len(out_contigs) - n_scaffolds} singletons")
     return out
 
 
@@ -391,8 +633,8 @@ def stage_sealer(p: PipelineParams) -> str | None:
         return out
     from ..gap import sealer
     scaffolds, _ = _read_contigs(p.path("8.fa"))
-    sealed, st = sealer.seal(scaffolds, p.in_files, ks=p.sealer_ks,
-                             bloom_bytes=p.bloom_bytes)
+    sealed, st = sealer.seal(scaffolds, p.assembly_files(),
+                             ks=p.sealer_ks, bloom_bytes=p.bloom_bytes)
     _log(p, f"sealer: closed {st.closed} of {st.gaps} gaps")
     _write_contigs(out, sealed)
     return out
@@ -417,8 +659,8 @@ def stage_linked_10(p: PipelineParams) -> str | None:
                 f"cuts, {st['links']} links, {st['scaffolds']} scaffolds")
     else:
         _log(p, "stage 10: long-read rescaffolding")
-        from ..scaffold import paths as pathtools
-        hist, links = _map_all_files(p, p.path("8.fa"), p.long_files)
+        hist, links = _map_library(p, p.path("8.fa"), p.long_files,
+                                   p.align_k)
         est = distance_est.estimate_distances(
             links, hist, min_pairs=max(1, p.min_pairs // 2),
             min_align=p.align_k)
@@ -430,32 +672,20 @@ def stage_linked_10(p: PipelineParams) -> str | None:
             dg.add_edge(node(dg.id_of(un), su), node(dg.id_of(vn), sv),
                         {"d": e.distance, "n": e.num_pairs,
                          "sd": e.std_dev})
-        chains = pathtools.scaffold_paths(dg, max(1, p.min_pairs // 2),
-                                          p.min_len)
+        r = scaffolder.build_scaffold_paths(
+            dg, max(1, p.min_pairs // 2), p.min_len, k=p.k)
         used = set()
         scaffolds = []
-        for i, path in enumerate(chains):
-            scaffolds.append((f"scaffold{i}",
-                              pathtools.materialize_path(path, dg, seqs)))
-            used.update(v >> 1 for v in path)
+        for i, pth in enumerate(r.paths):
+            scaffolds.append((f"scaffold{i}", pathtools.materialize_path(
+                pth, dg, seqs, k=p.k)))
+            used.update(v >> 1 for v in pth if not pa.is_amb(v))
         for cid in dg.contigs():
             if cid not in used:
                 n = dg.names[cid]
                 scaffolds.append((n, seqs[n]))
     _write_contigs(out, scaffolds)
     return out
-
-
-def _map_all_files(p: PipelineParams, target_fa: str, files):
-    contigs, _ = _read_contigs(target_fa)
-    al = mapper.KmerAligner(contigs, k=p.align_k)
-    all_alns = []
-    for batch in io_read_batches(files, p.batch_size, p.max_read_len,
-                                 q=p.q):
-        alns = al.align_batch(batch.codes,
-                              batch.lengths, batch.ids)
-        all_alns.extend(alns)
-    return fixmate.fixmate(all_alns)
 
 
 def stage_stats(p: PipelineParams) -> str:
@@ -518,8 +748,17 @@ def run(p: PipelineParams) -> dict[str, str]:
     return artifacts
 
 
+def _parse_range(text: str) -> tuple:
+    if "-" in text:
+        lo, hi = text.split("-", 1)
+        return (int(lo), int(hi))
+    return (int(text), int(text))
+
+
 def main(argv=None):
-    """abyss-pe-style CLI: `name=out k=25 in='r1.fq r2.fq'`."""
+    """abyss-pe-style CLI: `name=out k=25 in='r1.fq r2.fq'` or with
+    libraries: `lib='pea' pea='pea_1.fq pea_2.fq' mp='mpc'
+    mpc='mpc_1.fq mpc_2.fq' pea_l=50`."""
     argv = argv if argv is not None else sys.argv[1:]
     kv = {}
     want_env = False
@@ -531,18 +770,33 @@ def main(argv=None):
             raise SystemExit(f"expected key=value, got {a!r}")
         k_, v = a.split("=", 1)
         kv[k_] = v
+    # named libraries (bin/abyss-pe:140-160)
+    lib_names = kv.get("lib", "").split()
+    pe_names = kv.get("pe", "").split() or lib_names
+    mp_names = kv.get("mp", "").split() or pe_names
+    libs = {}
+    for nm in dict.fromkeys(lib_names + pe_names + mp_names):
+        if nm not in kv:
+            raise SystemExit(f"library {nm!r} has no file list "
+                             f"(pass {nm}='file1 file2')")
+        libs[nm] = Library(
+            name=nm, files=kv[nm].split(),
+            l=int(kv[nm + "_l"]) if nm + "_l" in kv else None,
+            s=int(kv[nm + "_s"]) if nm + "_s" in kv else None,
+            n=int(kv[nm + "_n"]) if nm + "_n" in kv else None)
     p = PipelineParams(
         name=kv.get("name", "abyss"),
         k=int(kv.get("k", 25)),
         in_files=kv.get("in", "").split(),
+        libs=libs,
+        pe_names=pe_names if libs else [],
+        mp_names=mp_names if libs else [],
+        se_files=kv.get("se", "").split(),
         kc=int(kv.get("kc", 2)),
         q=int(kv.get("q", 3)),
         min_pairs=int(kv.get("n", 10)),
         min_len=int(kv.get("s", 200)),
         outdir=kv.get("outdir", "."),
-        # reference abyss-pe passes verbosity as flag text (v=-v / v=-vv,
-        # appended to every tool's options, bin/abyss-pe:220); accept that
-        # form as well as a plain integer
         verbose=(kv["v"].count("v") if kv.get("v", "").lstrip("-").strip("v")
                  == "" and "v" in kv else int(kv.get("v", 1))),
         engine=kv.get("engine", "bloom"),
@@ -554,6 +808,12 @@ def main(argv=None):
         np_devices=int(kv.get("np", 1)),
         aligner=kv.get("aligner", "map"),
     )
+    if "l" in kv:
+        p.align_k = int(kv["l"])
+    if "S" in kv:
+        p.scaffold_s = _parse_range(kv["S"])
+    if "N" in kv:
+        p.scaffold_n = _parse_range(kv["N"])
     if "B" in kv:
         size = kv["B"].upper()
         mult = 1
@@ -569,8 +829,9 @@ def main(argv=None):
         for f_ in dataclasses.fields(p):
             print(f"{f_.name}={getattr(p, f_.name)}")
         return
-    if not p.in_files:
-        raise SystemExit("no input files: pass in='reads1.fq reads2.fq'")
+    if not p.in_files and not p.libs:
+        raise SystemExit("no input files: pass in='reads1.fq reads2.fq' "
+                         "or lib=/pe=/mp= libraries")
     run(p)
     sys.stdout.write(open(p.path("stats.tab")).read())
 

@@ -96,25 +96,57 @@ def allowed_error(sd: float, min_error: int = 6, n_sd: float = 3.0) -> int:
     return max(min_error, int(n_sd * sd + 0.5))
 
 
-def simple_graph_paths(g: ContigGraph, estimates: dict, names_index: dict,
-                       max_paths: int = 200, seqs: dict | None = None,
-                       consensus_identity: float = 0.9,
-                       max_candidates: int = 4) -> list[list[int]]:
+def _path_span(g: ContigGraph, path: list[int], i0: int, i1: int) -> int:
+    """Distance in bases from the END of path[i0] to the START of
+    path[i1] walking the graph edges (SimpleGraph.cpp
+    calculatePathLength for the ambiguous middle)."""
+    span = 0
+    for j in range(i0, i1):
+        prop = g.out[path[j]].get(path[j + 1]) or {}
+        span += prop.get("d", 0)
+        if j + 1 < i1:
+            span += g.length(path[j + 1])
+    return span
+
+
+def construct_ambiguous_path(g: ContigGraph, sols: list[list[int]],
+                             k: int = 0) -> list[int]:
+    """Common prefix + `nN` + common suffix of several solutions
+    (SimpleGraph.cpp constructAmbiguousPath:326).  numN = span of the
+    longest candidate's middle + k - 1 ("the convention")."""
+    from .path_algebra import amb
+
+    first = sols[0]
+    min_len = min(len(s) for s in sols)
+    pre = 0
+    while pre < min_len and all(s[pre] == first[pre] for s in sols):
+        pre += 1
+    suf = 0
+    while suf < min_len - pre and all(
+            s[len(s) - 1 - suf] == first[len(first) - 1 - suf]
+            for s in sols):
+        suf += 1
+    out = first[:pre]
+    if suf > 0 and pre > 0:
+        longest = max(sols, key=lambda s: _path_span(g, s, pre - 1,
+                                                     len(s) - suf))
+        dist = _path_span(g, longest, pre - 1, len(longest) - suf)
+        num_n = max(1, dist + k - 1)
+        out.append(amb(num_n))
+        out.extend(first[len(first) - suf:])
+    return out
+
+
+def simple_graph_seed_paths(g: ContigGraph, estimates: dict,
+                            names_index: dict, k: int = 0,
+                            max_paths: int = 200,
+                            ) -> dict[int, list[int]]:
     """For each oriented contig with distance estimates, search for the
-    unique consistent path (SimpleGraph.cpp main loop).  `estimates`
-    maps (u_name, su, v_name, sv) -> DistanceEstimate.
-
-    Ambiguity resolution (the PathConsensus role,
-    MergePaths/PathConsensus.cpp): when several paths satisfy the
-    constraints and `seqs` are available, the candidates' materialized
-    sequences go through the center-star MSA consensus
-    (align/dialign.py, the DIALIGN-TX replacement); when the mean
-    identity vs the consensus is >= consensus_identity they collapse to
-    the highest-coverage candidate, otherwise candidates fall back to
-    the agreed path prefix.
-    """
-    from ..align.nw import nw_identity_np
-
+    consistent path (SimpleGraph.cpp main loop).  `estimates` maps
+    (u_name, su, v_name, sv) -> DistanceEstimate.  Returns
+    {oriented seed vertex: path starting at the seed} — a unique
+    solution verbatim, or the ambiguous prefix + nN + suffix form that
+    PathConsensus later resolves (SimpleGraph.cpp:620-633)."""
     by_seed: dict[int, list[Constraint]] = {}
     for (un, su, vn, sv), e in estimates.items():
         if un not in names_index or vn not in names_index:
@@ -124,64 +156,41 @@ def simple_graph_paths(g: ContigGraph, estimates: dict, names_index: dict,
         by_seed.setdefault(u, []).append(Constraint(
             target=v, distance=e.distance, error=allowed_error(e.std_dev),
             num_pairs=e.num_pairs))
-    paths = []
+    paths: dict[int, list[int]] = {}
     for u, cons in sorted(by_seed.items()):
         sols = constrained_search(g, u, cons, max_paths=max_paths)
+        # a seed appearing twice in its own solution is a repeat: skip
+        # (SimpleGraph.cpp findRepeats/"Repeat:" arm)
+        if any(sum(1 for v in s if (v >> 1) == (u >> 1)) > 1
+               for s in sols):
+            continue
         if len(sols) == 1:
-            paths.append(sols[0])
+            paths[u] = sols[0]
         elif len(sols) > 1:
-            if seqs is not None and len(sols) <= max_candidates:
-                # PathConsensus aligns only the ambiguous interior, not
-                # whole anchor contigs (candidates share their endpoint
-                # anchors): strip the common vertex prefix/suffix, keep
-                # one anchor vertex on each side, and refuse quadratic
-                # NW work past 20kb (PathConsensus.cpp operates on
-                # bubble-scale paths).
-                first = sols[0]
-                pre = 0
-                while all(len(s) > pre and s[pre] == first[pre]
-                          for s in sols):
-                    pre += 1
-                lim = min(len(s) for s in sols) - pre
-                suf = 0
-                while suf < lim and all(
-                        s[len(s) - 1 - suf] == first[len(first) - 1 - suf]
-                        for s in sols):
-                    suf += 1
-                middles = [s[max(pre - 1, 0): len(s) - suf + 1]
-                           for s in sols]
-                texts = ([materialize_path(s, g, seqs) for s in middles]
-                         if all(middles) else [""])
-                # identity gate only — the consensus STRING is unused
-                # here (the collapse keeps the best candidate verbatim),
-                # so score-only pairwise identity replaces the full
-                # MSA-with-traceback; cap at fragment scale, the size of
-                # the ambiguous segments PathConsensus.cpp aligns
-                # (gap-bubble paths bounded by the distance constraint)
-                ok = None
-                if texts[0] and max(map(len, texts)) <= 2_000:
-                    idents = [nw_identity_np(texts[i], texts[j])
-                              for i in range(len(texts))
-                              for j in range(i + 1, len(texts))]
-                    ok = idents and \
-                        sum(idents) / len(idents) >= consensus_identity
-                if ok:
-                    best = max(
-                        sols,
-                        key=lambda s: sum(g.coverages[v >> 1] for v in s))
-                    paths.append(best)
-                    continue
-            # fall back: keep the shared prefix all solutions agree on
-            first = sols[0]
-            prefix = []
-            for i, v in enumerate(first):
-                if all(len(s) > i and s[i] == v for s in sols):
-                    prefix.append(v)
-                else:
-                    break
-            if len(prefix) >= 2:
-                paths.append(prefix)
+            p = construct_ambiguous_path(g, sols, k=k)
+            if len(p) >= 2:
+                paths[u] = p
     return paths
+
+
+def simple_graph_paths(g: ContigGraph, estimates: dict, names_index: dict,
+                       max_paths: int = 200, seqs: dict | None = None,
+                       consensus_identity: float = 0.9,
+                       max_candidates: int = 4, k: int = 0,
+                       ) -> list[list[int]]:
+    """Path list view of simple_graph_seed_paths (compat wrapper for
+    callers that do not track seeds); ambiguous entries are dropped by
+    truncating at the first gap."""
+    from .path_algebra import is_amb
+
+    out = []
+    for u, p in sorted(simple_graph_seed_paths(
+            g, estimates, names_index, k=k, max_paths=max_paths).items()):
+        if any(is_amb(e) for e in p):
+            p = p[:next(i for i, e in enumerate(p) if is_amb(e))]
+        if len(p) >= 2:
+            out.append(p)
+    return out
 
 
 def _is_subpath(small: list[int], big: list[int]) -> bool:
@@ -290,9 +299,14 @@ def scaffold_paths(dist_graph: ContigGraph, min_pairs: int = 10,
 
 
 def materialize_path(path: list[int], g: ContigGraph, seqs: dict[str, str],
-                     default_overlap: int = 0, min_gap: int = 1) -> str:
+                     default_overlap: int = 0, min_gap: int = 1,
+                     k: int = 0) -> str:
     """Path -> sequence with 'N' gaps for positive distances
     (MergeContigs.cpp for scaffold paths).
+
+    Ambiguous path entries (path_algebra.amb, the reference's `nN`
+    nodes) become N runs of `n - (k-1)` bases (the stored length is
+    d + k - 1 by the scaffold convention, scaffold.cc addDistEst).
 
     A negative distance splices the overlap ONLY when the two ends
     actually match (the Overlap tool's verification role,
@@ -300,13 +314,36 @@ def materialize_path(path: list[int], g: ContigGraph, seqs: dict[str, str],
     negative (e.g. across a repeat) falls back to an N gap instead of
     fabricating sequence."""
     from ..core import alphabet
+    from .path_algebra import amb_len, is_amb
 
     def oriented(v):
         s = seqs[g.names[v >> 1]]
         return s if (v & 1) == 0 else alphabet.revcomp(s)
 
+    # strip leading/trailing gaps; fold interior gap entries into
+    # explicit inter-contig distances
+    p = [e for i, e in enumerate(path)
+         if not (is_amb(e) and (i == 0 or i == len(path) - 1))]
+    if not p:
+        return ""
+    gap_before: dict[int, int] = {}   # index in concrete list -> gap bp
+    concrete: list[int] = []
+    for e in p:
+        if is_amb(e):
+            bp = max(min_gap, amb_len(e) - max(k - 1, 0))
+            gap_before[len(concrete)] = \
+                gap_before.get(len(concrete), 0) + bp
+        else:
+            concrete.append(e)
+    if not concrete:
+        return ""
+    path = concrete
+
     out = [oriented(path[0])]
-    for a, b in zip(path, path[1:]):
+    for i, (a, b) in enumerate(zip(path, path[1:])):
+        if i + 1 in gap_before:
+            out.append("N" * gap_before[i + 1] + oriented(b))
+            continue
         prop = g.out[a].get(b) or {}
         d = prop.get("d", default_overlap)
         s = oriented(b)
@@ -326,16 +363,44 @@ def materialize_path(path: list[int], g: ContigGraph, seqs: dict[str, str],
     return "".join(out)
 
 
-def write_paths(paths: list[list[int]], g: ContigGraph, out, start_id: int):
-    """ContigPath file: `<new-name>\\t<v1> <v2> ...`
-    (Common/ContigPath.h operator<<)."""
+def write_paths(paths: list[list[int]], g: ContigGraph, out, start_id):
+    """ContigPath file: `<new-name>\\t<v1> <v2> ...`; ambiguous entries
+    render as `<n>N` (Common/ContigPath.h operator<<).  start_id may be
+    an int (sequential names) or a list of names."""
     import os
+    from .path_algebra import amb_len, is_amb
     own = isinstance(out, (str, os.PathLike))
     f = open(out, "w") if own else out
     try:
         for i, p in enumerate(paths):
-            f.write(f"{start_id + i}\t" +
-                    " ".join(g.name(v) for v in p) + "\n")
+            name = (start_id[i] if isinstance(start_id, list)
+                    else start_id + i)
+            f.write(f"{name}\t" + " ".join(
+                f"{amb_len(v)}N" if is_amb(v) else g.name(v)
+                for v in p) + "\n")
     finally:
         if own:
             f.close()
+
+
+def read_paths(path, g: ContigGraph) -> tuple[list[str], list[list[int]]]:
+    """Read a ContigPath file; returns (names, paths) with ambiguous
+    `<n>N` entries decoded to path_algebra.amb."""
+    from ..graph.contig_graph import parse_vertex_name
+    from .path_algebra import amb
+    names, paths = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            try:
+                p = [amb(int(tok[:-1])) if tok.endswith("N")
+                     and tok[:-1].isdigit()
+                     else parse_vertex_name(tok, g._index)
+                     for tok in parts[1:]]
+            except (KeyError, ValueError):
+                continue
+            names.append(parts[0])
+            paths.append(p)
+    return names, paths

@@ -134,10 +134,14 @@ def test_pipeline_exact_engine(tmp_path):
 
 
 def test_path_consensus_resolves_bubble():
-    """Two near-identical candidate paths (bubble) collapse to the
-    higher-coverage one (the PathConsensus role)."""
+    """Two near-identical candidate paths (bubble): SimpleGraph emits
+    the ambiguous prefix+nN+suffix path (SimpleGraph.cpp
+    constructAmbiguousPath), then PathConsensus resolves the gap to a
+    consensus contig — no N run in the merged sequence."""
     from abyss_tpu.align.distance_est import DistanceEstimate
     from abyss_tpu.graph.contig_graph import ContigGraph, node
+    from abyss_tpu.scaffold import path_algebra as pa
+    from abyss_tpu.scaffold import path_consensus
     g = ContigGraph()
     s = sim.random_genome(300, seed=400)
     arm_a = s[100:149]
@@ -151,12 +155,19 @@ def test_path_consensus_resolves_bubble():
     for a, b in [(1, 3), (2, 3)]:
         g.add_edge(node(a, 0), node(b, 0), {"d": -9})
     est = {("0", 0, "3", 0): DistanceEstimate(30, 20, 3.0)}
-    paths = pathtools.simple_graph_paths(
-        g, est, {n: g.id_of(n) for n in "0123"}, seqs=seqs)
-    assert len(paths) == 1
-    # consensus keeps the high-coverage arm (contig 1)
-    assert node(1, 0) in paths[0]
-    assert len(paths[0]) == 3
+    seed_paths = pathtools.simple_graph_seed_paths(
+        g, est, {n: g.id_of(n) for n in "0123"}, k=11)
+    assert node(0, 0) in seed_paths
+    amb_path = seed_paths[node(0, 0)]
+    assert amb_path[0] == node(0, 0) and amb_path[-1] == node(3, 0)
+    assert any(pa.is_amb(e) for e in amb_path)
+    res = path_consensus.resolve_paths(g, seqs, [amb_path], k=11,
+                                       identity=0.9)
+    out = res.paths[0]
+    assert not any(pa.is_amb(e) for e in out)
+    assert len(res.new_contigs) == 1  # the emitted consensus contig
+    seq = pathtools.materialize_path(out, g, seqs, k=11)
+    assert "N" not in seq
 
 
 def test_pipeline_exact_engine_wide_k(tmp_path):
