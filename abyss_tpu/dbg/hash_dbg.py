@@ -108,6 +108,9 @@ class KmerTable:
     # columns 4-7: left extension by base c.
     hr: np.ndarray | None = None    # uint64[N] (wide mode)
     text: np.ndarray | None = None  # uint8[N, ceil(k/4)] (wide mode)
+    # per-strand multiplicity (VertexData.h's 2x counters); filled by
+    # count_kmers(strand_counts=True) for the erode E threshold
+    fwd_counts: np.ndarray | None = None  # int32[N]
 
     @property
     def n(self) -> int:
@@ -178,28 +181,49 @@ def load_snapshot(path: str) -> KmerTable:
                      text=text if text.ndim == 2 else None)
 
 
-def count_kmers(batches, k: int) -> KmerTable:
+def count_kmers(batches, k: int, strand_counts: bool = False) -> KmerTable:
     """Load phase (LoadAlgorithm.h:12-178): read batches -> sorted
     unique canonical k-mers with counts.
 
     Counting runs through the device streaming counter (per-chunk sort
     + RLE reduction, ops/sorted_filter.SortedKmerCounter) rather than a
     host np.unique over every k-mer occurrence: the host only ever
-    merges pre-reduced (distinct k-mer, count) pairs."""
+    merges pre-reduced (distinct k-mer, count) pairs.
+
+    strand_counts additionally tracks sense-orientation occurrences
+    (VertexData.h's per-strand multiplicity) for the erode `E`
+    threshold; a second counter keyed the same way counts only windows
+    whose forward form IS the canonical form."""
     from ..ops.sorted_filter import SortedKmerCounter
     if k > 32:
         return _count_kmers_wide(batches, k)
     ctr = SortedKmerCounter(k, threshold=1)
+    sctr = SortedKmerCounter(k, threshold=1) if strand_counts else None
     for codes in batches:
-        _, _, canon, valid = pack_kmers(jnp.asarray(codes), k)
+        fwd, _, canon, valid = pack_kmers(jnp.asarray(codes), k)
         ctr.add(canon, valid)
+        if sctr is not None:
+            sctr.add(canon, valid & (fwd == canon))
     f = ctr.finalize()
     if f.n == 0:
         return KmerTable(k, np.zeros(0, np.uint64), np.zeros(0, np.int32),
                          np.zeros(0, bool))
     kmers = np.asarray(f.kmers)
     counts = np.minimum(np.asarray(f.counts), COVERAGE_MAX).astype(np.int32)
-    return KmerTable(k, kmers, counts, np.ones(len(kmers), bool))
+    t = KmerTable(k, kmers, counts, np.ones(len(kmers), bool))
+    if sctr is not None:
+        sf = sctr.finalize()
+        fwd_counts = np.zeros(len(kmers), np.int32)
+        if sf.n:
+            skeys = np.asarray(sf.kmers)
+            scnts = np.minimum(np.asarray(sf.counts),
+                               COVERAGE_MAX).astype(np.int32)
+            idx = np.searchsorted(kmers, skeys)
+            ok = (idx < len(kmers)) & (kmers[np.minimum(
+                idx, len(kmers) - 1)] == skeys)
+            fwd_counts[idx[ok]] = scnts[ok]
+        t.fwd_counts = fwd_counts
+    return t
 
 
 def _count_kmers_wide(batches, k: int) -> KmerTable:
@@ -396,14 +420,25 @@ def _degrees(t: KmerTable) -> tuple[np.ndarray, np.ndarray]:
     return ok[:, :4].sum(axis=1), ok[:, 4:].sum(axis=1)
 
 
-def erode(t: KmerTable, e: int) -> int:
-    """Remove blunt-ended k-mers with coverage < e until stable
-    (ErodeAlgorithm.h:63-113).  Returns number eroded."""
+def erode(t: KmerTable, e: int, e_strand: int = 0) -> int:
+    """Remove blunt-ended k-mers with coverage < e — or either strand's
+    coverage < e_strand (the `E` parameter, ErodeAlgorithm.h:75-77) —
+    until stable (ErodeAlgorithm.h:63-113).  Returns number eroded.
+
+    Strand thresholds need per-strand counts: count_kmers(...,
+    strand_counts=True) fills t.fwd_counts; without them e_strand is
+    ignored."""
     total = 0
+    use_strand = e_strand > 0 and t.fwd_counts is not None
     while True:
         rd, ld = _degrees(t)
         blunt = ((rd == 0) | (ld == 0)) & t.alive
-        kill = blunt & (t.counts < e)
+        weak = t.counts < e
+        if use_strand:
+            fwd = t.fwd_counts
+            rev = t.counts - fwd
+            weak = weak | (fwd < e_strand) | (rev < e_strand)
+        kill = blunt & weak
         n = int(kill.sum())
         if n == 0:
             return total
@@ -413,61 +448,67 @@ def erode(t: KmerTable, e: int) -> int:
 
 def trim(t: KmerTable, max_tip: int) -> int:
     """Prune tips of <= max_tip k-mers (performTrim,
-    TrimAlgorithm.h:15-99): walk inward from blunt endpoints; if a
-    junction or an opposite-direction branch appears within max_tip
-    steps, delete the walked branch."""
+    TrimAlgorithm.h:15-34): rounds of length 1, 2, 4, .., t, then
+    repeat at t until fixpoint."""
+    if max_tip <= 0:
+        return 0
     total = 0
-    changed = True
-    while changed:
-        changed = False
-        rd, ld = _degrees(t)
-        # endpoints: alive k-mers with degree 0 on one side
-        for side in (0, 1):  # 0: left-blunt, walk right; 1: right-blunt
-            if side == 0:
-                start = np.nonzero(t.alive & (ld == 0) & (rd > 0))[0]
-            else:
-                start = np.nonzero(t.alive & (rd == 0) & (ld > 0))[0]
-            if not len(start):
-                continue
-            kills = _walk_tips(t, start, side, max_tip, rd, ld)
-            if kills:
-                idx = np.concatenate(kills)
-                t.alive[idx] = False
-                total += len(idx)
-                changed = True
-                rd, ld = _degrees(t)
-    return total
+    ln = 1
+    while ln < max_tip:
+        total += _trim_round(t, ln)
+        ln *= 2
+    while True:
+        n = _trim_round(t, max_tip)
+        total += n
+        if n == 0:
+            return total
 
 
-def _walk_tips(t, start, side, max_tip, rd, ld):
-    """Walk from blunt endpoints; collect branches that terminate at a
-    junction within max_tip steps."""
-    kills = []
-    for s in start:
-        path = [s]
-        cur = s
-        dir_right = side == 0
-        ok = False
-        for _ in range(max_tip):
-            cols = range(0, 4) if dir_right else range(4, 8)
-            nxts = [t.nbr[cur, c] for c in cols
-                    if t.nbr[cur, c] >= 0 and t.alive[t.nbr[cur, c]]]
-            if len(nxts) != 1:
-                break
-            nxt = nxts[0]
-            # orientation flip: stored orientation of the neighbour may be
-            # reverse; detect by checking which side links back
-            # (approximation: use degree heuristic below)
-            nrd, nld = rd[nxt], ld[nxt]
-            if (nrd if dir_right else nld) > 1 or (nld if dir_right else nrd) > 1:
-                # junction reached: the walked path is a tip
-                ok = True
-                break
-            path.append(nxt)
-            cur = nxt
-        if ok and len(path) <= max_tip:
-            kills.append(np.asarray(path))
-    return kills
+def _trim_round(t: KmerTable, max_tip: int) -> int:
+    """One trimSequences pass (TrimAlgorithm.h:38-99), batched: chains
+    of `_oriented_next` links ARE the reference's linear branch walks
+    with exact orientation, so tips are read off the pointer-doubled
+    chain decomposition instead of per-endpoint host walks.
+
+    A chain starting blunt (in-degree 0 behind its head) is removed
+    when it is short enough and its walk terminated for a removing
+    reason (processTerminatedBranchTrim:186-199):
+      * BS_NOEXT    — end vertex has no forward extension;
+      * BS_AMBI_OPP — the next vertex merges other branches
+                      (its opposite-direction extension is ambiguous).
+    BS_AMBI_SAME (forward fork) and BS_TOO_LONG keep the branch."""
+    if t.n == 0:
+        return 0
+    rd, ld = _degrees(t)
+    outdeg = np.empty(2 * t.n, np.int64)
+    outdeg[0::2] = rd
+    outdeg[1::2] = ld
+    indeg = outdeg[np.arange(2 * t.n) ^ 1]
+    nxt = _oriented_next(t)
+    head, pos = _pointer_double(nxt)
+    alive_ov = np.repeat(t.alive, 2)
+    order = np.lexsort((pos, head))
+    order = order[alive_ov[order]]
+    if not len(order):
+        return 0
+    heads = head[order]
+    b = np.nonzero(np.concatenate([[True], heads[1:] != heads[:-1]]))[0]
+    e = np.concatenate([b[1:], [len(order)]])
+    headv = order[b]
+    endv = order[e - 1]
+    length = e - b
+    start_blunt = indeg[headv] == 0
+    short = length <= max_tip
+    # outdeg[end] == 0 -> BS_NOEXT; == 1 -> the link was cut by the
+    # target's ambiguous in-degree (BS_AMBI_OPP); > 1 -> BS_AMBI_SAME
+    removing_end = outdeg[endv] <= 1
+    kill_chain = start_blunt & short & removing_end
+    if not kill_chain.any():
+        return 0
+    mask = np.repeat(kill_chain, length)
+    rows = np.unique(order[mask] >> 1)
+    t.alive[rows] = False
+    return len(rows)
 
 
 # --------------------------------------------------------------------------
@@ -760,6 +801,7 @@ def multi_k_sweep(read_batches_fn, ks: list[int], kc: int = 2,
 
 
 def assemble_reads(batches, k: int, kc: int = 2, erode_cov: int = 2,
+                   erode_strand: int = 0,
                    tip_len: int | None = None,
                    auto_coverage: bool = False,
                    min_mean_cov: float | None = None,
@@ -774,14 +816,16 @@ def assemble_reads(batches, k: int, kc: int = 2, erode_cov: int = 2,
     below it, then re-erode/re-trim, abyss.cc:96-112); bubble_len is the
     `b` parameter in k-mers (BubbleAlgorithm); popped branch sequences
     are appended to bubbles_out when given."""
-    t = count_kmers(batches, k)
+    t = count_kmers(batches, k, strand_counts=erode_strand > 0)
     return assemble_table(
-        t, kc=kc, erode_cov=erode_cov, tip_len=tip_len,
+        t, kc=kc, erode_cov=erode_cov, erode_strand=erode_strand,
+        tip_len=tip_len,
         auto_coverage=auto_coverage, min_mean_cov=min_mean_cov,
         bubble_len=bubble_len, bubbles_out=bubbles_out), t
 
 
 def assemble_table(t: KmerTable, kc: int = 2, erode_cov: int = 2,
+                   erode_strand: int = 0,
                    tip_len: int | None = None, auto_coverage: bool = False,
                    min_mean_cov: float | None = None,
                    bubble_len: int | None = None,
@@ -799,11 +843,11 @@ def assemble_table(t: KmerTable, kc: int = 2, erode_cov: int = 2,
     apply_coverage_threshold(t, kc_eff)
     build_adjacency(t)
     tip = tip_len if tip_len is not None else k
-    erode(t, erode_cov)
+    erode(t, erode_cov, erode_strand)
     trim(t, tip)
     if min_mean_cov:
         while remove_low_coverage_contigs(t, min_mean_cov):
-            erode(t, erode_cov)
+            erode(t, erode_cov, erode_strand)
             trim(t, tip)
     popped = pop_bubbles_kmer(
         t, bubble_len if bubble_len is not None else 3 * k)

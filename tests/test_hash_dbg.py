@@ -250,3 +250,90 @@ def test_wide_snapshot_roundtrip(tmp_path):
     c1 = sorted(s for s, _ in hash_dbg.assemble(t))
     c2 = sorted(s for s, _ in hash_dbg.assemble(t2))
     assert c1 == c2
+
+
+def test_trim_flipped_orientation_tip():
+    """A tip whose k-mers store in flipped (rc) orientation must still
+    be pruned, and the trunk left intact (TrimAlgorithm.h:137-179
+    tracks orientation exactly through the walk; VERDICT r1 #5)."""
+    from abyss_tpu import sim
+    from abyss_tpu.core import alphabet
+    k = 25
+    trunk = sim.random_genome(300, seed=77)
+    # tip: branches off position 150 with 12 novel bases
+    tip_seq = trunk[150 - (k - 1):150] + "".join(
+        "TGCA"[(i * 7 + 3) % 4] for i in range(12))
+    reads = []
+    for start in range(0, len(trunk) - 80, 7):
+        reads.append(trunk[start:start + 80])
+    # feed the tip read REVERSE-COMPLEMENTED so its k-mers meet the
+    # table in flipped orientation relative to the trunk walk
+    reads.append(alphabet.revcomp(tip_seq))
+    reads.append(alphabet.revcomp(tip_seq))
+    codes = np.full((len(reads), 80), 4, np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, :len(r)] = alphabet.encode(r)
+    t = hash_dbg.count_kmers([codes], k)
+    hash_dbg.apply_coverage_threshold(t, 1)
+    hash_dbg.build_adjacency(t)
+    n_before = int(t.alive.sum())
+    removed = hash_dbg.trim(t, k)
+    assert removed >= 11  # the tip-only k-mers (first window can
+    # coincide with a trunk k-mer when the first novel base matches)
+    contigs = hash_dbg.assemble(t)
+    best = max(s for s, c in contigs)
+    assert trunk in best or alphabet.revcomp(trunk) in best or \
+        best in trunk or best in alphabet.revcomp(trunk)
+    # trunk survives in one piece
+    assert len(best) >= len(trunk) - 2 * k
+
+
+def test_trim_keeps_long_branch():
+    """Branches longer than the trim limit survive
+    (BS_TOO_LONG, TrimAlgorithm.h:150-153)."""
+    from abyss_tpu import sim
+    from abyss_tpu.core import alphabet
+    k = 25
+    trunk = sim.random_genome(200, seed=78)
+    branch = trunk[100 - (k - 1):100] + sim.random_genome(80, seed=79)
+    reads = []
+    for start in range(0, len(trunk) - 60, 5):
+        reads.append(trunk[start:start + 60])
+    for start in range(0, len(branch) - 60, 5):
+        reads.append(branch[start:start + 60])
+    codes = np.full((len(reads), 60), 4, np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, :len(r)] = alphabet.encode(r)
+    t = hash_dbg.count_kmers([codes], k)
+    hash_dbg.apply_coverage_threshold(t, 1)
+    hash_dbg.build_adjacency(t)
+    alive_before = int(t.alive.sum())
+    hash_dbg.trim(t, k)
+    # the 80-base branch is > k kmers long: kept
+    assert int(t.alive.sum()) > alive_before - 10
+
+
+def test_erode_strand_threshold():
+    """Per-strand erode threshold E (ErodeAlgorithm.h:75-77): a blunt
+    k-mer covered on only one strand dies under E=1 even when total
+    coverage passes e."""
+    from abyss_tpu import sim
+    from abyss_tpu.core import alphabet
+    k = 25
+    seq = sim.random_genome(120, seed=80)
+    # every read in the SAME text orientation: one strand only
+    reads = [seq] * 4
+    codes = np.full((len(reads), 120), 4, np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, :len(r)] = alphabet.encode(r)
+    t = hash_dbg.count_kmers([codes], k, strand_counts=True)
+    assert t.fwd_counts is not None
+    hash_dbg.build_adjacency(t)
+    t2 = hash_dbg.count_kmers([codes], k, strand_counts=True)
+    hash_dbg.build_adjacency(t2)
+    # e=2 alone keeps everything (coverage 4)
+    hash_dbg.erode(t, 2, 0)
+    assert int(t.alive.sum()) == t.n
+    # E=1 erodes from the blunt ends inward (each k-mer is one-strand)
+    n = hash_dbg.erode(t2, 2, 1)
+    assert n == t2.n  # the whole single-strand path erodes away
