@@ -1,0 +1,718 @@
+"""Mesh-sharded sorted k-mer table: the distributed exact engine.
+
+The reference's MPI engine owns each k-mer on rank
+`Kmer::getCode() % numProc` and routes every vertex operation to its
+owner with buffered async messages
+(Parallel/NetworkSequenceCollection.cpp:1456-1507; phases :457-664).
+The TPU-native reformulation is a single SPMD program over a "data"
+mesh axis:
+
+  * ownership      owner(key) = mix64(key) >> (64 - log2 D) — a
+                   uniform bit-mix so shards stay balanced even for
+                   2-bit-packed (non-uniform) keys;
+  * routing        bucket-by-owner + `jax.lax.all_to_all` with fixed
+                   per-destination capacity (the alltoallv pattern:
+                   uniform hashing concentrates bucket sizes near the
+                   mean, so 2x-mean capacity + overflow detection
+                   replaces variable-size sends);
+  * phases         count -> adjacency -> erode -> trim run with the
+                   table RESIDENT in per-device shards; remote reads
+                   (neighbour aliveness, pointer-doubling hops) are a
+                   generic routed gather (`_dist_gather`), the
+                   SeqDataRequest/Response analogue;
+  * reductions     `psum` over "data" (CommLayer::reduce parity).
+
+Memory high-point (counting + adjacency + trim) is O(N/D) per device.
+The final phases (bubble popping + chain emission) run host-side on
+the merged alive set — the analogue of the reference's rank-0
+per-rank-contig merge (Parallel/parallelAbyss.cpp:29-68); they touch
+the table after erosion/trimming has shrunk it.
+
+Packed mode only (k <= 32): one uint64 word per key, like the
+single-device fast path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..dbg.hash_dbg import COVERAGE_MAX, pack_kmers
+
+SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _mix64(x):
+    """SplitMix64 finalizer: uniform owner bits from packed keys."""
+    x = jnp.asarray(x, jnp.uint64)
+    x = (x ^ (x >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return x ^ (x >> jnp.uint64(31))
+
+
+def _owner(keys, log2_d: int):
+    if log2_d == 0:
+        return jnp.zeros(keys.shape, jnp.int32)
+    return (_mix64(keys) >> jnp.uint64(64 - log2_d)).astype(jnp.int32)
+
+
+def _bucketize(dest, valid, payloads: tuple, capacity: int, n_dev: int,
+               fill: tuple):
+    """Scatter items into [n_dev, capacity] per-destination buckets.
+    Returns (bufs..., overflow_count, order, slot_d, slot_c, ok) — the
+    latter four let the caller un-route replies.  Masked/overflow items
+    are written out of bounds and dropped."""
+    n = dest.shape[0]
+    d = jnp.where(valid, dest, n_dev)  # invalid sorts last
+    order = jnp.argsort(d)
+    sd = d[order]
+    # rank within each destination bucket
+    first = jnp.searchsorted(sd, jnp.arange(n_dev + 1, dtype=sd.dtype))
+    idx_in = jnp.arange(n) - first[jnp.minimum(sd, n_dev)]
+    ok = (sd < n_dev) & (idx_in < capacity)
+    overflow = jnp.sum((sd < n_dev) & (idx_in >= capacity))
+    row = jnp.where(ok, sd, n_dev)        # out of bounds when not ok
+    col = jnp.where(ok, idx_in, capacity)
+    bufs = []
+    for pay, fl in zip(payloads, fill):
+        buf = jnp.full((n_dev, capacity), fl, pay.dtype)
+        buf = buf.at[row, col].set(pay[order], mode="drop")
+        bufs.append(buf)
+    return bufs, overflow, order, row, col, ok
+
+
+def _unbucketize(reply, order, row, col, ok, n, fill):
+    """Inverse of _bucketize for the reply direction: reply[row, col]
+    back to original item positions."""
+    vals = jnp.where(ok, reply[row, col], fill)
+    out = jnp.full((n,), fill, reply.dtype)
+    return out.at[order].set(vals)
+
+
+@dataclass
+class ShardedKmerTable:
+    """keys/counts/alive sharded [D, S] over the mesh "data" axis;
+    row r on device d has global id d * S + r."""
+    mesh: Mesh
+    k: int
+    keys: jax.Array     # uint64[D, S] sorted per shard, SENTINEL pad
+    counts: jax.Array   # int32[D, S]
+    alive: jax.Array    # bool[D, S]
+    nbr: jax.Array | None = None        # int64[D, S, 8] global ids, -1
+    nbr_strand: jax.Array | None = None  # int8[D, S, 8]
+
+    @property
+    def n_dev(self) -> int:
+        return self.mesh.shape["data"]
+
+    @property
+    def shard_size(self) -> int:
+        return self.keys.shape[1]
+
+    def host_table(self):
+        """Merge shards to a host KmerTable (keys re-sorted globally)
+        — the rank-0 merge for the final host-side phases."""
+        from ..dbg.hash_dbg import KmerTable
+        keys = np.asarray(self.keys).reshape(-1)
+        counts = np.asarray(self.counts).reshape(-1)
+        alive = np.asarray(self.alive).reshape(-1)
+        real = keys != np.uint64(0xFFFFFFFFFFFFFFFF)
+        keys, counts, alive = keys[real], counts[real], alive[real]
+        order = np.argsort(keys)
+        return KmerTable(self.k, keys[order], counts[order],
+                         alive[order])
+
+
+def _spec(mesh):
+    return P("data")
+
+
+def build_sharded_table(mesh: Mesh, batches, k: int,
+                        chunk_cap_slack: float = 2.0) -> ShardedKmerTable:
+    """Distributed load phase: each device reduces its slice of every
+    batch, routes (key, count) pairs to their owners, owners merge —
+    the table never leaves the mesh (NAS_LOADING,
+    NetworkSequenceCollection.cpp:1423-1434)."""
+    if k > 32:
+        raise ValueError("sharded table is packed-mode (k <= 32)")
+    from ..ops.sorted_filter import SortedKmerCounter
+
+    n_dev = mesh.shape["data"]
+    log2_d = int(n_dev - 1).bit_length()
+    if (1 << log2_d) != n_dev:
+        raise ValueError("device count must be a power of two")
+
+    def route_step_factory(n_items):
+        cap = max(64, int(chunk_cap_slack * n_items / n_dev))
+
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=P("data", None),
+                 out_specs=(P("data"), P("data"), P("data")))
+        def route_step(codes):
+            codes = codes[0]
+            _, _, canon, valid = pack_kmers(codes, k)
+            flat = jnp.where(valid, canon, SENTINEL).reshape(-1)
+            keys, counts = SortedKmerCounter._sort_rle(flat)
+            good = (counts > 0) & (keys != SENTINEL)
+            dest = _owner(keys, log2_d)
+            (kb, cb), ov, *_ = _bucketize(
+                dest, good, (keys, counts.astype(jnp.int32)), cap,
+                n_dev, (SENTINEL, jnp.int32(0)))
+            kr = jax.lax.all_to_all(kb, "data", 0, 0, tiled=False)
+            cr = jax.lax.all_to_all(cb, "data", 0, 0, tiled=False)
+            return (kr.reshape(1, -1), cr.reshape(1, -1),
+                    ov.reshape(1))
+
+        return route_step
+
+    steps = {}
+    kchunks, cchunks = [], []
+    for codes in batches:
+        codes = np.asarray(codes)
+        B, L = codes.shape
+        pad = (-B) % n_dev
+        if pad:
+            codes = np.concatenate(
+                [codes, np.full((pad, L), 4, np.uint8)])
+        n_items = (codes.shape[0] // n_dev) * max(L - k + 1, 1)
+        key = (codes.shape[0], L)
+        if key not in steps:
+            steps[key] = route_step_factory(n_items)
+        sharded = jax.device_put(
+            codes.reshape(n_dev, -1, L),
+            jax.sharding.NamedSharding(mesh, P("data", None, None)))
+        kr, cr, ov = steps[key](sharded)
+        if int(np.asarray(ov).sum()):
+            raise RuntimeError("routing bucket overflow; raise "
+                               "chunk_cap_slack")
+        kchunks.append(kr)
+        cchunks.append(cr)
+
+    # finalize: per-device merge of received chunks
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data")),
+             out_specs=(P("data"), P("data"), P("data")))
+    def finalize(kcat, ccat):
+        keys = kcat[0]
+        counts = ccat[0]
+        order = jnp.argsort(keys)
+        ks = keys[order]
+        cs = counts[order].astype(jnp.int64)
+        # per-key totals on a SORTED array: cumsum differenced at the
+        # first/last index of each run (both found by searchsorted on
+        # the array itself — no segment scatter needed)
+        csum = jnp.cumsum(cs)
+        first = jnp.searchsorted(ks, ks, side="left")
+        last = jnp.searchsorted(ks, ks, side="right") - 1
+        before = jnp.where(first > 0, csum[jnp.maximum(first - 1, 0)], 0)
+        totals = csum[last] - before
+        start = jnp.concatenate(
+            [jnp.array([True]), ks[1:] != ks[:-1]])
+        keep = start & (ks != SENTINEL)
+        outk = jnp.where(keep, ks, SENTINEL)
+        outc = jnp.where(keep, jnp.minimum(
+            totals, COVERAGE_MAX), 0).astype(jnp.int32)
+        # push dup/sentinel slots to the end, preserving key order
+        o2 = jnp.argsort(outk)
+        n_real = jnp.sum(keep).astype(jnp.int32)
+        return (outk[o2][None], outc[o2][None], n_real.reshape(1))
+
+    kcat = jnp.concatenate(kchunks, axis=1)
+    ccat = jnp.concatenate(cchunks, axis=1)
+    keys, counts, n_real = finalize(kcat, ccat)
+    S = int(np.asarray(n_real).max())
+    S = max(S, 1)
+    keys = keys[:, :S]
+    counts = counts[:, :S]
+    alive = jax.jit(
+        lambda kk: kk != SENTINEL,
+        out_shardings=jax.sharding.NamedSharding(mesh, P("data", None))
+    )(keys)
+    return ShardedKmerTable(mesh, k, keys, counts, alive)
+
+
+def _rc_packed_j(x, k: int):
+    x = jnp.asarray(x, jnp.uint64)
+    x = ((x >> jnp.uint64(2)) & jnp.uint64(0x3333333333333333)) | \
+        ((x & jnp.uint64(0x3333333333333333)) << jnp.uint64(2))
+    x = ((x >> jnp.uint64(4)) & jnp.uint64(0x0F0F0F0F0F0F0F0F)) | \
+        ((x & jnp.uint64(0x0F0F0F0F0F0F0F0F)) << jnp.uint64(4))
+    x = ((x >> jnp.uint64(8)) & jnp.uint64(0x00FF00FF00FF00FF)) | \
+        ((x & jnp.uint64(0x00FF00FF00FF00FF)) << jnp.uint64(8))
+    x = ((x >> jnp.uint64(16)) & jnp.uint64(0x0000FFFF0000FFFF)) | \
+        ((x & jnp.uint64(0x0000FFFF0000FFFF)) << jnp.uint64(16))
+    x = (x >> jnp.uint64(32)) | (x << jnp.uint64(32))
+    x = ~x
+    return x >> jnp.uint64(64 - 2 * k)
+
+
+def build_adjacency_sharded(t: ShardedKmerTable,
+                            slack: float = 2.5) -> None:
+    """Distributed adjacency: every device computes its rows' 8
+    neighbour candidates, routes each candidate to its owner for a
+    membership lookup, and stores the replies as global row ids
+    (AdjacencyAlgorithm.h:9-46 over NAS_GEN_ADJ routing).
+
+    The reply also carries whether the neighbour's stored form equals
+    the walk-orientation form (`strand`), so orientation never needs a
+    remote read later."""
+    mesh, k = t.mesh, t.k
+    n_dev = t.n_dev
+    log2_d = int(n_dev - 1).bit_length()
+    S = t.shard_size
+    cap = max(64, int(slack * S * 8 / n_dev))
+
+    mask = jnp.uint64((1 << (2 * k)) - 1) if 2 * k < 64 else SENTINEL
+    shift_top = jnp.uint64(2 * (k - 1))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data")),
+             out_specs=(P("data"), P("data"), P("data")))
+    def adj_step(keys2, _dummy):
+        keys = keys2[0]
+        x = keys
+        cands = []
+        for c in range(4):
+            y = ((x << jnp.uint64(2)) | jnp.uint64(c)) & mask
+            cands.append(y)
+        for c in range(4):
+            y = (x >> jnp.uint64(2)) | (jnp.uint64(c) << shift_top)
+            cands.append(y)
+        ys = jnp.stack(cands, 1).reshape(-1)          # [S*8] walk form
+        ycan = jnp.minimum(ys, _rc_packed_j(ys, k))
+        same = (ys == ycan)
+        valid = jnp.repeat(keys != SENTINEL, 8)
+        dest = _owner(ycan, log2_d)
+        (qb,), ov, order, row, col, ok = _bucketize(
+            dest, valid, (ycan,), cap, n_dev, (SENTINEL,))
+        qr = jax.lax.all_to_all(qb, "data", 0, 0)
+        # local lookup: my shard's sorted keys
+        me = jax.lax.axis_index("data")
+        flatq = qr.reshape(-1)
+        idx = jnp.searchsorted(keys, flatq)
+        idx = jnp.minimum(idx, keys.shape[0] - 1)
+        hit = (keys[idx] == flatq) & (flatq != SENTINEL)
+        gid = jnp.where(hit, me.astype(jnp.int64) * S + idx, -1)
+        gid = gid.reshape(n_dev, cap)
+        back = jax.lax.all_to_all(gid, "data", 0, 0)
+        ans = _unbucketize(back, order, row, col, ok, S * 8,
+                           jnp.int64(-1))
+        nbr = ans.reshape(S, 8)
+        # strand of the target IN THE WALK ORIENTATION of each probe:
+        # right probes (cols 0-3) walk in stored orientation, so the
+        # stored-form == canonical test applies directly; left probes
+        # (cols 4-7) walk on the rc, whose form is rc(stored-ext), so
+        # the test inverts (matches hash_dbg._oriented_next's strand-1
+        # arm computing the rc-walk form explicitly)
+        same8 = same.reshape(S, 8)
+        walk_same = jnp.concatenate(
+            [same8[:, :4], ~same8[:, 4:]], axis=1)
+        strand = jnp.where(walk_same, 0, 1).astype(jnp.int8)
+        return (nbr[None], strand[None], ov.reshape(1))
+
+    dummy = jax.device_put(
+        np.zeros((n_dev, 1), np.int32),
+        jax.sharding.NamedSharding(mesh, P("data", None)))
+    nbr, strand, ov = adj_step(t.keys, dummy)
+    if int(np.asarray(ov).sum()):
+        raise RuntimeError("adjacency routing overflow; raise slack")
+    t.nbr = nbr
+    t.nbr_strand = strand
+
+
+def _make_gather(mesh, S: int, Q: int, dtype, slack: float = 2.5,
+                 full_capacity: bool = False):
+    """Routed gather: values[D, S] gathered at global ids [D, Q]
+    (the SeqDataRequest/Response analogue,
+    NetworkSequenceCollection.cpp:1321-1343).
+
+    full_capacity sizes buckets for the worst case (every query to one
+    owner) — REQUIRED for pointer-doubling, whose queries concentrate
+    onto chain heads; hash-uniform query sets can use the slack-sized
+    buckets.  Callers must check the returned overflow count."""
+    n_dev = mesh.shape["data"]
+    cap = Q if full_capacity else max(64, int(slack * Q / n_dev))
+    fill = jnp.array(0, dtype)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data")),
+             out_specs=(P("data"), P("data")))
+    def gather(values2, gid2):
+        values = values2[0]
+        gid = gid2[0]
+        valid = gid >= 0
+        dest = jnp.where(valid, gid // S, 0).astype(jnp.int32)
+        local = jnp.where(valid, gid % S, 0)
+        (lb,), ov, order, row, col, ok = _bucketize(
+            dest, valid, (local,), cap, n_dev, (jnp.int64(0),))
+        lr = jax.lax.all_to_all(lb, "data", 0, 0)
+        vals = values[jnp.clip(lr.reshape(-1), 0, S - 1)]
+        vals = vals.reshape(n_dev, cap)
+        back = jax.lax.all_to_all(vals, "data", 0, 0)
+        ans = _unbucketize(back, order, row, col, ok, Q, fill)
+        return ans[None], ov.reshape(1)
+
+    return gather
+
+
+def erode_sharded(t: ShardedKmerTable, e: int) -> int:
+    """Distributed erode (NAS_ERODE): blunt + weak k-mers die; the
+    neighbour-aliveness reads are routed gathers; the per-round count
+    is a psum."""
+    mesh = t.mesh
+    S = t.shard_size
+    gather = _make_gather(mesh, S, S * 8, jnp.bool_)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data"), P("data"), P("data")),
+             out_specs=(P("data"), P("data")))
+    def round_(alive2, nbr2, counts2, nbr_alive2):
+        alive = alive2[0]
+        nbr = nbr2[0]
+        counts = counts2[0]
+        nbr_alive = nbr_alive2[0].reshape(S, 8)
+        ok = (nbr >= 0) & nbr_alive
+        rd = ok[:, :4].sum(1)
+        ld = ok[:, 4:].sum(1)
+        blunt = ((rd == 0) | (ld == 0)) & alive
+        kill = blunt & (counts < e)
+        n = jax.lax.psum(jnp.sum(kill), "data")
+        return (alive & ~kill)[None], n.reshape(1)
+
+    total = 0
+    while True:
+        nbr_alive, ov = gather(t.alive, t.nbr.reshape(
+            t.nbr.shape[0], -1))
+        if int(np.asarray(ov).sum()):
+            raise RuntimeError("erode gather overflow")
+        alive, n = round_(t.alive, t.nbr, t.counts, nbr_alive)
+        n = int(np.asarray(n)[0])
+        t.alive = alive
+        if n == 0:
+            return total
+        total += n
+
+
+def apply_kc_sharded(t: ShardedKmerTable, kc: int) -> None:
+    mesh = t.mesh
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data")), out_specs=P("data"))
+    def step(alive, counts):
+        return alive & (counts >= kc)
+
+    t.alive = step(t.alive, t.counts)
+
+
+def trim_sharded(t: ShardedKmerTable, max_tip: int) -> int:
+    """Distributed trim: oriented-successor links + DISTRIBUTED pointer
+    doubling (each hop a routed gather), then the chain-decomposition
+    tip rules of the single-device engine (TrimAlgorithm.h:15-99;
+    trim semantics identical to dbg.hash_dbg._trim_round)."""
+    total = 0
+    ln = 1
+    while ln < max_tip:
+        total += _trim_round_sharded(t, ln)
+        ln *= 2
+    while True:
+        n = _trim_round_sharded(t, max_tip)
+        total += n
+        if n == 0:
+            return total
+
+
+def _oriented_next_sharded(t: ShardedKmerTable):
+    """nxt[2S] per device of global ORIENTED ids (gid*2+strand), plus
+    oriented out-degrees; remote degree reads are routed gathers."""
+    mesh, k = t.mesh, t.k
+    S = t.shard_size
+    gather_b = _make_gather(mesh, S, S * 8, jnp.bool_)
+    gather_i = _make_gather(mesh, 2 * S, 2 * S, jnp.int32)
+
+    nbr_alive, ovb = gather_b(t.alive,
+                              t.nbr.reshape(t.nbr.shape[0], -1))
+    if int(np.asarray(ovb).sum()):
+        raise RuntimeError("degree gather overflow")
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"),) * 4,
+             out_specs=(P("data"), P("data"), P("data")))
+    def degrees(keys2, nbr2, strand2, nbr_alive2):
+        keys = keys2[0]
+        nbr = nbr2[0]
+        nbr_alive = nbr_alive2[0].reshape(S, 8)
+        ok = (nbr >= 0) & nbr_alive
+        rd = ok[:, :4].sum(1).astype(jnp.int32)
+        ld = ok[:, 4:].sum(1).astype(jnp.int32)
+        outdeg = jnp.stack([rd, ld], 1).reshape(-1)  # [2S] ov-order
+        palin = keys == _rc_packed_j(keys, k)
+        return outdeg[None], palin[None], ok[None]
+
+    outdeg, palin, ok = degrees(t.keys, t.nbr, t.nbr_strand, nbr_alive)
+
+    # target in-degree in walk orientation: outdeg of the target's
+    # OPPOSITE oriented vertex = outdeg[2*gid + (1 - walk_strand)]...
+    # walk strand of target = nbr_strand; its in-deg = outdeg at
+    # oriented id 2*gid + (strand ^ 1)
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data")), out_specs=P("data"))
+    def target_oid(nbr2, strand2):
+        nbr = nbr2[0]
+        strand = strand2[0].astype(jnp.int64)
+        oid = jnp.where(nbr >= 0, 2 * nbr + (strand ^ 1), -1)
+        return oid.reshape(-1)[None]  # [S*8]
+
+    t_oid = target_oid(t.nbr, t.nbr_strand)
+    # gather target in-degrees (query space 2S per device; S*8 queries)
+    gather_deg = _make_gather(mesh, 2 * S, S * 8, jnp.int32)
+    t_indeg, ov1 = gather_deg(outdeg, t_oid)
+    gather_pal = _make_gather(mesh, S, S * 8, jnp.bool_)
+    t_pal, ov2 = gather_pal(palin, t.nbr.reshape(t.nbr.shape[0], -1))
+    if int(np.asarray(ov1).sum()) or int(np.asarray(ov2).sum()):
+        raise RuntimeError("oriented-next gather overflow")
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"),) * 6,
+             out_specs=P("data"))
+    def links(nbr2, strand2, ok2, outdeg2, t_indeg2, t_pal2):
+        nbr = nbr2[0]
+        strand = strand2[0].astype(jnp.int64)
+        okm = ok2[0]
+        outdeg = outdeg2[0].reshape(S, 2)
+        t_indeg = t_indeg2[0].reshape(S, 8)
+        t_pal = t_pal2[0].reshape(S, 8)
+        me = jax.lax.axis_index("data")
+        nxt = jnp.full((S, 2), -1, jnp.int64)
+        for sstrand in (0, 1):
+            cols = slice(0, 4) if sstrand == 0 else slice(4, 8)
+            deg = outdeg[:, sstrand]
+            sub_ok = okm[:, cols]
+            sub_nbr = jnp.where(sub_ok, nbr[:, cols], -1)
+            best = jnp.argmax(sub_nbr, axis=1)
+            rows = jnp.arange(S)
+            tgt = sub_nbr[rows, best]
+            tstrand = strand[:, cols][rows, best]
+            tin = t_indeg[:, cols][rows, best]
+            tp = t_pal[:, cols][rows, best]
+            good = (deg == 1) & (tgt >= 0) & (tin == 1) & ~tp
+            oid = 2 * tgt + tstrand
+            nxt = nxt.at[:, sstrand].set(
+                jnp.where(good, oid, -1))
+        # sources must be alive and non-palindromic
+        return nxt.reshape(-1)[None]
+
+    # palindrome/alive source masking folded below
+    nxt = links(t.nbr, t.nbr_strand, ok, outdeg, t_indeg, t_pal)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"),) * 3, out_specs=P("data"))
+    def mask_src(nxt2, alive2, palin2):
+        nxtl = nxt2[0].reshape(S, 2)
+        alive = alive2[0]
+        pal = palin2[0]
+        keep = alive & ~pal
+        return jnp.where(keep[:, None], nxtl, -1).reshape(-1)[None]
+
+    nxt = mask_src(nxt, t.alive, palin)
+    return nxt, outdeg, palin
+
+
+def _trim_round_sharded(t: ShardedKmerTable, max_tip: int) -> int:
+    mesh = t.mesh
+    S = t.shard_size
+    n_dev = t.n_dev
+    nxt, outdeg, _ = _oriented_next_sharded(t)
+
+    # distributed pointer doubling over oriented global ids; doubling
+    # queries converge onto chain heads, so buckets must hold the
+    # worst case (all queries to one owner)
+    gather_oid = _make_gather(mesh, 2 * S, 2 * S, jnp.int64,
+                              full_capacity=True)
+    gather_i64 = gather_oid
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data")),
+             out_specs=(P("data"), P("data")))
+    def init_pd(nxt2, _d):
+        nxtl = nxt2[0]
+        me = jax.lax.axis_index("data").astype(jnp.int64)
+        ov = 2 * (me * S + jnp.arange(S, dtype=jnp.int64))
+        ov = jnp.stack([ov, ov + 1], 1).reshape(-1)  # my oriented gids
+        return ov[None], nxtl[None]
+
+    dummy = t.alive  # any sharded operand
+    my_oid, _ = init_pd(nxt, dummy)
+
+    # prev pointer: who points at me? route: for each ov with
+    # nxt[ov]>=0, notify the target -> target's pred = source. Build
+    # via routed scatter using the gather machinery in reverse: we
+    # instead compute heads directly: head[ov] follows PREV links; but
+    # following prev requires a scatter. Use the standard trick: run
+    # doubling on nxt to find the TAIL, then chains are identified by
+    # tail; equivalently run doubling on prev. We compute prev by
+    # routing (target, source) pairs.
+    cap = max(64, int(2.5 * 2 * S / n_dev))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"),), out_specs=(P("data"), P("data")))
+    def compute_prev(nxt2):
+        nxtl = nxt2[0]
+        me = jax.lax.axis_index("data").astype(jnp.int64)
+        src = 2 * me * S + jnp.arange(2 * S, dtype=jnp.int64)
+        valid = nxtl >= 0
+        dest = jnp.where(valid, nxtl // (2 * S), 0).astype(jnp.int32)
+        (tb, sb), ov2, order, row, col, okk = _bucketize(
+            dest, valid, (nxtl, src), cap, n_dev,
+            (jnp.int64(-1), jnp.int64(-1)))
+        tr = jax.lax.all_to_all(tb, "data", 0, 0)
+        sr = jax.lax.all_to_all(sb, "data", 0, 0)
+        tloc = tr.reshape(-1) % (2 * S)
+        prev = jnp.full((2 * S,), -1, jnp.int64)
+        prev = prev.at[jnp.where(tr.reshape(-1) >= 0, tloc, 2 * S)
+                       ].set(sr.reshape(-1), mode="drop")
+        return prev[None], ov2.reshape(1)
+
+    prev, ovf = compute_prev(nxt)
+    if int(np.asarray(ovf).sum()):
+        raise RuntimeError("trim routing overflow")
+
+    # doubling on prev: P converges to the chain head; dist = position
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data")),
+             out_specs=(P("data"), P("data")))
+    def pd_init(prev2, _d):
+        prevl = prev2[0]
+        me = jax.lax.axis_index("data").astype(jnp.int64)
+        self_oid = 2 * me * S + jnp.arange(2 * S, dtype=jnp.int64)
+        Pl = jnp.where(prevl >= 0, prevl, self_oid)
+        dl = jnp.where(prevl >= 0, 1, 0).astype(jnp.int64)
+        return Pl[None], dl[None]
+
+    Pcur, dist = pd_init(prev, dummy)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"),) * 4,
+             out_specs=(P("data"), P("data"), P("data")))
+    def pd_step(P2, d2, gP2, gd2):
+        Pl, dl = P2[0], d2[0]
+        gP, gd = gP2[0], gd2[0]
+        nd = dl + gd
+        moved = jnp.sum(gP != Pl)
+        return gP[None], nd[None], jax.lax.psum(
+            moved, "data").reshape(1)
+
+    for _ in range(64):
+        gP, ov1 = gather_oid(Pcur, Pcur)
+        gd, ov2 = gather_i64(dist, Pcur)
+        if int(np.asarray(ov1).sum()) or int(np.asarray(ov2).sum()):
+            raise RuntimeError("pointer-doubling gather overflow")
+        Pnew, dist, moved = pd_step(Pcur, dist, gP, gd)
+        Pcur = Pnew
+        if int(np.asarray(moved)[0]) == 0:
+            break
+
+    # chain stats at the head owner: routed scatter-max of dist and
+    # the end vertex (argmax by packing (dist << 40 | ov-low-bits)
+    # is fragile; instead gather on host — chain decisions are tiny
+    # compared with the table). Pull per-ov (head, pos, outdeg) to
+    # host, decide kills, push kill mask back.
+    head_np = np.asarray(Pcur).reshape(-1)
+    dist_np = np.asarray(dist).reshape(-1)
+    outdeg_np = np.asarray(outdeg).reshape(-1)
+    alive_np = np.asarray(t.alive).reshape(-1)
+    keys_np = np.asarray(t.keys).reshape(-1)
+    S_all = S
+    # oriented id mapping: global flat index f on device d row r strand s
+    # = position in [D, 2S] flatten = d*2S + 2r + s; its GLOBAL oriented
+    # id = 2*(d*S+r)+s. Build the per-position gid to align with head.
+    D = n_dev
+    d_idx = np.repeat(np.arange(D), 2 * S_all)
+    r_idx = np.tile(np.repeat(np.arange(S_all), 2), D)
+    s_idx = np.tile(np.array([0, 1]), D * S_all)
+    gid_of_pos = 2 * (d_idx * S_all + r_idx) + s_idx
+    pos_of_gid = np.empty(2 * D * S_all, np.int64)
+    pos_of_gid[gid_of_pos] = np.arange(2 * D * S_all)
+
+    alive_ov = np.repeat(alive_np, 2)[pos_of_gid[gid_of_pos]]
+    # alive per position: row alive
+    alive_pos = np.repeat(
+        alive_np.reshape(D, S_all), 2, axis=1).reshape(-1)
+    real_pos = np.repeat(
+        (keys_np != np.uint64(0xFFFFFFFFFFFFFFFF)
+         ).reshape(D, S_all), 2, axis=1).reshape(-1)
+    indeg_pos = outdeg_np[pos_of_gid[gid_of_pos ^ 1]]
+
+    sel = alive_pos & real_pos
+    if not sel.any():
+        return 0
+    order = np.lexsort((dist_np, head_np))
+    order = order[sel[order]]
+    heads = head_np[order]
+    b = np.nonzero(np.concatenate([[True], heads[1:] != heads[:-1]]))[0]
+    e = np.concatenate([b[1:], [len(order)]])
+    headp = order[b]
+    endp = order[e - 1]
+    length = e - b
+    start_blunt = indeg_pos[headp] == 0
+    short = length <= max_tip
+    removing_end = outdeg_np[endp] <= 1
+    kill_chain = start_blunt & short & removing_end
+    if not kill_chain.any():
+        return 0
+    mask = np.repeat(kill_chain, length)
+    kill_pos = order[mask]
+    # positions -> (device, row)
+    rows_flat = np.unique(d_idx[kill_pos] * S_all + r_idx[kill_pos])
+    new_alive = alive_np.reshape(D, S_all).copy()
+    new_alive[rows_flat // S_all, rows_flat % S_all] = False
+    t.alive = jax.device_put(
+        new_alive,
+        jax.sharding.NamedSharding(mesh, P("data", None)))
+    return len(rows_flat)
+
+
+def assemble_sharded(mesh: Mesh, batches, k: int, kc: int = 2,
+                     erode_cov: int = 2, tip_len: int | None = None,
+                     min_mean_cov: float | None = None,
+                     bubble_len: int | None = None):
+    """Full distributed stage 1: count -> kc -> adjacency -> erode ->
+    trim on the mesh; bubble popping + chain emission host-side on the
+    merged alive set (the rank-0 merge analogue).  Byte-identical to
+    the single-device engine."""
+    from ..dbg import hash_dbg
+
+    t = build_sharded_table(mesh, batches, k)
+    apply_kc_sharded(t, kc)
+    build_adjacency_sharded(t)
+    erode_sharded(t, erode_cov)
+    trim_sharded(t, tip_len if tip_len is not None else k)
+    ht = t.host_table()
+    # remaining phases on the merged table (low-cov loop, bubbles,
+    # split, assemble) — rebuild host adjacency for the final walks
+    hash_dbg.build_adjacency(ht)
+    if min_mean_cov:
+        while hash_dbg.remove_low_coverage_contigs(ht, min_mean_cov):
+            hash_dbg.erode(ht, erode_cov)
+            hash_dbg.trim(ht, tip_len if tip_len is not None else k)
+    hash_dbg.pop_bubbles_kmer(
+        ht, bubble_len if bubble_len is not None else 3 * k)
+    return hash_dbg.assemble(ht), t

@@ -219,21 +219,30 @@ def stage_unitigs_1(p: PipelineParams) -> str:
             in_files, p.batch_size, p.max_read_len, q=p.q))
         import jax
         if p.np_devices > 1 and len(jax.devices()) >= p.np_devices:
-            # np= (ABYSS-P): mesh-parallel load, host merge of the
-            # pre-reduced per-device (k-mer, count) pairs
             from ..parallel import distributed as dist
-            _log(p, f"stage 1: mesh k-mer count over {p.np_devices} "
-                    "devices (np=)")
             mesh = dist.make_mesh(p.np_devices, 1)
-            if p.k > 32:
+            if p.k <= 32 and (p.np_devices & (p.np_devices - 1)) == 0:
+                # np= (ABYSS-P): the ENTIRE stage-1 phase machine on
+                # the mesh — owner-sharded resident table, routed
+                # adjacency/erode/trim, host rank-0-style finish
+                from ..parallel import sharded_table as stbl
+                _log(p, f"stage 1: mesh-sharded table over "
+                        f"{p.np_devices} devices (np=)")
+                contigs, _ = stbl.assemble_sharded(
+                    mesh, list(batches), p.k, kc=p.kc)
+            else:
+                # wide mode (k > 32): mesh-parallel load, host merge
+                # of the pre-reduced per-device (k-mer, count) pairs
+                _log(p, f"stage 1: mesh k-mer count over "
+                        f"{p.np_devices} devices (np=)")
                 batches = list(batches)
-            keys, counts = dist.distributed_count_kmers(
-                mesh, batches, p.k)
-            t = hash_dbg.KmerTable(p.k, keys, counts,
-                                   np.ones(len(keys), bool))
-            if p.k > 32:
-                t = hash_dbg.fill_wide_side(t, batches)
-            contigs = hash_dbg.assemble_table(t, kc=p.kc)
+                keys, counts = dist.distributed_count_kmers(
+                    mesh, batches, p.k)
+                t = hash_dbg.KmerTable(p.k, keys, counts,
+                                       np.ones(len(keys), bool))
+                if p.k > 32:
+                    t = hash_dbg.fill_wide_side(t, batches)
+                contigs = hash_dbg.assemble_table(t, kc=p.kc)
         else:
             contigs, _ = hash_dbg.assemble_reads(list(batches), p.k,
                                                  kc=p.kc)

@@ -1,0 +1,99 @@
+"""Mesh-sharded k-mer table (VERDICT r1 #2): the distributed exact
+engine holds the table in per-device shards and runs count ->
+adjacency -> erode -> trim on the mesh; results must be byte-identical
+to the single-device engine (Parallel/NetworkSequenceCollection.cpp
+ownership + phases)."""
+
+import jax
+import numpy as np
+import pytest
+
+from abyss_tpu import sim
+from abyss_tpu.core import alphabet
+from abyss_tpu.dbg import hash_dbg
+from abyss_tpu.parallel import distributed as dist
+from abyss_tpu.parallel import sharded_table as st
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return dist.make_mesh(8, 1)
+
+
+def _read_codes(genome, n_reads, read_len=80, seed=1, rc_frac=0.5):
+    rng = np.random.default_rng(seed)
+    codes = np.full((n_reads, read_len), 4, np.uint8)
+    g = alphabet.encode(genome)
+    for i in range(n_reads):
+        s = rng.integers(0, len(genome) - read_len + 1)
+        r = g[s:s + read_len]
+        if rng.random() < rc_frac:
+            r = alphabet.revcomp_codes(r)
+        codes[i] = r
+    return codes
+
+
+def test_sharded_count_matches_single(mesh8):
+    genome = sim.random_genome(3000, seed=31)
+    codes = _read_codes(genome, 512)
+    k = 25
+    t = st.build_sharded_table(mesh8, [codes], k)
+    ht = t.host_table()
+    ref = hash_dbg.count_kmers([codes], k)
+    np.testing.assert_array_equal(ht.kmers, ref.kmers)
+    np.testing.assert_array_equal(ht.counts, ref.counts)
+    # the table is genuinely sharded: every shard holds less than the
+    # whole (key-range ownership balanced by the bit mix)
+    assert t.shard_size < len(ref.kmers)
+
+
+def test_sharded_adjacency_and_erode(mesh8):
+    genome = sim.random_genome(2000, seed=32)
+    codes = _read_codes(genome, 600)
+    k = 25
+    t = st.build_sharded_table(mesh8, [codes], k)
+    st.apply_kc_sharded(t, 2)
+    st.build_adjacency_sharded(t)
+    n = st.erode_sharded(t, 2)
+    ht = t.host_table()
+
+    ref = hash_dbg.count_kmers([codes], k)
+    hash_dbg.apply_coverage_threshold(ref, 2)
+    hash_dbg.build_adjacency(ref)
+    n_ref = hash_dbg.erode(ref, 2)
+    assert n == n_ref
+    np.testing.assert_array_equal(
+        ht.kmers[ht.alive], ref.kmers[ref.alive])
+
+
+@pytest.mark.slow
+def test_sharded_full_assembly_byte_identical(mesh8):
+    """Full distributed stage 1 on a genome whose table is larger than
+    any one shard's slice; contigs byte-identical to single-device."""
+    genome = sim.genome_with_repeats(12000, seed=33, n_repeats=4,
+                                     repeat_len=300)
+    # substitution errors make erode + trim do real distributed work
+    reads = sim.simulate_paired_reads(genome, coverage=30, read_len=80,
+                                      error_rate=0.004, seed=34)
+    codes_batches = []
+    batch = []
+    for (n1, s1, _), (n2, s2, _) in zip(reads.reads1, reads.reads2):
+        batch.extend([s1, s2])
+    codes = np.full((len(batch), 80), 4, np.uint8)
+    for i, s in enumerate(batch):
+        codes[i, :len(s)] = alphabet.encode(s)
+    # two batches exercises the streaming chunk merge
+    half = len(codes) // 2
+    codes_batches = [codes[:half], codes[half:]]
+
+    k = 25
+    contigs, t = st.assemble_sharded(mesh8, codes_batches, k, kc=2,
+                                     erode_cov=2)
+    ref_contigs, rt = hash_dbg.assemble_reads(codes_batches, k, kc=2,
+                                              erode_cov=2)
+    assert t.shard_size < rt.n  # genuinely sharded
+    a = sorted(min(s, alphabet.revcomp(s)) for s, c in contigs)
+    b = sorted(min(s, alphabet.revcomp(s)) for s, c in ref_contigs)
+    assert a == b
