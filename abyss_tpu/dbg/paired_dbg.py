@@ -123,7 +123,13 @@ def build_pair_adjacency(t: KmerTable, k: int) -> np.ndarray:
 def assemble_pairs(batches, k: int, K: int, kc: int = 2,
                    ) -> list[tuple[str, int]]:
     """Count pairs, build adjacency, link unique successors, emit
-    contigs (with 'N' for undetermined interior positions)."""
+    contigs (with 'N' for undetermined interior positions).
+
+    k <= 16 packs both k-mers into one uint64; larger k dispatches to
+    the fingerprint-keyed wide mode (assemble_pairs_wide), lifting the
+    round-1 cap to any k (KmerPair.h:14 spans k up to MAXK/2)."""
+    if k > 16:
+        return assemble_pairs_wide(batches, k, K, kc=kc)
     t = count_pairs(batches, k, K)
     t.alive &= t.counts >= kc
     nbr = build_pair_adjacency(t, k)
@@ -192,6 +198,282 @@ def assemble_pairs(batches, k: int, K: int, kc: int = 2,
             astr, bstr = unpack_pair(x, k)
             a_codes = alphabet.encode(astr)
             b_codes = alphabet.encode(bstr)
+            buf[j:j + k] = a_codes
+            buf[j + span - k:j + span] = b_codes
+        seq = alphabet.decode(buf)
+        canon = min(seq, alphabet.revcomp(seq))
+        if canon in seen:
+            continue
+        seen.add(canon)
+        contigs.append((canon, int(t.counts[rows_].sum())))
+    return contigs
+
+
+# --------------------------------------------------------------------------
+# wide pair mode (k > 16): fingerprint-keyed pairs, any k / any span
+#
+# The packed mode above fits both k-mers in one uint64 (k <= 16); the
+# reference's KmerPair spans k up to MAXK/2 (PairedDBG/KmerPair.h:14).
+# Lifting the cap the same way hash_dbg's wide mode does: the table key
+# is a 64-bit PAIR FINGERPRINT mixed from the two k-mers' ntHash values
+# (canonical = min(fwd, rc) with rc(pair(a,b)) = pair(rc(b), rc(a)), so
+# the rc fingerprint mixes the reverse-strand hashes in swapped order),
+# and side arrays carry the per-k-mer hash states + packed text for
+# O(1) neighbour rolls and sequence emission.
+
+
+@dataclass
+class PairTable:
+    k: int
+    K: int
+    keys: np.ndarray       # uint64[N] sorted canonical pair fingerprints
+    counts: np.ndarray     # int32[N]
+    alive: np.ndarray      # bool[N]
+    fa: np.ndarray         # uint64[N] fwd ntHash of a (stored orientation)
+    ra: np.ndarray         # uint64[N] reverse-strand ntHash of a
+    fb: np.ndarray         # uint64[N]
+    rb: np.ndarray         # uint64[N]
+    text: np.ndarray       # uint8[N, ceil(2k/4)] packed a then b
+
+    @property
+    def n(self):
+        return len(self.keys)
+
+
+def _mix_pair(x, y):
+    """Asymmetric 64-bit combiner of two k-mer hashes (order matters:
+    pair(a,b) != pair(b,a))."""
+    x = jnp.asarray(x, jnp.uint64)
+    y = jnp.asarray(y, jnp.uint64)
+    rot = ((x << jnp.uint64(21)) | (x >> jnp.uint64(43)))
+    return rot ^ (y * jnp.uint64(0x9E3779B97F4A7C15))
+
+
+def _pair_fp(fa, ra, fb, rb):
+    """(fwd fingerprint, rc fingerprint, canonical) of pair hashes."""
+    F = _mix_pair(fa, fb)
+    R = _mix_pair(rb, ra)   # rc(pair) = (rc(b), rc(a)); fh(rc(x)) = rh(x)
+    return F, R, jnp.minimum(F, R)
+
+
+def count_pairs_wide(batches, k: int, K: int) -> PairTable:
+    """Count pair fingerprints, then fill side arrays from each
+    fingerprint's first occurrence (the fill_wide_side pattern)."""
+    from ..ops import nthash
+    from ..ops.sorted_filter import SortedKmerCounter
+
+    batches = [np.asarray(b) for b in batches]
+    off = K - k
+    ctr = SortedKmerCounter(k, threshold=1)
+    for codes in batches:
+        L = codes.shape[-1]
+        W = L - K + 1
+        if W <= 0:
+            continue
+        fh, rh, _, v = nthash.kmer_hashes(jnp.asarray(codes), k)
+        fa, ra, va = fh[..., :W], rh[..., :W], v[..., :W]
+        fb, rb, vb = (fh[..., off:off + W], rh[..., off:off + W],
+                      v[..., off:off + W])
+        _, _, canon = _pair_fp(fa, ra, fb, rb)
+        ctr.add(canon, va & vb)
+    f = ctr.finalize()
+    N = int(f.n)
+    TB = (2 * k + 3) // 4
+    t = PairTable(k, K, np.asarray(f.kmers),
+                  np.minimum(np.asarray(f.counts),
+                             hash_dbg.COVERAGE_MAX).astype(np.int32),
+                  np.ones(N, bool),
+                  np.zeros(N, np.uint64), np.zeros(N, np.uint64),
+                  np.zeros(N, np.uint64), np.zeros(N, np.uint64),
+                  np.zeros((N, TB), np.uint8))
+    filled = np.zeros(N, bool)
+    for codes in batches:
+        L = codes.shape[-1]
+        W = L - K + 1
+        if W <= 0:
+            continue
+        fh, rh, _, v = nthash.kmer_hashes(jnp.asarray(codes), k)
+        fa, ra, va = fh[..., :W], rh[..., :W], v[..., :W]
+        fb, rb, vb = (fh[..., off:off + W], rh[..., off:off + W],
+                      v[..., off:off + W])
+        F, R, canon = _pair_fp(fa, ra, fb, rb)
+        canon_np = np.asarray(canon).reshape(-1)
+        valid_np = np.asarray(va & vb).reshape(-1)
+        is_fwd = np.asarray(F == canon).reshape(-1)
+        idx = np.searchsorted(t.keys, canon_np)
+        idx = np.minimum(idx, max(N - 1, 0))
+        hit = valid_np & (t.keys[idx] == canon_np)
+        need = hit & ~filled[idx]
+        if not need.any():
+            if filled.all():
+                break
+            continue
+        # first occurrence per row wins
+        rows = idx[need]
+        first = np.zeros(N, np.int64)
+        srcpos = np.nonzero(need)[0]
+        order = np.argsort(rows, kind="stable")
+        rows_s = rows[order]
+        src_s = srcpos[order]
+        uniq = np.concatenate([[True], rows_s[1:] != rows_s[:-1]])
+        rows_u = rows_s[uniq]
+        src_u = src_s[uniq]
+        # store hashes in STORED (canonical) orientation: when the rc
+        # fingerprint won, the stored pair is (rc(b), rc(a))
+        fwd_here = is_fwd[src_u]
+        fa_f = np.asarray(fa).reshape(-1)[src_u]
+        ra_f = np.asarray(ra).reshape(-1)[src_u]
+        fb_f = np.asarray(fb).reshape(-1)[src_u]
+        rb_f = np.asarray(rb).reshape(-1)[src_u]
+        t.fa[rows_u] = np.where(fwd_here, fa_f, rb_f)
+        t.ra[rows_u] = np.where(fwd_here, ra_f, fb_f)
+        t.fb[rows_u] = np.where(fwd_here, fb_f, ra_f)
+        t.rb[rows_u] = np.where(fwd_here, rb_f, fa_f)
+        # packed text of (a, b) in stored orientation
+        codes_flat = codes.reshape(-1, L)
+        Wn = W
+        for j, (row, sp) in enumerate(zip(rows_u, src_u)):
+            read_i, win = divmod(int(sp), Wn)
+            awin = codes_flat[read_i, win:win + k]
+            bwin = codes_flat[read_i, win + off:win + off + k]
+            if not fwd_here[j]:
+                awin, bwin = (3 - bwin[::-1]), (3 - awin[::-1])
+            both = np.concatenate([awin, bwin]).astype(np.uint8)
+            t.text[row] = hash_dbg.pack_text(both[None], 2 * k)[0]
+        filled[rows_u] = True
+    return t
+
+
+def _pair_end_bases(t: PairTable):
+    """(a_first, a_last, b_first, b_last) base codes from the packed
+    text."""
+    k = t.k
+
+    def base_at(j):
+        return (t.text[:, j // 4] >> (6 - 2 * (j % 4))) & 3
+
+    return (base_at(0).astype(np.uint8),
+            base_at(k - 1).astype(np.uint8),
+            base_at(k).astype(np.uint8),
+            base_at(2 * k - 1).astype(np.uint8))
+
+
+def _pair_probe_wide(t: PairTable):
+    """nbr int32[N, 32] by rolling both k-mer hashes one base per
+    Dinuc component (right 16, then left 16)."""
+    from ..ops import nthash
+    from ..ops.sort_join import join_rows
+
+    k = t.k
+    a_first, a_last, b_first, b_last = _pair_end_bases(t)
+    fa, ra = jnp.asarray(t.fa), jnp.asarray(t.ra)
+    fb, rb = jnp.asarray(t.fb), jnp.asarray(t.rb)
+    cols = []
+    for c1 in range(4):
+        c1a = jnp.full(t.n, c1, jnp.uint8)
+        fa2, ra2 = nthash.roll_right(fa, ra, k, jnp.asarray(a_first), c1a)
+        for c2 in range(4):
+            c2a = jnp.full(t.n, c2, jnp.uint8)
+            fb2, rb2 = nthash.roll_right(fb, rb, k,
+                                         jnp.asarray(b_first), c2a)
+            _, _, canon = _pair_fp(fa2, ra2, fb2, rb2)
+            cols.append(canon)
+    for c1 in range(4):
+        c1a = jnp.full(t.n, c1, jnp.uint8)
+        fa2, ra2 = nthash.roll_left(fa, ra, k, jnp.asarray(a_last), c1a)
+        for c2 in range(4):
+            c2a = jnp.full(t.n, c2, jnp.uint8)
+            fb2, rb2 = nthash.roll_left(fb, rb, k,
+                                        jnp.asarray(b_last), c2a)
+            _, _, canon = _pair_fp(fa2, ra2, fb2, rb2)
+            cols.append(canon)
+    cand = jnp.stack(cols, axis=1).reshape(-1)
+    rows = join_rows(jnp.asarray(t.keys), cand)
+    return np.asarray(rows).reshape(t.n, 32)
+
+
+def assemble_pairs_wide(batches, k: int, K: int, kc: int = 2,
+                        ) -> list[tuple[str, int]]:
+    """Wide-mode paired assembly: same chain machinery as the packed
+    path, driven by rolled fingerprints."""
+    from ..ops import nthash
+
+    t = count_pairs_wide(batches, k, K)
+    t.alive &= t.counts >= kc
+    nbr = _pair_probe_wide(t)
+    N = t.n
+    alive = t.alive
+    ok = (nbr >= 0) & np.where(nbr >= 0, alive[np.maximum(nbr, 0)], False)
+    right_deg = ok[:, :16].sum(axis=1)
+    left_deg = ok[:, 16:].sum(axis=1)
+    # palindromic pair: fwd fingerprint equals rc fingerprint
+    F = np.asarray(_mix_pair(jnp.asarray(t.fa), jnp.asarray(t.fb)))
+    R = np.asarray(_mix_pair(jnp.asarray(t.rb), jnp.asarray(t.ra)))
+    palin = F == R
+
+    a_first, a_last, b_first, b_last = _pair_end_bases(t)
+    nxt = np.full(2 * N, -1, np.int64)
+    for strand in (0, 1):
+        deg = right_deg if strand == 0 else left_deg
+        cols = slice(0, 16) if strand == 0 else slice(16, 32)
+        rows = np.nonzero(alive & (deg == 1) & ~palin)[0]
+        if not len(rows):
+            continue
+        sub = np.where(ok[rows, cols], nbr[rows, cols], -1)
+        tgt = sub.max(axis=1)
+        din = np.argmax(sub, axis=1)
+        c1, c2 = (din >> 2).astype(np.uint8), (din & 3).astype(np.uint8)
+        if strand == 0:
+            fa2, ra2 = nthash.roll_right(
+                jnp.asarray(t.fa[rows]), jnp.asarray(t.ra[rows]), k,
+                jnp.asarray(a_first[rows]), jnp.asarray(c1))
+            fb2, rb2 = nthash.roll_right(
+                jnp.asarray(t.fb[rows]), jnp.asarray(t.rb[rows]), k,
+                jnp.asarray(b_first[rows]), jnp.asarray(c2))
+        else:
+            # rc walk: pair becomes (rc(b), rc(a)); a LEFT Dinuc
+            # (c1, c2) is a right Dinuc (3-c2, 3-c1) on the rc, where
+            # rc(a)'s hash state is (ra, fa) and its first base is the
+            # complement of a's last base
+            fa2, ra2 = nthash.roll_right(
+                jnp.asarray(t.rb[rows]), jnp.asarray(t.fb[rows]), k,
+                jnp.asarray((3 - b_last[rows]).astype(np.uint8)),
+                jnp.asarray((3 - c2).astype(np.uint8)))
+            fb2, rb2 = nthash.roll_right(
+                jnp.asarray(t.ra[rows]), jnp.asarray(t.fa[rows]), k,
+                jnp.asarray((3 - a_last[rows]).astype(np.uint8)),
+                jnp.asarray((3 - c1).astype(np.uint8)))
+        Fw = np.asarray(_mix_pair(fa2, fb2))
+        same = t.keys[tgt] == Fw
+        tstrand = np.where(same, 0, 1)
+        t_in = np.where(tstrand == 0, left_deg[tgt], right_deg[tgt])
+        good = (t_in == 1) & ~palin[tgt]
+        src = 2 * rows + strand
+        nxt[src[good]] = (2 * tgt + tstrand)[good]
+
+    head, pos = hash_dbg._pointer_double(nxt)
+    alive_ov = np.repeat(alive, 2)
+    order = np.lexsort((pos, head))
+    order = order[alive_ov[order]]
+    heads = head[order]
+    bounds = np.nonzero(np.concatenate([[True], heads[1:] != heads[:-1]]))[0]
+    contigs = []
+    seen = set()
+    span = K
+    for bi, s in enumerate(bounds):
+        e = bounds[bi + 1] if bi + 1 < len(bounds) else len(order)
+        chain = order[s:e]
+        rows_, strands = chain >> 1, chain & 1
+        n_steps = len(chain)
+        total = n_steps - 1 + span
+        buf = np.full(total, 4, np.uint8)
+        for j, (r, st) in enumerate(zip(rows_, strands)):
+            both = np.concatenate([
+                ((t.text[r, jj // 4] >> (6 - 2 * (jj % 4))) & 3,)
+                for jj in range(2 * k)]).astype(np.uint8)
+            a_codes, b_codes = both[:k], both[k:]
+            if st == 1:
+                a_codes, b_codes = (3 - b_codes[::-1]), (3 - a_codes[::-1])
             buf[j:j + k] = a_codes
             buf[j + span - k:j + span] = b_codes
         seq = alphabet.decode(buf)

@@ -90,6 +90,12 @@ class CountingBloomFilter:
     k: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_hashes: int = dataclasses.field(metadata=dict(static=True), default=4)
     threshold: int = dataclasses.field(metadata=dict(static=True), default=2)
+    # "scatter": XLA gather + scatter-max (memory-lean, scatter-bound);
+    # "sort": the merge reformulation (ops/sort_join.dense_gather_u8 /
+    # dense_scatter_max_u8) — 4 sorts of (size + Q) per batch, batch-
+    # amortized, the TPU fast path (BENCH_NOTES.md)
+    update_mode: str = dataclasses.field(metadata=dict(static=True),
+                                         default="scatter")
 
     def _replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -123,12 +129,25 @@ class CountingBloomFilter:
         conservative underestimate). counts: [N] int. mask: [N] bool.
         """
         idx = self._indices(canon, mask)  # [N, H]
-        cur = self.counters[idx].astype(jnp.int32)  # [N, H]
-        lo = jnp.min(cur, axis=-1)  # [N]
-        tgt = jnp.minimum(lo + jnp.asarray(counts, jnp.int32), COUNTER_MAX)
-        tgt = jnp.broadcast_to(tgt[..., None], idx.shape)
-        new = self.counters.at[idx.reshape(-1)].max(
-            tgt.reshape(-1).astype(jnp.uint8), mode="drop")
+        if self.update_mode == "sort":
+            from .sort_join import dense_gather_u8, dense_scatter_max_u8
+            flat = idx.reshape(-1)
+            cur = dense_gather_u8(self.counters, flat).reshape(
+                idx.shape).astype(jnp.int32)
+            lo = jnp.min(cur, axis=-1)
+            tgt = jnp.minimum(lo + jnp.asarray(counts, jnp.int32),
+                              COUNTER_MAX)
+            tgt = jnp.broadcast_to(tgt[..., None], idx.shape)
+            new = dense_scatter_max_u8(self.counters, flat,
+                                       tgt.reshape(-1).astype(jnp.uint8))
+        else:
+            cur = self.counters[idx].astype(jnp.int32)  # [N, H]
+            lo = jnp.min(cur, axis=-1)  # [N]
+            tgt = jnp.minimum(lo + jnp.asarray(counts, jnp.int32),
+                              COUNTER_MAX)
+            tgt = jnp.broadcast_to(tgt[..., None], idx.shape)
+            new = self.counters.at[idx.reshape(-1)].max(
+                tgt.reshape(-1).astype(jnp.uint8), mode="drop")
         new = new.at[self.size].set(0)
         return self._replace(counters=new)
 
@@ -436,7 +455,7 @@ def recommended_sizes(budget_bytes: int) -> tuple[int, int]:
 
 jax.tree_util.register_dataclass(
     CountingBloomFilter, data_fields=["counters"],
-    meta_fields=["k", "num_hashes", "threshold"])
+    meta_fields=["k", "num_hashes", "threshold", "update_mode"])
 jax.tree_util.register_dataclass(
     BitBloomFilter, data_fields=["bits"], meta_fields=["k", "num_hashes"])
 jax.tree_util.register_dataclass(

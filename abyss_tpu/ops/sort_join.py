@@ -347,3 +347,81 @@ def join_rows(table_keys, queries):
         jnp.uint64) | row1.astype(jnp.uint64)
     sb = jax.lax.sort(back, is_stable=False)
     return ((sb[M:] & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32) - 1)
+
+
+# --------------------------------------------------------------------------
+# dense-array gather / scatter-max by sorting (counting-Bloom hot path)
+#
+# Random gathers run ~50M elts/s and XLA scatters ~20M elts/s on this
+# chip (BENCH_NOTES.md), while u64 sorts run at hundreds of M keys/s.
+# Both dense-array accesses therefore reformulate as a MERGE: sort the
+# update/query stream together with one marker per dense slot, answer
+# with a forward-fill (running max of slot-tagged payloads), and
+# restore order with a second sort.  Cost: 2 sorts of (M + Q) each —
+# batch-size amortized, no serialization
+# (vendor/btl_bloomfilter/CountingBloomFilter.hpp:118-196's CAS loop
+# reformulated for a machine where sorts beat atomics).
+
+
+def dense_gather_u8(dense, idx):
+    """values[q] = dense[idx[q]] without a gather.
+
+    dense: uint8[M] (M < 2^31), idx: int32[Q] (Q < 2^32) -> uint8[Q].
+    """
+    dense = jnp.asarray(dense, jnp.uint8)
+    idx = jnp.asarray(idx)
+    M = dense.shape[0]
+    Q = idx.shape[0]
+    slot_m = jnp.arange(M, dtype=jnp.uint64)
+    # markers (flag 0) sort before queries (flag 1) within a slot
+    k_m = (slot_m << jnp.uint64(33)) | dense.astype(jnp.uint64)
+    k_q = (idx.astype(jnp.uint64) << jnp.uint64(33)) | \
+        (jnp.uint64(1) << jnp.uint64(32)) | \
+        jnp.arange(Q, dtype=jnp.uint64)
+    s = jnp.sort(jnp.concatenate([k_m, k_q]), stable=False)
+    slot = s >> jnp.uint64(33)
+    is_q = ((s >> jnp.uint64(32)) & jnp.uint64(1)) != 0
+    enc = jnp.where(~is_q, (slot << jnp.uint64(8)) |
+                    (s & jnp.uint64(0xFF)), jnp.uint64(0))
+    run = running_max(enc)
+    val = jnp.where((run >> jnp.uint64(8)) == slot,
+                    run & jnp.uint64(0xFF), jnp.uint64(0))
+    # order-restoring sort: queries keyed by original position
+    back = jnp.where(is_q, ((s & jnp.uint64(0xFFFFFFFF))
+                            << jnp.uint64(8)) | val,
+                     jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    out = jnp.sort(back, stable=False)[:Q]
+    return (out & jnp.uint64(0xFF)).astype(jnp.uint8)
+
+
+def dense_scatter_max_u8(dense, idx, vals):
+    """dense[idx[q]] = max(dense[idx[q]], vals[q]) without a scatter.
+
+    dense: uint8[M], idx: int32[Q], vals: uint8[Q] -> new uint8[M].
+    """
+    dense = jnp.asarray(dense, jnp.uint8)
+    idx = jnp.asarray(idx)
+    vals = jnp.asarray(vals, jnp.uint8)
+    M = dense.shape[0]
+    slot_m = jnp.arange(M, dtype=jnp.uint64)
+    # updates (flag 0) sort before their slot's marker (flag 1), so a
+    # forward running max over slot-tagged update values is complete
+    # when it reaches the marker
+    k_m = (slot_m << jnp.uint64(33)) | \
+        (jnp.uint64(1) << jnp.uint64(32)) | dense.astype(jnp.uint64)
+    k_u = (idx.astype(jnp.uint64) << jnp.uint64(33)) | \
+        vals.astype(jnp.uint64)
+    s = jnp.sort(jnp.concatenate([k_m, k_u]), stable=False)
+    slot = s >> jnp.uint64(33)
+    is_m = ((s >> jnp.uint64(32)) & jnp.uint64(1)) != 0
+    enc = jnp.where(~is_m, (slot << jnp.uint64(8)) |
+                    (s & jnp.uint64(0xFF)), jnp.uint64(0))
+    run = running_max(enc)
+    upd = jnp.where((run >> jnp.uint64(8)) == slot,
+                    run & jnp.uint64(0xFF), jnp.uint64(0))
+    newval = jnp.maximum(s & jnp.uint64(0xFF), upd)
+    # markers carry the result back out, keyed by slot
+    back = jnp.where(is_m, (slot << jnp.uint64(8)) | newval,
+                     jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    out = jnp.sort(back, stable=False)[:M]
+    return (out & jnp.uint64(0xFF)).astype(jnp.uint8)

@@ -122,11 +122,34 @@ def main():
 
     count_rate = kmers_per_batch / t_count
     probe_rate = kmers_per_batch / t_probe
-    # bloom-insert (scatter path) measured separately: ~5.9M kmers/s on
-    # this chip (see BENCH_NOTES.md); excluded here to keep bench compile
-    # time bounded (remote compiles cost 5-10 min/program)
-    bloom_rate = 5_900_000
     combined = kmers_per_batch / (t_count + t_probe)
+
+    # ---- bloom insert: MEASURED, both update modes --------------------
+    # (replaces the round-1 hardcoded prior; "sort" is the merge
+    # reformulation of gather+scatter-max, ops/sort_join.py)
+    from abyss_tpu.ops.bloom import CountingBloomFilter
+    bloom_bits = int(os.environ.get("BENCH_BLOOM_SIZE", 1 << 24))
+    bloom_rates = {}
+    for mode in ("scatter", "sort"):
+        if os.environ.get("BENCH_SKIP_BLOOM"):
+            break
+        filt = CountingBloomFilter.create(
+            bloom_bits, K, 4, 2)._replace(update_mode=mode)
+
+        def mk_bloom_loop(n, filt=filt):
+            @jax.jit
+            def f(f0, c):
+                def body(i, facc):
+                    cc = jnp.bitwise_and(c + i.astype(jnp.uint8),
+                                         jnp.uint8(3))
+                    _, _, canon, valid = nthash.kmer_hashes(cc, K)
+                    return facc.insert(canon.reshape(-1),
+                                       valid.reshape(-1))
+                return jax.lax.fori_loop(0, n, body, f0).counters
+            return lambda: f(filt, codes)
+
+        t_bloom = _loop_rate(mk_bloom_loop)
+        bloom_rates[mode] = round(kmers_per_batch / t_bloom)
 
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "BASELINE_MEASURED.json")
@@ -145,7 +168,7 @@ def main():
         "detail": {
             "sorted_count_kmers_per_s": round(count_rate),
             "sorted_probe_kmers_per_s": round(probe_rate),
-            "bloom_insert_kmers_per_s_prior": round(bloom_rate),
+            "bloom_insert_kmers_per_s": bloom_rates,
             "k": K, "batch": BATCH,
             "distinct_kmers_in_table": int(table.n),
             "device": str(jax.devices()[0]),

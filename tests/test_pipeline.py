@@ -192,3 +192,44 @@ def test_pipeline_exact_engine_wide_k(tmp_path):
             if len(block) >= 200:
                 assert block in genome or block in grc
     assert total > 0.9 * len(genome)
+
+
+def test_paired_dbg_wide_mode_matches_packed():
+    """k=14 (packed) vs the same data run through the wide fingerprint
+    path: identical contigs (the wide path lifts the k<=16 cap)."""
+    from abyss_tpu.dbg import paired_dbg
+    from abyss_tpu.core import alphabet
+    import numpy as np
+    genome = sim.random_genome(1200, seed=50)
+    k, K = 14, 40
+    reads = []
+    for start in range(0, len(genome) - 70, 3):
+        reads.append(genome[start:start + 70])
+    codes = np.full((len(reads), 70), 4, np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, :len(r)] = alphabet.encode(r)
+    packed = paired_dbg.assemble_pairs([codes], k, K, kc=1)
+    wide = paired_dbg.assemble_pairs_wide([codes], k, K, kc=1)
+    assert sorted(s for s, c in packed) == sorted(s for s, c in wide)
+
+
+def test_paired_dbg_large_k():
+    """K=50 k=25 (reference-realistic values, impossible under the
+    round-1 k<=16 cap) assembles the genome (VERDICT r1 #9)."""
+    from abyss_tpu.dbg import paired_dbg
+    from abyss_tpu.core import alphabet
+    import numpy as np
+    genome = sim.random_genome(2000, seed=51)
+    k, K = 25, 50
+    reads = []
+    for start in range(0, len(genome) - 80, 3):
+        reads.append(genome[start:start + 80])
+    codes = np.full((len(reads), 80), 4, np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, :len(r)] = alphabet.encode(r)
+    contigs = paired_dbg.assemble_pairs([codes], k, K, kc=1)
+    best = max((s for s, c in contigs), key=len)
+    grc = alphabet.revcomp(genome)
+    core = best.strip("N")
+    assert len(core) > 0.9 * len(genome)
+    assert core in genome or core in grc
