@@ -131,6 +131,9 @@ class Alignment:
     score: int      # number of supporting k-mer seeds
     mapq: int
     rlen: int       # target contig length
+    # explicit CIGAR for gapped (indel) alignments from seed chaining;
+    # None = ungapped (emit derives clips + one M run)
+    cigar: str | None = None
 
     @property
     def target_end(self) -> int:
@@ -188,17 +191,78 @@ def _vote_kernel(index_arrays, batch, k: int):
     best_i = jnp.argmax(run_len, axis=1)
     best_count = jnp.take_along_axis(run_len, best_i[:, None], axis=1)[:, 0]
     best_key = jnp.take_along_axis(flat, best_i[:, None], axis=1)[:, 0]
-    # runner-up: best among runs with a different key
+    # runner-up: best among runs with a different key (its key + span
+    # feed the indel seed-chaining in align_batch)
     run_len2 = jnp.where(flat == best_key[:, None], 0, run_len)
-    second_count = jnp.max(run_len2, axis=1)
+    second_i = jnp.argmax(run_len2, axis=1)
+    second_count = jnp.take_along_axis(
+        run_len2, second_i[:, None], axis=1)[:, 0]
+    second_key = jnp.take_along_axis(flat, second_i[:, None],
+                                     axis=1)[:, 0]
 
-    # seed span in read coordinates for the winning key ([DUP, B, W])
-    is_best = (key == best_key[None, :, None]) & hit
+    # seed spans in read coordinates for both keys ([DUP, B, W])
     wb = jnp.broadcast_to(w, key.shape)
+    is_best = (key == best_key[None, :, None]) & hit
     qstart = jnp.min(jnp.where(is_best, wb, W), axis=(0, 2))
     qend = jnp.max(jnp.where(is_best, wb, -1), axis=(0, 2)) + k
+    is_2nd = (key == second_key[None, :, None]) & hit
+    qstart2 = jnp.min(jnp.where(is_2nd, wb, W), axis=(0, 2))
+    qend2 = jnp.max(jnp.where(is_2nd, wb, -1), axis=(0, 2)) + k
 
-    return best_key, best_count, second_count, qstart, qend
+    return (best_key, best_count, second_count, qstart, qend,
+            second_key, qstart2, qend2)
+
+
+MAX_CHAIN_INDEL = 64  # largest indel the two-diagonal chain bridges
+
+
+def _chain_blocks(strand, diag1, qs1, qe1, diag2, qs2, qe2, k,
+                  read_len):
+    """Chain two seed blocks on parallel diagonals into one gapped
+    alignment.  Returns (tstart, qstart, qend, cigar) or None when the
+    blocks do not chain cleanly (overlapping or out of order)."""
+    # order blocks by read coordinate
+    if qs2 < qs1:
+        (diag1, qs1, qe1), (diag2, qs2, qe2) = \
+            (diag2, qs2, qe2), (diag1, qs1, qe1)
+    if qs2 < qe1:
+        # seed spans may overlap by up to a seed width at the indel
+        # boundary (a chimeric window voting with either block); clip
+        # the first block.  Bigger overlaps are genuinely ambiguous.
+        if qe1 - qs2 > k or qs2 <= qs1:
+            return None
+        qe1 = qs2
+    if strand == 0:
+        t1, t2 = diag1 + qs1, diag2 + qs2
+        tend1 = t1 + (qe1 - qs1)
+        tgap = t2 - tend1
+        b1, b2 = qe1 - qs1, qe2 - qs2
+        lead, tail = qs1, read_len - qe2
+    else:
+        # reverse strand: later read coords map to earlier contig
+        # coords; the contig-leftmost block is the read-rightmost
+        t2 = diag2 - (qe2 - k)
+        t1 = diag1 - (qe1 - k)
+        tend2 = t2 + (qe2 - qs2)
+        tgap = t1 - tend2
+        b1, b2 = qe2 - qs2, qe1 - qs1
+        lead, tail = read_len - qe2, qs1
+        t1 = t2  # alignment starts at the contig-leftmost block
+    qgap = qs2 - qe1
+    if tgap < 0:
+        return None
+    cigar = []
+    if lead:
+        cigar.append(f"{lead}S")
+    cigar.append(f"{b1}M")
+    if qgap:
+        cigar.append(f"{qgap}I")
+    if tgap:
+        cigar.append(f"{tgap}D")
+    cigar.append(f"{b2}M")
+    if tail:
+        cigar.append(f"{tail}S")
+    return t1, qs1, qe2, "".join(cigar)
 
 
 class KmerAligner:
@@ -221,7 +285,8 @@ class KmerAligner:
         """
         idx_arrays = (self.index.hashes, self.index.contig, self.index.pos,
                       self.index.is_fwd)
-        best_key, count, second, qstart, qend = jax.device_get(
+        (best_key, count, second, qstart, qend, second_key, qstart2,
+         qend2) = jax.device_get(
             _vote_kernel(idx_arrays, (jnp.asarray(codes),), self.k))
         out = []
         for i, qname in enumerate(ids):
@@ -233,19 +298,44 @@ class KmerAligner:
             strand = (key >> 22) & 1
             cidx = key >> 23
             qs, qe = int(qstart[i]), int(qend[i])
-            if strand == 0:
-                tstart = diag + qs
+
+            # seed chaining across a nearby parallel diagonal of the
+            # SAME contig+strand: an indel in the read splits its seeds
+            # over two diagonals; chain them into one gapped alignment
+            # with an explicit I/D CIGAR (KAligner chains seeds;
+            # round-1 kept only the best diagonal)
+            chained = None
+            k2 = int(second_key[i])
+            if k2 >= 0 and second[i] >= self.min_seeds and \
+                    (k2 >> 23) == cidx and ((k2 >> 22) & 1) == strand:
+                ddiag = ((k2 & ((1 << 22) - 1)) -
+                         (key & ((1 << 22) - 1)))
+                if 0 < abs(ddiag) <= MAX_CHAIN_INDEL:
+                    qs2, qe2 = int(qstart2[i]), int(qend2[i])
+                    chained = _chain_blocks(
+                        strand, diag, qs, qe, diag + ddiag, qs2, qe2,
+                        self.k, int(lengths[i]))
+            if chained is not None:
+                tstart, qs, qe, cigar = chained
+                score = int(count[i]) + int(second[i])
+                mapq = min(60, 20 + 2 * score // 2)
             else:
-                # reverse: read k-mer at w maps to contig pos diag - w;
-                # leftmost contig coord comes from the *last* seed
-                tstart = diag - (qe - self.k)
-            # multimapping rule (abyss-map unique-match analogue): a
-            # runner-up location with close support zeroes the mapq
-            mapq = 0 if second[i] >= 0.9 * count[i] else \
-                min(60, 20 + 2 * (int(count[i]) - int(second[i])))
+                cigar = None
+                score = int(count[i])
+                if strand == 0:
+                    tstart = diag + qs
+                else:
+                    # reverse: read k-mer at w maps to contig pos
+                    # diag - w; leftmost contig coord comes from the
+                    # *last* seed
+                    tstart = diag - (qe - self.k)
+                # multimapping rule (abyss-map unique-match analogue):
+                # a runner-up location with close support zeroes mapq
+                mapq = 0 if second[i] >= 0.9 * count[i] else \
+                    min(60, 20 + 2 * (int(count[i]) - int(second[i])))
             out.append(Alignment(
                 qname=qname, rname=self.index.names[cidx],
                 rev=bool(strand), pos=int(tstart), qstart=qs, qend=qe,
-                read_len=int(lengths[i]), score=int(count[i]), mapq=mapq,
-                rlen=self.index.lengths[cidx]))
+                read_len=int(lengths[i]), score=score, mapq=mapq,
+                rlen=self.index.lengths[cidx], cigar=cigar))
         return out

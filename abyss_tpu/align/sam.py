@@ -33,17 +33,19 @@ def emit(a: Alignment | None, qname: str | None = None,
                 f"{seq}\t{qual}\n")
     flag = FLAG_REVERSE if a.rev else 0
     alen = a.qend - a.qstart
-    cigar = ""
-    # soft-clip the unseeded head/tail (KAligner-style local alignment)
-    if a.rev:
-        lead, tail = a.read_len - a.qend, a.qstart
-    else:
-        lead, tail = a.qstart, a.read_len - a.qend
-    if lead:
-        cigar += f"{lead}S"
-    cigar += f"{alen}M"
-    if tail:
-        cigar += f"{tail}S"
+    cigar = getattr(a, "cigar", None) or ""
+    if not cigar:
+        # soft-clip the unseeded head/tail (KAligner-style local
+        # alignment); gapped alignments carry an explicit CIGAR
+        if a.rev:
+            lead, tail = a.read_len - a.qend, a.qstart
+        else:
+            lead, tail = a.qstart, a.read_len - a.qend
+        if lead:
+            cigar += f"{lead}S"
+        cigar += f"{alen}M"
+        if tail:
+            cigar += f"{tail}S"
     return (f"{a.qname}\t{flag}\t{a.rname}\t{a.pos + 1}\t{a.mapq}\t{cigar}"
             f"\t*\t0\t0\t{seq}\t{qual}\n")
 

@@ -944,16 +944,29 @@ def logcounter_main(argv=None):
 
 
 def samtobreak_main(argv=None):
-    """abyss-samtobreak: contig breakpoint metrics vs a reference."""
+    """abyss-samtobreak: contig breakpoint metrics.  With --sam the
+    input is an external SAM of contig alignments (the Haskell tool's
+    contract, Misc/samtobreak.hs); otherwise contigs are aligned here
+    against the reference FASTA."""
     ap = argparse.ArgumentParser(prog="abyss-tpu samtobreak")
-    ap.add_argument("genome")
-    ap.add_argument("contigs")
+    ap.add_argument("genome", nargs="?", default=None,
+                    help="reference FASTA (internal-alignment mode)")
+    ap.add_argument("contigs", nargs="?", default=None)
+    ap.add_argument("--sam", default=None,
+                    help="external SAM of contig alignments")
     ap.add_argument("-l", "--seed-length", type=int, default=32)
+    ap.add_argument("--min-align", type=int, default=100)
     args = ap.parse_args(argv)
-    from ..stats.samtobreak import contig_breakpoints
-    genome = _read_fa(args.genome)
-    stats = contig_breakpoints(genome, _read_fa(args.contigs),
-                               k=args.seed_length)
+    if args.sam:
+        from ..stats.samtobreak import sam_breakpoints
+        stats = sam_breakpoints(args.sam, min_align=args.min_align)
+    else:
+        if not (args.genome and args.contigs):
+            ap.error("need GENOME CONTIGS or --sam FILE")
+        from ..stats.samtobreak import contig_breakpoints
+        genome = _read_fa(args.genome)
+        stats = contig_breakpoints(genome, _read_fa(args.contigs),
+                                   k=args.seed_length)
     print(stats)
     return 0
 

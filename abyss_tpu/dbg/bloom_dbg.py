@@ -81,7 +81,7 @@ def load_filter(batches: Iterable[fastx.ReadBatch], params: AssemblyParams,
         from ..ops.sorted_filter import SortedKmerCounter
         ctr = SortedKmerCounter(params.k, params.min_cov)
         for batch in batches:
-            _, _, canon, valid = nthash.kmer_hashes(
+            canon, valid = nthash.canonical_hashes(
                 jnp.asarray(batch.codes), params.k)
             ctr.add(canon, valid)
             if counters is not None:
@@ -92,7 +92,7 @@ def load_filter(batches: Iterable[fastx.ReadBatch], params: AssemblyParams,
     cbf = bloom_ops.CountingBloomFilter.create(
         counting_size, params.k, params.num_hashes, params.min_cov)
     for batch in batches:
-        _, _, canon, valid = nthash.kmer_hashes(
+        canon, valid = nthash.canonical_hashes(
             jnp.asarray(batch.codes), params.k)
         cbf = cbf.insert(canon, valid)
         if counters is not None:
@@ -111,7 +111,7 @@ def _classify_batch(cbf, visited, codes, lengths, k, fp_look_ahead,
     Returns dict of numpy arrays.
     """
     codes_j = jnp.asarray(codes)
-    _, _, canon, valid = nthash.kmer_hashes(codes_j, k)
+    canon, valid = nthash.canonical_hashes(codes_j, k)
     W = codes.shape[1] - k + 1
     widx = np.arange(W)
     in_read = widx[None, :] < (lengths[:, None] - k + 1)
@@ -135,13 +135,15 @@ def _classify_batch(cbf, visited, codes, lengths, k, fp_look_ahead,
     # k-mer must extend backwards and its last k-mer forwards, each within
     # fpLookAhead steps.  REVERSE lookahead from kmer == FORWARD from rc.
     B = codes.shape[0]
-    first_rc = np.zeros((B, k), np.uint8)
-    last = np.zeros((B, k), np.uint8)
-    for i in range(B):
-        L = int(lengths[i])
-        if L >= k:
-            first_rc[i] = alphabet.revcomp_codes(codes[i, :k])
-            last[i] = codes[i, L - k:L]
+    # batched gather of each read's first/last k-mer (the per-read
+    # Python loop here dominated pass 2 at scale)
+    ok_len = lengths >= k
+    first_rc = alphabet.revcomp_codes(codes[:, :k]).astype(np.uint8)
+    first_rc[~ok_len] = 0
+    start = np.maximum(lengths - k, 0)
+    last = np.take_along_axis(
+        codes, start[:, None] + np.arange(k)[None, :], axis=1)
+    last = np.where(ok_len[:, None], last, 0).astype(np.uint8)
     ok_left = ext.lookahead_ok(cbf, first_rc, k, fp_look_ahead,
                                width=lookahead_width)
     ok_right = ext.lookahead_ok(cbf, last, k, fp_look_ahead,

@@ -323,12 +323,20 @@ def _gather_stuck(st: ExtendState, k: int, which: int) -> _StuckView:
     buf = np.asarray(st.buf)[idx]
     length = np.asarray(st.length)[idx]
     M = len(idx)
-    head = np.zeros((M, k), np.uint8)
-    prev = np.zeros(M, np.int64)
-    for j in range(M):
-        L = length[j]
-        head[j] = buf[j, L - k:L]
-        prev[j] = buf[j, L - k - 1] if L - k - 1 >= 0 else 0
+    if M == 0:
+        return _StuckView(idx, np.zeros((0, k), np.uint8),
+                          np.zeros(0, np.int64),
+                          np.asarray(st.f)[idx], np.asarray(st.r)[idx])
+    # batched gathers of each path's trailing k-mer + preceding base
+    # (per-path Python loops here dominate at 100 Mb+ scale)
+    start = np.maximum(length - k, 0)
+    head = np.take_along_axis(
+        buf, start[:, None] + np.arange(k)[None, :], axis=1
+    ).astype(np.uint8)
+    prev_idx = length - k - 1
+    prev_val = np.take_along_axis(
+        buf, np.maximum(prev_idx, 0)[:, None], axis=1)[:, 0]
+    prev = np.where(prev_idx >= 0, prev_val, 0).astype(np.int64)
     return _StuckView(idx, head, prev,
                       np.asarray(st.f)[idx], np.asarray(st.r)[idx])
 

@@ -174,3 +174,65 @@ def resolve_repeats(g: ContigGraph, seqs: dict[str, str],
             g.remove_edge(u, v)
             stats.edges_cut += 1
     return stats
+
+
+def read_size_batches(lengths: np.ndarray,
+                      fraction_threshold: float = 0.1) -> list[int]:
+    """Distinct read sizes covering >= 10% of reads each, ascending
+    (RAlgorithmsShort.cpp determineShortReadStats:
+    READ_BATCH_FRACTION_THRESHOLD)."""
+    lengths = np.asarray(lengths)
+    lengths = lengths[lengths > 0]
+    if not len(lengths):
+        return []
+    sizes, counts = np.unique(lengths, return_counts=True)
+    frac = counts / counts.sum()
+    out = [int(s) for s, fr in zip(sizes, frac)
+           if fr >= fraction_threshold]
+    if not out:
+        out = [int(sizes[np.argmax(counts)])]
+    return out
+
+
+def default_r(read_size: int, k: int, extract: int = 4) -> int:
+    """The reference's r heuristic: min(k + 60, read_size,
+    read_size - extract + 1) (RAlgorithmsShort.cpp:266,
+    R_HEURISTIC=60, opt::extract=4)."""
+    return min(k + 60, read_size, read_size - extract + 1)
+
+
+def resolve_repeats_multi(g: ContigGraph, seqs: dict[str, str],
+                          read_batches_fn, read_lengths: np.ndarray,
+                          k: int, filter_size: int = 1 << 22,
+                          support_threshold: int = 4,
+                          max_subiterations: int = 5,
+                          verbose: int = 0) -> RResolverStats:
+    """The full resolveShort driver (RAlgorithmsShort.cpp:1258-1323):
+    one r per read-size batch (the reference's multi-r sweep comes from
+    multi-size read sets), a fresh r-mer filter per r, and
+    subiterations per r until no new unsupported paths appear.
+
+    read_batches_fn() must return a fresh iterator of [B, L] code
+    arrays on each call (the filter is rebuilt per r)."""
+    total = RResolverStats()
+    max_len = int(read_lengths.max()) if len(read_lengths) else 0
+    for size in read_size_batches(read_lengths):
+        r = default_r(size, k)
+        if r <= k or r > max_len:
+            continue
+        rmer = build_rmer_filter(read_batches_fn(), r=r,
+                                 size=filter_size)
+        for sub in range(max_subiterations):
+            st = resolve_repeats(g, seqs, rmer, k,
+                                 support_threshold=support_threshold)
+            total.junctions += st.junctions
+            total.paths_tested += st.paths_tested
+            total.paths_supported += st.paths_supported
+            total.edges_cut += st.edges_cut
+            if verbose:
+                import sys
+                print(f"[rresolver] size={size} r={r} sub={sub + 1}: "
+                      f"cut {st.edges_cut}", file=sys.stderr)
+            if st.edges_cut == 0:
+                break
+    return total

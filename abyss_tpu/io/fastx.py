@@ -65,36 +65,53 @@ def _open_text(path: str):
                 fh = tf.extractfile(member)
                 if fh is None:
                     continue
-                yield from io.TextIOWrapper(fh)
+                for line in io.TextIOWrapper(fh):
+                    # a member's unterminated final line must not merge
+                    # with the next member's first line (tar members are
+                    # independent files, Uncompress.cpp pipes them
+                    # through `tar -xOf` which concatenates bytes — but
+                    # FASTA records are line-oriented, so terminate)
+                    yield line if line.endswith("\n") else line + "\n"
         # present the concatenated members as one stream
         return _IterStream(lines())
     return open(path, "r")
 
 
 class _IterStream:
-    """Minimal file-like over an iterator of lines."""
+    """File-like over an iterator of lines: read(n)/readline()/__iter__
+    with a shared pushback buffer (the FASTA parser mixes single-char
+    reads with line reads)."""
 
     def __init__(self, it):
         self._it = it
-        self._pushback = ""
+        self._buf = ""
+
+    def _fill(self) -> bool:
+        if not self._buf:
+            self._buf = next(self._it, "")
+        return bool(self._buf)
 
     def read(self, n):
-        if not self._pushback:
-            self._pushback = next(self._it, "")
-        out, self._pushback = self._pushback[:n], self._pushback[n:]
+        self._fill()
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def readline(self):
+        if not self._fill():
+            return ""
+        if "\n" in self._buf:
+            i = self._buf.index("\n") + 1
+            out, self._buf = self._buf[:i], self._buf[i:]
+            return out
+        out, self._buf = self._buf, ""
         return out
 
     def __iter__(self):
-        if self._pushback:
-            first, self._pushback = self._pushback, ""
-            rest = next(self._it, "")
-            if rest:
-                yield first + rest if not first.endswith("\n") else first
-                if first.endswith("\n"):
-                    yield rest
-            else:
-                yield first
-        yield from self._it
+        while True:
+            line = self.readline()
+            if not line:
+                return
+            yield line
 
 
 def _read_sam_as_reads(f, first_line: str) -> Iterator[FastxRecord]:
@@ -207,10 +224,16 @@ def _read_fasta(f) -> Iterator[FastxRecord]:
         rid, comment = _split_header(header)
         chunks = []
         line = f.readline()
-        while line and not line.startswith(">"):
+        while line and not line.startswith(">") and \
+                not line.startswith("@"):
             chunks.append(line.strip())
             line = f.readline()
         yield FastxRecord(rid, "".join(chunks), None, comment)
+        if line.startswith("@"):
+            # per-record format switch (FastaReader handles mixed
+            # FASTA/FASTQ streams, e.g. concatenated tar members)
+            yield from _read_fastq(f, first_header=line)
+            return
         header = line[1:] if line else ""
 
 
@@ -228,7 +251,25 @@ def _read_fastq(f, first_header: str | None = None) -> Iterator[FastxRecord]:
         qual = f.readline().strip()
         yield FastxRecord(rid, seq, qual, comment)
         line = f.readline()
+        if line.startswith(">"):
+            # symmetric per-record format switch back to FASTA
+            yield from _read_fasta(_PushbackLine(f, line[1:]))
+            return
         header = line[1:] if line else ""
+
+
+class _PushbackLine:
+    """Wrap a line-oriented stream with one pushed-back first line."""
+
+    def __init__(self, f, first: str):
+        self._f = f
+        self._first = first
+
+    def readline(self):
+        if self._first is not None:
+            out, self._first = self._first, None
+            return out
+        return self._f.readline()
 
 
 def is_chaste(comment: str) -> bool:

@@ -34,6 +34,7 @@ the unitig-extension engine, mirroring NTC64/NTC64L semantics.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -175,6 +176,26 @@ def qr_seed_pair(k: int, K: int) -> str:
     overall pattern is symmetric (SpacedSeed.h:55-75)."""
     qr = qr_seed(K)
     return (qr + "0" * (k - 2 * K) + qr[::-1])[:k]
+
+
+def canonical_hashes(codes, k: int):
+    """(canon, valid) for all k-windows via the configured backend.
+
+    ABYSS_TPU_HASH=pallas routes the canonical-only hot paths (filter
+    load, counting, solidity probes) through the hand-written Pallas
+    kernel (ops/pallas_kernels.kmer_hashes_pallas, ~1.7 G k-mers/s on
+    v5e vs the XLA prefix-scan formulation — BENCH_NOTES.md); the
+    default is the XLA path, which fuses into surrounding ops.  Falls
+    back to XLA off-TPU or when the kernel rejects the shape."""
+    impl = os.environ.get("ABYSS_TPU_HASH", "xla")
+    if impl == "pallas":
+        try:
+            from .pallas_kernels import kmer_hashes_pallas
+            return kmer_hashes_pallas(codes, k)
+        except Exception:
+            pass
+    _, _, canon, valid = kmer_hashes(codes, k)
+    return canon, valid
 
 
 @partial(jax.jit, static_argnums=(1,))

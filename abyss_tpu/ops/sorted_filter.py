@@ -199,7 +199,7 @@ def build_sorted_filter(batches, k: int, threshold: int = 2,
     """Count all k-mers of [B, L] code batches into a SortedKmerFilter."""
     counter = SortedKmerCounter(k, threshold)
     for codes in batches:
-        _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(codes), k)
+        canon, valid = nthash.canonical_hashes(jnp.asarray(codes), k)
         counter.add(canon, valid)
     return counter.finalize()
 

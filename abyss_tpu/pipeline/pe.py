@@ -303,21 +303,23 @@ def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
     seqs = dict(contigs)
 
     if p.rresolve:
-        # RResolver (abyss-rresolver-short, bin/abyss-pe:581-585)
+        # RResolver (abyss-rresolver-short, bin/abyss-pe:581-585):
+        # one r per read-size batch + subiterations
+        # (RAlgorithmsShort.cpp resolveShort)
         from ..graph import rresolver
-        first = next(io_read_batches(in_files, 256, p.max_read_len,
+        first = next(io_read_batches(in_files, 4096, p.max_read_len,
                                      q=p.q), None)
         if first is not None and first.num_reads:
-            r = int(np.median(first.lengths[:first.num_reads]))
-            r = max(p.k + 10, min(r, first.codes.shape[1]))
-            rmer = rresolver.build_rmer_filter(
-                (b.codes for b in io_read_batches(
+            lengths = first.lengths[:first.num_reads]
+            stats = rresolver.resolve_repeats_multi(
+                g, seqs,
+                lambda: (b.codes for b in io_read_batches(
                     in_files, p.batch_size, p.max_read_len, q=p.q)),
-                r=r, size=1 << 22)
-            stats = rresolver.resolve_repeats(
-                g, seqs, rmer, p.k, support_threshold=p.rresolve_threshold)
-            _log(p, f"stage 1-rr: cut {stats.edges_cut} unsupported edges "
-                    f"at {stats.junctions} junctions (r={r})")
+                lengths, p.k,
+                support_threshold=p.rresolve_threshold,
+                verbose=max(0, p.verbose - 1))
+            _log(p, f"stage 1-rr: cut {stats.edges_cut} unsupported "
+                    f"edges at {stats.junctions} junctions")
             graphio.write_dot(g, p.path("1-rr.dot"), k=p.k)
 
     # filtergraph: tips/islands, then merge chains -> -2

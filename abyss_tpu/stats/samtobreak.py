@@ -93,3 +93,54 @@ def contig_breakpoints(genome: str | list[tuple[str, str]],
             stats.aligned_bases += sum(b[1] for b in blocks)
         stats.per_contig[name] = len(blocks)
     return stats
+
+
+def sam_breakpoints(sam, min_align: int = 100) -> BreakStats:
+    """Breakpoint metrics from an EXTERNAL SAM of contig-to-reference
+    alignments (the Misc/samtobreak.hs input contract: alignments from
+    any mapper; records shorter than min_align are ignored; each extra
+    alignment block of a contig beyond the first is a breakpoint).
+
+    `sam` is an iterable of SAM lines or a path."""
+    import os
+    import re
+    own = isinstance(sam, (str, os.PathLike))
+    f = open(sam) if own else sam
+    per: dict[str, list] = {}
+    lengths: dict[str, int] = {}
+    try:
+        for line in f:
+            if not line or line.startswith("@"):
+                continue
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) < 11:
+                continue
+            qname, flag, rname, pos, _, cigar = fields[:6]
+            flag = int(flag)
+            if flag & 0x100 or flag & 0x800 or rname == "*":
+                continue  # secondary/supplementary like the Haskell tool
+            qlen = 0
+            aligned = 0
+            for n, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar):
+                n = int(n)
+                if op in "M=X":
+                    aligned += n
+                    qlen += n
+                elif op in "IS":
+                    qlen += n
+            lengths[qname] = max(lengths.get(qname, 0), qlen)
+            if aligned >= min_align:
+                per.setdefault(qname, []).append(
+                    (rname, int(pos), aligned))
+    finally:
+        if own:
+            f.close()
+    stats = BreakStats()
+    stats.contigs = len(lengths)
+    stats.total_bases = sum(lengths.values())
+    for name, blocks in per.items():
+        stats.aligned_contigs += 1
+        stats.aligned_bases += sum(b[2] for b in blocks)
+        stats.breakpoints += len(blocks) - 1
+        stats.per_contig[name] = len(blocks) - 1
+    return stats

@@ -95,7 +95,7 @@ def main():
             def body(i, acc):
                 # perturb input each iteration to defeat hoisting
                 cc = jnp.bitwise_and(c + i.astype(jnp.uint8), jnp.uint8(3))
-                _, _, canon, valid = nthash.kmer_hashes(cc, K)
+                canon, valid = nthash.canonical_hashes(cc, K)
                 keys, counts = SortedKmerCounter._sort_rle(
                     jnp.where(valid, canon,
                               jnp.uint64(0xFFFFFFFFFFFFFFFF)).reshape(-1))
@@ -151,6 +151,38 @@ def main():
         t_bloom = _loop_rate(mk_bloom_loop)
         bloom_rates[mode] = round(kmers_per_batch / t_bloom)
 
+    # ---- hash-only rate per implementation (VERDICT r1 #10) -----------
+    hash_rates = {}
+    for impl in ("xla", "pallas"):
+        if os.environ.get("BENCH_SKIP_HASH"):
+            break
+        if impl == "pallas" and jax.devices()[0].platform not in (
+                "tpu", "axon"):
+            continue
+
+        def mk_hash_loop(n, impl=impl):
+            @jax.jit
+            def f(c):
+                def body(i, acc):
+                    cc = jnp.bitwise_and(c + i.astype(jnp.uint8),
+                                         jnp.uint8(3))
+                    if impl == "pallas":
+                        from abyss_tpu.ops.pallas_kernels import \
+                            kmer_hashes_pallas
+                        canon, valid = kmer_hashes_pallas(cc, K)
+                    else:
+                        _, _, canon, valid = nthash.kmer_hashes(cc, K)
+                    return acc ^ canon[0, 0] ^ jnp.uint64(
+                        valid.sum(dtype=jnp.int32))
+                return jax.lax.fori_loop(0, n, body, jnp.uint64(0))
+            return lambda: f(codes)
+
+        try:
+            t_hash = _loop_rate(mk_hash_loop)
+            hash_rates[impl] = round(kmers_per_batch / t_hash)
+        except Exception as e:  # kernel may reject this Mosaic build
+            hash_rates[impl] = f"failed: {type(e).__name__}"
+
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "BASELINE_MEASURED.json")
     try:
@@ -169,6 +201,9 @@ def main():
             "sorted_count_kmers_per_s": round(count_rate),
             "sorted_probe_kmers_per_s": round(probe_rate),
             "bloom_insert_kmers_per_s": bloom_rates,
+            "hash_kmers_per_s": hash_rates,
+            "hash_impl_engine_paths": os.environ.get(
+                "ABYSS_TPU_HASH", "xla"),
             "k": K, "batch": BATCH,
             "distinct_kmers_in_table": int(table.n),
             "device": str(jax.devices()[0]),

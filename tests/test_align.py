@@ -136,3 +136,30 @@ def test_write_dist_dot(tmp_path):
     distance_est.write_dist_dot(est, {"0": 500, "1": 600}, p, k=25)
     text = open(p).read()
     assert '"0+" -> "1+" [d=100 e=3.5 n=20]' in text
+
+
+def test_mapper_chains_indel_read():
+    """A read with an interior deletion splits its seeds over two
+    diagonals; the chained alignment carries an explicit I/D CIGAR
+    (VERDICT r1 weak #5 — round 1 kept only one diagonal)."""
+    from abyss_tpu import sim
+    from abyss_tpu.align.mapper import KmerAligner
+    genome = sim.random_genome(900, seed=88)
+    contig = genome
+    # read = 60 bases, skip 10 genome bases, 60 more (deletion of 10)
+    read = genome[100:160] + genome[170:230]
+    k = 24
+    codes = np.full((4, 128), 4, np.uint8)
+    codes[0, :len(read)] = alphabet.encode(read)
+    lengths = np.array([len(read), 0, 0, 0])
+    al = KmerAligner([("c0", contig)], k=k, min_seeds=2)
+    a = al.align_batch(codes, lengths, ["r0"])[0]
+    assert a is not None
+    assert a.cigar is not None and "D" in a.cigar
+    assert a.pos == 100
+    assert a.qstart == 0 and a.qend == len(read)
+    # CIGAR is consistent: query ops sum to read_len
+    import re
+    q = sum(int(n) for n, op in re.findall(r"(\d+)([MIDSH=X])", a.cigar)
+            if op in "MIS=X")
+    assert q == len(read)

@@ -102,3 +102,21 @@ def test_assembly_resume_matches_fresh(tmp_path):
             interrupted.getvalue()))] +
         [r.seq for r in fastx.read_fastx(io.StringIO(resumed.getvalue()))])
     assert combined == contigs_of(fresh)
+
+
+def test_samtobreak_external_sam(tmp_path):
+    """samtobreak --sam consumes external alignments like the Haskell
+    tool (VERDICT r1 weak #5): a split contig counts one breakpoint."""
+    from abyss_tpu.stats.samtobreak import sam_breakpoints
+    sam = tmp_path / "aln.sam"
+    sam.write_text(
+        "@SQ\tSN:ref\tLN:10000\n"
+        "c1\t0\tref\t100\t60\t500M\t*\t0\t0\t" + "A" * 500 + "\t*\n"
+        "c1\t0\tref\t5000\t60\t400M\t*\t0\t0\t" + "A" * 400 + "\t*\n"
+        "c2\t0\tref\t200\t60\t300M\t*\t0\t0\t" + "A" * 300 + "\t*\n"
+        "c2\t256\tref\t900\t0\t300M\t*\t0\t0\t" + "A" * 300 + "\t*\n"
+        "c3\t4\t*\t0\t0\t*\t*\t0\t0\t" + "A" * 80 + "\t*\n")
+    st = sam_breakpoints(str(sam))
+    assert st.breakpoints == 1          # c1 split; c2's 2nd is secondary
+    assert st.aligned_contigs == 2
+    assert st.aligned_bases == 500 + 400 + 300

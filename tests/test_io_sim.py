@@ -89,3 +89,26 @@ def test_simulator_determinism():
     r1 = sim.simulate_paired_reads(g1, coverage=5, seed=7)
     r2 = sim.simulate_paired_reads(g1, coverage=5, seed=7)
     assert r1.reads1 == r2.reads1
+
+
+def test_tar_multi_member_stream(tmp_path):
+    """Multi-member tar input: members concatenate into one read
+    stream, including a member whose last line has no trailing newline
+    (the _IterStream pushback path; VERDICT r1 weak #10)."""
+    import tarfile
+    fa1 = tmp_path / "a.fa"
+    fa1.write_text(">r1\nACGTACGTAC\n>r2\nGGGGCCCCAA\n")
+    fa2 = tmp_path / "b.fa"
+    # no trailing newline on the final record
+    fa2.write_text(">r3\nTTTTAAAACC")
+    fq = tmp_path / "c.fq"
+    fq.write_text("@r4\nACACACACAC\n+\nIIIIIIIIII\n")
+    tar = tmp_path / "reads.tar"
+    with tarfile.open(tar, "w") as tf:
+        for f in (fa1, fa2, fq):
+            tf.add(f, arcname=f.name)
+    recs = list(fastx.read_fastx(str(tar)))
+    ids = [r.id for r in recs]
+    assert ids == ["r1", "r2", "r3", "r4"]
+    assert [r.seq for r in recs] == [
+        "ACGTACGTAC", "GGGGCCCCAA", "TTTTAAAACC", "ACACACACAC"]

@@ -75,3 +75,48 @@ def test_cut_false_edge():
     assert stats.edges_cut >= 1
     assert not g.has_edge(vX, node(g.id_of("Y"), 0))
     assert g.has_edge(vX, node(g.id_of("Z"), 0))
+
+
+def test_read_size_batches_and_default_r():
+    """Read-size batching (>=10% fraction) + the reference r heuristic
+    min(k+60, size, size-extract+1) (RAlgorithmsShort.cpp:266)."""
+    from abyss_tpu.graph.rresolver import default_r, read_size_batches
+    lengths = np.array([100] * 80 + [150] * 15 + [75] * 5)
+    assert read_size_batches(lengths) == [100, 150]  # 75 is < 10%
+    assert default_r(100, 40) == 97   # size - extract + 1
+    assert default_r(250, 40) == 100  # k + 60
+    assert default_r(100, 96) == 97
+
+
+def test_resolve_repeats_multi_subiterations():
+    """The multi-batch driver runs per-size r values and subiterates
+    until no new cuts (resolveShort, RAlgorithmsShort.cpp:1258): a
+    false edge from k-scale ambiguity is cut, the true edges stay."""
+    rng = np.random.default_rng(321)
+    k = 21
+    mk = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    A, B, D = mk(150), mk(150), mk(150)
+    R = mk(60)
+    chrom = A + R + B   # only A-R-B exists in the genome
+    read_len = 100
+    reads = [chrom[i:i + read_len]
+             for i in range(0, len(chrom) - read_len + 1, 3)]
+    codes = np.full((len(reads), read_len), 4, np.uint8)
+    for i, s in enumerate(reads):
+        codes[i, :] = alphabet.encode(s)
+    o = k - 1
+    contigs = [("A", A + R[:o]), ("B", R[-o:] + B), ("D", R[-o:] + D),
+               ("R", R)]
+    g = adjlist.build_overlap_graph(contigs, k)
+    seqs = dict(contigs)
+    # D looks graph-adjacent to R (k-1 overlap) but no read supports it
+    vR, vD = node(g.id_of("R"), 0), node(g.id_of("D"), 0)
+    assert g.has_edge(vR, vD)
+    lengths = np.full(len(reads), read_len)
+    stats = rresolver.resolve_repeats_multi(
+        g, seqs, lambda: iter([codes]), lengths, k=k,
+        filter_size=1 << 20, support_threshold=4)
+    assert stats.edges_cut > 0
+    assert not g.has_edge(vR, vD)
+    assert g.has_edge(node(g.id_of("A"), 0), vR)
+    assert g.has_edge(vR, node(g.id_of("B"), 0))
