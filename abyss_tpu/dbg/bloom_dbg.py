@@ -170,15 +170,19 @@ def _extend_both(cbf, seeds: np.ndarray, params: AssemblyParams):
         cbf, rc_seeds, k, trim, width, chunk, params.max_contig_len)
     M = seeds.shape[0]
     seqs = []
-    prev_base = np.zeros(M, np.uint8)
-    has_left = np.zeros(M, bool)
-    left_part = []
-    for i in range(M):
-        lp = alphabet.revcomp_codes(lbuf[i, :llen[i]])  # [left ... seed]
-        left_part.append(lp)
-        if llen[i] > k:
-            has_left[i] = True
-            prev_base[i] = lp[-k - 1]
+    # batched length-aware reverse complement of every left walk
+    # (per-seed revcomp calls dominated here at scale)
+    Lmax = lbuf.shape[1]
+    comp = alphabet.complement_codes(lbuf)
+    ridx = llen[:, None] - 1 - np.arange(Lmax)[None, :]
+    lp_all = np.where(ridx >= 0, np.take_along_axis(
+        comp, np.maximum(ridx, 0), axis=1), np.uint8(4))
+    rows = np.arange(M)
+    has_left = llen > k
+    prev_base = np.where(
+        has_left, lp_all[rows, np.maximum(llen - k - 1, 0)],
+        0).astype(np.uint8)
+    left_part = [lp_all[i, :llen[i]] for i in range(M)]
     # right extension: warm start with the base preceding the seed where
     # the left walk extended (lookBehind with expected predecessor)
     warm = has_left.any()
