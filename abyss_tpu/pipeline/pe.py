@@ -76,6 +76,7 @@ class Library:
 class PipelineParams:
     name: str = "abyss"
     k: int = 25
+    G: int = 0   # genome size for NG50 (abyss-fac -G)
     in_files: list = field(default_factory=list)
     # named libraries: lib= / pe= / mp= / se= (bin/abyss-pe:140-160).
     # When empty, a single anonymous library is built from in_files
@@ -701,13 +702,24 @@ def stage_linked_10(p: PipelineParams) -> str | None:
 
 def stage_stats(p: PipelineParams) -> str:
     out = p.path("stats.tab")
+    # friendly alias artifacts (bin/abyss-pe %-unitigs.fa etc. symlinks)
+    for suffix, alias in [("3.fa", "unitigs.fa"), ("3.dot", "unitigs.dot"),
+                          ("6.fa", "contigs.fa"), ("6.dot", "contigs.dot"),
+                          ("8.fa", "scaffolds.fa"),
+                          ("8.dot", "scaffolds.dot")]:
+        src, dst = p.path(suffix), p.path(alias)
+        if os.path.exists(src):
+            if os.path.lexists(dst):
+                os.remove(dst)
+            os.symlink(os.path.basename(src), dst)
     rows = []
     for suffix, label in [("3.fa", "unitigs"), ("6.fa", "contigs"),
                           ("8.fa", "scaffolds"), ("10.fa", "rescaffolds")]:
         path = p.path(suffix)
         if os.path.exists(path):
             lengths = [len(r.seq) for r in fastx.read_fastx(path)]
-            rows.append(contiguity_stats(lengths, min_size=500, name=label))
+            rows.append(contiguity_stats(lengths, min_size=500,
+                                         exp_size=p.G, name=label))
     with open(out, "w") as f:
         f.write(format_stats_table(rows))
     # .csv and .md variants (abyss-pe stats targets, abyss-tabtomd)
@@ -818,6 +830,7 @@ def main(argv=None):
         db_path=kv.get("db"),
         np_devices=int(kv.get("np", 1)),
         aligner=kv.get("aligner", "map"),
+        G=int(float(kv.get("G", 0))),
     )
     if "l" in kv:
         p.align_k = int(kv["l"])
