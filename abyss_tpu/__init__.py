@@ -29,6 +29,13 @@ import jax as _jax
 # lanes; the hot kernels are later specialised to uint32 pairs in Pallas.)
 _jax.config.update("jax_enable_x64", True)
 
+# Backend override (e.g. ABYSS_TPU_PLATFORM=cpu for CPU-mesh runs of the
+# CLI tools): some environments pin JAX_PLATFORMS via sitecustomize, so an
+# env var read here — before first backend use — is the reliable switch.
+_plat = _os.environ.get("ABYSS_TPU_PLATFORM")
+if _plat:
+    _jax.config.update("jax_platforms", _plat)
+
 # Persistent compilation cache: compiles through the axon remote tunnel take
 # 5-10 minutes per program, so caching across processes is essential.
 _cache_dir = _os.environ.get(

@@ -52,6 +52,25 @@ def make_mesh(n_data: int, n_shard: int = 1, devices=None) -> Mesh:
     return Mesh(dev, ("data", "shard"))
 
 
+def make_host_mesh(n_hosts: int, n_data: int, devices=None) -> Mesh:
+    """("host", "data") mesh for the multi-host sharded table.
+
+    The outer "host" axis is the DCN dimension, the inner "data" axis
+    the ICI dimension; sharded_table's collectives run over the axis
+    tuple, so XLA decomposes each all_to_all/psum into intra-host ICI
+    traffic plus batched cross-host DCN transfers (the analogue of the
+    reference's flat MPI rank space spanning nodes,
+    configure.ac:100-116 + NetworkSequenceCollection.cpp:1499-1507).
+    Under a real multi-host runtime the same code runs unchanged with
+    `jax.distributed.initialize()` providing the process mesh."""
+    devices = devices if devices is not None else jax.devices()
+    need = n_hosts * n_data
+    assert len(devices) >= need, \
+        f"need {need} devices, have {len(devices)}"
+    dev = np.asarray(devices[:need]).reshape(n_hosts, n_data)
+    return Mesh(dev, ("host", "data"))
+
+
 def shard_batch(mesh: Mesh, codes: np.ndarray) -> jax.Array:
     """Place a [B, L] read batch sharded over the data axis."""
     return jax.device_put(

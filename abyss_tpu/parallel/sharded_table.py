@@ -61,6 +61,26 @@ def _owner(keys, log2_d: int):
     return (_mix64(keys) >> jnp.uint64(64 - log2_d)).astype(jnp.int32)
 
 
+def table_axes(mesh):
+    """Mesh axes the table shards over.
+
+    A 1D ("data",) mesh covers one host's chips (ICI).  A 2D
+    ("host", "data") mesh is the multi-host layout: the owner id's TOP
+    bits select the host (host-major flattened axis order), so one
+    logical all_to_all over both axes decomposes into intra-host ICI
+    traffic plus fewer, larger DCN transfers — the TPU-native analogue
+    of the reference's flat MPI rank space
+    (Parallel/NetworkSequenceCollection.cpp:1499-1507)."""
+    return ("host", "data") if "host" in mesh.axis_names else "data"
+
+
+def mesh_size(mesh) -> int:
+    n = mesh.shape["data"]
+    if "host" in mesh.axis_names:
+        n *= mesh.shape["host"]
+    return n
+
+
 def _bucketize(dest, valid, payloads: tuple, capacity: int, n_dev: int,
                fill: tuple):
     """Scatter items into [n_dev, capacity] per-destination buckets.
@@ -108,7 +128,7 @@ class ShardedKmerTable:
 
     @property
     def n_dev(self) -> int:
-        return self.mesh.shape["data"]
+        return mesh_size(self.mesh)
 
     @property
     def shard_size(self) -> int:
@@ -129,7 +149,7 @@ class ShardedKmerTable:
 
 
 def _spec(mesh):
-    return P("data")
+    return P(table_axes(mesh))
 
 
 def build_sharded_table(mesh: Mesh, batches, k: int,
@@ -142,7 +162,8 @@ def build_sharded_table(mesh: Mesh, batches, k: int,
         raise ValueError("sharded table is packed-mode (k <= 32)")
     from ..ops.sorted_filter import SortedKmerCounter
 
-    n_dev = mesh.shape["data"]
+    ax = table_axes(mesh)
+    n_dev = mesh_size(mesh)
     log2_d = int(n_dev - 1).bit_length()
     if (1 << log2_d) != n_dev:
         raise ValueError("device count must be a power of two")
@@ -152,8 +173,8 @@ def build_sharded_table(mesh: Mesh, batches, k: int,
 
         @jax.jit
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=P("data", None),
-                 out_specs=(P("data"), P("data"), P("data")))
+                 in_specs=P(ax, None),
+                 out_specs=(P(ax), P(ax), P(ax)))
         def route_step(codes):
             codes = codes[0]
             _, _, canon, valid = pack_kmers(codes, k)
@@ -164,8 +185,8 @@ def build_sharded_table(mesh: Mesh, batches, k: int,
             (kb, cb), ov, *_ = _bucketize(
                 dest, good, (keys, counts.astype(jnp.int32)), cap,
                 n_dev, (SENTINEL, jnp.int32(0)))
-            kr = jax.lax.all_to_all(kb, "data", 0, 0, tiled=False)
-            cr = jax.lax.all_to_all(cb, "data", 0, 0, tiled=False)
+            kr = jax.lax.all_to_all(kb, ax, 0, 0, tiled=False)
+            cr = jax.lax.all_to_all(cb, ax, 0, 0, tiled=False)
             return (kr.reshape(1, -1), cr.reshape(1, -1),
                     ov.reshape(1))
 
@@ -186,7 +207,7 @@ def build_sharded_table(mesh: Mesh, batches, k: int,
             steps[key] = route_step_factory(n_items)
         sharded = jax.device_put(
             codes.reshape(n_dev, -1, L),
-            jax.sharding.NamedSharding(mesh, P("data", None, None)))
+            jax.sharding.NamedSharding(mesh, P(ax, None, None)))
         kr, cr, ov = steps[key](sharded)
         if int(np.asarray(ov).sum()):
             raise RuntimeError("routing bucket overflow; raise "
@@ -197,8 +218,8 @@ def build_sharded_table(mesh: Mesh, batches, k: int,
     # finalize: per-device merge of received chunks
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"), P("data")),
-             out_specs=(P("data"), P("data"), P("data")))
+             in_specs=(P(ax), P(ax)),
+             out_specs=(P(ax), P(ax), P(ax)))
     def finalize(kcat, ccat):
         keys = kcat[0]
         counts = ccat[0]
@@ -233,7 +254,7 @@ def build_sharded_table(mesh: Mesh, batches, k: int,
     counts = counts[:, :S]
     alive = jax.jit(
         lambda kk: kk != SENTINEL,
-        out_shardings=jax.sharding.NamedSharding(mesh, P("data", None))
+        out_shardings=jax.sharding.NamedSharding(mesh, P(ax, None))
     )(keys)
     return ShardedKmerTable(mesh, k, keys, counts, alive)
 
@@ -264,6 +285,7 @@ def build_adjacency_sharded(t: ShardedKmerTable,
     the walk-orientation form (`strand`), so orientation never needs a
     remote read later."""
     mesh, k = t.mesh, t.k
+    ax = table_axes(mesh)
     n_dev = t.n_dev
     log2_d = int(n_dev - 1).bit_length()
     S = t.shard_size
@@ -274,8 +296,8 @@ def build_adjacency_sharded(t: ShardedKmerTable,
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"), P("data")),
-             out_specs=(P("data"), P("data"), P("data")))
+             in_specs=(P(ax), P(ax)),
+             out_specs=(P(ax), P(ax), P(ax)))
     def adj_step(keys2, _dummy):
         keys = keys2[0]
         x = keys
@@ -293,16 +315,16 @@ def build_adjacency_sharded(t: ShardedKmerTable,
         dest = _owner(ycan, log2_d)
         (qb,), ov, order, row, col, ok = _bucketize(
             dest, valid, (ycan,), cap, n_dev, (SENTINEL,))
-        qr = jax.lax.all_to_all(qb, "data", 0, 0)
+        qr = jax.lax.all_to_all(qb, ax, 0, 0)
         # local lookup: my shard's sorted keys
-        me = jax.lax.axis_index("data")
+        me = jax.lax.axis_index(ax)
         flatq = qr.reshape(-1)
         idx = jnp.searchsorted(keys, flatq)
         idx = jnp.minimum(idx, keys.shape[0] - 1)
         hit = (keys[idx] == flatq) & (flatq != SENTINEL)
         gid = jnp.where(hit, me.astype(jnp.int64) * S + idx, -1)
         gid = gid.reshape(n_dev, cap)
-        back = jax.lax.all_to_all(gid, "data", 0, 0)
+        back = jax.lax.all_to_all(gid, ax, 0, 0)
         ans = _unbucketize(back, order, row, col, ok, S * 8,
                            jnp.int64(-1))
         nbr = ans.reshape(S, 8)
@@ -320,7 +342,7 @@ def build_adjacency_sharded(t: ShardedKmerTable,
 
     dummy = jax.device_put(
         np.zeros((n_dev, 1), np.int32),
-        jax.sharding.NamedSharding(mesh, P("data", None)))
+        jax.sharding.NamedSharding(mesh, P(ax, None)))
     nbr, strand, ov = adj_step(t.keys, dummy)
     if int(np.asarray(ov).sum()):
         raise RuntimeError("adjacency routing overflow; raise slack")
@@ -338,14 +360,15 @@ def _make_gather(mesh, S: int, Q: int, dtype, slack: float = 2.5,
     owner) — REQUIRED for pointer-doubling, whose queries concentrate
     onto chain heads; hash-uniform query sets can use the slack-sized
     buckets.  Callers must check the returned overflow count."""
-    n_dev = mesh.shape["data"]
+    ax = table_axes(mesh)
+    n_dev = mesh_size(mesh)
     cap = Q if full_capacity else max(64, int(slack * Q / n_dev))
     fill = jnp.array(0, dtype)
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"), P("data")),
-             out_specs=(P("data"), P("data")))
+             in_specs=(P(ax), P(ax)),
+             out_specs=(P(ax), P(ax)))
     def gather(values2, gid2):
         values = values2[0]
         gid = gid2[0]
@@ -354,10 +377,10 @@ def _make_gather(mesh, S: int, Q: int, dtype, slack: float = 2.5,
         local = jnp.where(valid, gid % S, 0)
         (lb,), ov, order, row, col, ok = _bucketize(
             dest, valid, (local,), cap, n_dev, (jnp.int64(0),))
-        lr = jax.lax.all_to_all(lb, "data", 0, 0)
+        lr = jax.lax.all_to_all(lb, ax, 0, 0)
         vals = values[jnp.clip(lr.reshape(-1), 0, S - 1)]
         vals = vals.reshape(n_dev, cap)
-        back = jax.lax.all_to_all(vals, "data", 0, 0)
+        back = jax.lax.all_to_all(vals, ax, 0, 0)
         ans = _unbucketize(back, order, row, col, ok, Q, fill)
         return ans[None], ov.reshape(1)
 
@@ -369,13 +392,14 @@ def erode_sharded(t: ShardedKmerTable, e: int) -> int:
     neighbour-aliveness reads are routed gathers; the per-round count
     is a psum."""
     mesh = t.mesh
+    ax = table_axes(mesh)
     S = t.shard_size
     gather = _make_gather(mesh, S, S * 8, jnp.bool_)
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"), P("data"), P("data"), P("data")),
-             out_specs=(P("data"), P("data")))
+             in_specs=(P(ax), P(ax), P(ax), P(ax)),
+             out_specs=(P(ax), P(ax)))
     def round_(alive2, nbr2, counts2, nbr_alive2):
         alive = alive2[0]
         nbr = nbr2[0]
@@ -386,7 +410,7 @@ def erode_sharded(t: ShardedKmerTable, e: int) -> int:
         ld = ok[:, 4:].sum(1)
         blunt = ((rd == 0) | (ld == 0)) & alive
         kill = blunt & (counts < e)
-        n = jax.lax.psum(jnp.sum(kill), "data")
+        n = jax.lax.psum(jnp.sum(kill), ax)
         return (alive & ~kill)[None], n.reshape(1)
 
     total = 0
@@ -405,10 +429,11 @@ def erode_sharded(t: ShardedKmerTable, e: int) -> int:
 
 def apply_kc_sharded(t: ShardedKmerTable, kc: int) -> None:
     mesh = t.mesh
+    ax = table_axes(mesh)
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"), P("data")), out_specs=P("data"))
+             in_specs=(P(ax), P(ax)), out_specs=P(ax))
     def step(alive, counts):
         return alive & (counts >= kc)
 
@@ -436,6 +461,7 @@ def _oriented_next_sharded(t: ShardedKmerTable):
     """nxt[2S] per device of global ORIENTED ids (gid*2+strand), plus
     oriented out-degrees; remote degree reads are routed gathers."""
     mesh, k = t.mesh, t.k
+    ax = table_axes(mesh)
     S = t.shard_size
     gather_b = _make_gather(mesh, S, S * 8, jnp.bool_)
     gather_i = _make_gather(mesh, 2 * S, 2 * S, jnp.int32)
@@ -447,8 +473,8 @@ def _oriented_next_sharded(t: ShardedKmerTable):
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"),) * 4,
-             out_specs=(P("data"), P("data"), P("data")))
+             in_specs=(P(ax),) * 4,
+             out_specs=(P(ax), P(ax), P(ax)))
     def degrees(keys2, nbr2, strand2, nbr_alive2):
         keys = keys2[0]
         nbr = nbr2[0]
@@ -468,7 +494,7 @@ def _oriented_next_sharded(t: ShardedKmerTable):
     # oriented id 2*gid + (strand ^ 1)
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"), P("data")), out_specs=P("data"))
+             in_specs=(P(ax), P(ax)), out_specs=P(ax))
     def target_oid(nbr2, strand2):
         nbr = nbr2[0]
         strand = strand2[0].astype(jnp.int64)
@@ -486,8 +512,8 @@ def _oriented_next_sharded(t: ShardedKmerTable):
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"),) * 6,
-             out_specs=P("data"))
+             in_specs=(P(ax),) * 6,
+             out_specs=P(ax))
     def links(nbr2, strand2, ok2, outdeg2, t_indeg2, t_pal2):
         nbr = nbr2[0]
         strand = strand2[0].astype(jnp.int64)
@@ -495,7 +521,7 @@ def _oriented_next_sharded(t: ShardedKmerTable):
         outdeg = outdeg2[0].reshape(S, 2)
         t_indeg = t_indeg2[0].reshape(S, 8)
         t_pal = t_pal2[0].reshape(S, 8)
-        me = jax.lax.axis_index("data")
+        me = jax.lax.axis_index(ax)
         nxt = jnp.full((S, 2), -1, jnp.int64)
         for sstrand in (0, 1):
             cols = slice(0, 4) if sstrand == 0 else slice(4, 8)
@@ -520,7 +546,7 @@ def _oriented_next_sharded(t: ShardedKmerTable):
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"),) * 3, out_specs=P("data"))
+             in_specs=(P(ax),) * 3, out_specs=P(ax))
     def mask_src(nxt2, alive2, palin2):
         nxtl = nxt2[0].reshape(S, 2)
         alive = alive2[0]
@@ -534,6 +560,7 @@ def _oriented_next_sharded(t: ShardedKmerTable):
 
 def _trim_round_sharded(t: ShardedKmerTable, max_tip: int) -> int:
     mesh = t.mesh
+    ax = table_axes(mesh)
     S = t.shard_size
     n_dev = t.n_dev
     nxt, outdeg, _ = _oriented_next_sharded(t)
@@ -547,11 +574,11 @@ def _trim_round_sharded(t: ShardedKmerTable, max_tip: int) -> int:
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"), P("data")),
-             out_specs=(P("data"), P("data")))
+             in_specs=(P(ax), P(ax)),
+             out_specs=(P(ax), P(ax)))
     def init_pd(nxt2, _d):
         nxtl = nxt2[0]
-        me = jax.lax.axis_index("data").astype(jnp.int64)
+        me = jax.lax.axis_index(ax).astype(jnp.int64)
         ov = 2 * (me * S + jnp.arange(S, dtype=jnp.int64))
         ov = jnp.stack([ov, ov + 1], 1).reshape(-1)  # my oriented gids
         return ov[None], nxtl[None]
@@ -571,18 +598,18 @@ def _trim_round_sharded(t: ShardedKmerTable, max_tip: int) -> int:
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"),), out_specs=(P("data"), P("data")))
+             in_specs=(P(ax),), out_specs=(P(ax), P(ax)))
     def compute_prev(nxt2):
         nxtl = nxt2[0]
-        me = jax.lax.axis_index("data").astype(jnp.int64)
+        me = jax.lax.axis_index(ax).astype(jnp.int64)
         src = 2 * me * S + jnp.arange(2 * S, dtype=jnp.int64)
         valid = nxtl >= 0
         dest = jnp.where(valid, nxtl // (2 * S), 0).astype(jnp.int32)
         (tb, sb), ov2, order, row, col, okk = _bucketize(
             dest, valid, (nxtl, src), cap, n_dev,
             (jnp.int64(-1), jnp.int64(-1)))
-        tr = jax.lax.all_to_all(tb, "data", 0, 0)
-        sr = jax.lax.all_to_all(sb, "data", 0, 0)
+        tr = jax.lax.all_to_all(tb, ax, 0, 0)
+        sr = jax.lax.all_to_all(sb, ax, 0, 0)
         tloc = tr.reshape(-1) % (2 * S)
         prev = jnp.full((2 * S,), -1, jnp.int64)
         prev = prev.at[jnp.where(tr.reshape(-1) >= 0, tloc, 2 * S)
@@ -596,11 +623,11 @@ def _trim_round_sharded(t: ShardedKmerTable, max_tip: int) -> int:
     # doubling on prev: P converges to the chain head; dist = position
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"), P("data")),
-             out_specs=(P("data"), P("data")))
+             in_specs=(P(ax), P(ax)),
+             out_specs=(P(ax), P(ax)))
     def pd_init(prev2, _d):
         prevl = prev2[0]
-        me = jax.lax.axis_index("data").astype(jnp.int64)
+        me = jax.lax.axis_index(ax).astype(jnp.int64)
         self_oid = 2 * me * S + jnp.arange(2 * S, dtype=jnp.int64)
         Pl = jnp.where(prevl >= 0, prevl, self_oid)
         dl = jnp.where(prevl >= 0, 1, 0).astype(jnp.int64)
@@ -610,15 +637,15 @@ def _trim_round_sharded(t: ShardedKmerTable, max_tip: int) -> int:
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("data"),) * 4,
-             out_specs=(P("data"), P("data"), P("data")))
+             in_specs=(P(ax),) * 4,
+             out_specs=(P(ax), P(ax), P(ax)))
     def pd_step(P2, d2, gP2, gd2):
         Pl, dl = P2[0], d2[0]
         gP, gd = gP2[0], gd2[0]
         nd = dl + gd
         moved = jnp.sum(gP != Pl)
         return gP[None], nd[None], jax.lax.psum(
-            moved, "data").reshape(1)
+            moved, ax).reshape(1)
 
     for _ in range(64):
         gP, ov1 = gather_oid(Pcur, Pcur)
@@ -686,7 +713,7 @@ def _trim_round_sharded(t: ShardedKmerTable, max_tip: int) -> int:
     new_alive[rows_flat // S_all, rows_flat % S_all] = False
     t.alive = jax.device_put(
         new_alive,
-        jax.sharding.NamedSharding(mesh, P("data", None)))
+        jax.sharding.NamedSharding(mesh, P(ax, None)))
     return len(rows_flat)
 
 

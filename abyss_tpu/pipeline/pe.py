@@ -122,8 +122,10 @@ class PipelineParams:
     # gap sealing after scaffolding (abyss-sealer, sealer_ks)
     sealer_ks: list = field(default_factory=list)
     db_path: str | None = None
-    # multi-device stage-1 build (np=, the ABYSS-P analogue)
+    # multi-device stage-1 build (np=, the ABYSS-P analogue); nh= adds
+    # an outer DCN "host" axis (np devices per host x nh hosts)
     np_devices: int = 1
+    n_hosts: int = 1
     aligner: str = "map"
 
     def path(self, suffix: str, lib: str | None = None) -> str:
@@ -219,26 +221,31 @@ def stage_unitigs_1(p: PipelineParams) -> str:
         batches = (b.codes for b in io_read_batches(
             in_files, p.batch_size, p.max_read_len, q=p.q))
         import jax
-        if p.np_devices > 1 and len(jax.devices()) >= p.np_devices:
+        total_dev = p.np_devices * p.n_hosts
+        if total_dev > 1 and len(jax.devices()) >= total_dev:
             from ..parallel import distributed as dist
-            mesh = dist.make_mesh(p.np_devices, 1)
-            if p.k <= 32 and (p.np_devices & (p.np_devices - 1)) == 0:
+            mesh = (dist.make_host_mesh(p.n_hosts, p.np_devices)
+                    if p.n_hosts > 1 else dist.make_mesh(p.np_devices, 1))
+            if p.k <= 32 and (total_dev & (total_dev - 1)) == 0:
                 # np= (ABYSS-P): the ENTIRE stage-1 phase machine on
                 # the mesh — owner-sharded resident table, routed
                 # adjacency/erode/trim, host rank-0-style finish
                 from ..parallel import sharded_table as stbl
                 _log(p, f"stage 1: mesh-sharded table over "
-                        f"{p.np_devices} devices (np=)")
+                        f"{total_dev} devices"
+                        + (f" ({p.n_hosts} hosts x {p.np_devices})"
+                           if p.n_hosts > 1 else " (np=)"))
                 contigs, _ = stbl.assemble_sharded(
                     mesh, list(batches), p.k, kc=p.kc)
             else:
                 # wide mode (k > 32): mesh-parallel load, host merge
                 # of the pre-reduced per-device (k-mer, count) pairs
+                # (1D data mesh: the wide path is not host-sharded)
                 _log(p, f"stage 1: mesh k-mer count over "
-                        f"{p.np_devices} devices (np=)")
+                        f"{total_dev} devices (np=)")
                 batches = list(batches)
                 keys, counts = dist.distributed_count_kmers(
-                    mesh, batches, p.k)
+                    dist.make_mesh(total_dev, 1), batches, p.k)
                 t = hash_dbg.KmerTable(p.k, keys, counts,
                                        np.ones(len(keys), bool))
                 if p.k > 32:
@@ -829,6 +836,7 @@ def main(argv=None):
         sealer_ks=[int(x) for x in kv.get("sealer_ks", "").split()],
         db_path=kv.get("db"),
         np_devices=int(kv.get("np", 1)),
+        n_hosts=int(kv.get("nh", 1)),
         aligner=kv.get("aligner", "map"),
         G=int(float(kv.get("G", 0))),
     )

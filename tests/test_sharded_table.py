@@ -97,3 +97,25 @@ def test_sharded_full_assembly_byte_identical(mesh8):
     a = sorted(min(s, alphabet.revcomp(s)) for s, c in contigs)
     b = sorted(min(s, alphabet.revcomp(s)) for s, c in ref_contigs)
     assert a == b
+
+
+def test_sharded_host_mesh_matches_1d(mesh8):
+    """2D ("host","data") mesh (the multi-host DCN layout) produces a
+    byte-identical table + phases vs the 1D 8-device mesh: the phase
+    machine is axis-layout invariant (distributed.make_host_mesh)."""
+    mesh2d = dist.make_host_mesh(2, 4)
+    genome = sim.random_genome(2500, seed=35)
+    codes = _read_codes(genome, 600)
+    k = 25
+    t1 = st.build_sharded_table(mesh8, [codes], k)
+    t2 = st.build_sharded_table(mesh2d, [codes], k)
+    assert t2.n_dev == 8
+    for t in (t1, t2):
+        st.apply_kc_sharded(t, 2)
+        st.build_adjacency_sharded(t)
+        st.erode_sharded(t, 2)
+        st.trim_sharded(t, k)
+    h1, h2 = t1.host_table(), t2.host_table()
+    np.testing.assert_array_equal(h1.kmers, h2.kmers)
+    np.testing.assert_array_equal(h1.counts, h2.counts)
+    np.testing.assert_array_equal(h1.alive, h2.alive)
