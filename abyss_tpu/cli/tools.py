@@ -54,8 +54,9 @@ def abyss_main(argv=None):
     """ABYSS (exact hash-DBG) equivalent (ABYSS/abyss.cc)."""
     ap = argparse.ArgumentParser(prog="abyss-tpu assemble")
     ap.add_argument("reads", nargs="+")
-    ap.add_argument("-k", "--kmer", type=int, required=True,
-                    help="k-mer size (<= 32 for the exact engine)")
+    ap.add_argument("-k", "--kmer", required=True,
+                    help="k-mer size, or a sweep kmin-kmax[:step] "
+                         "(ABYSS/abyss.cc:166-194 multi-k mode)")
     ap.add_argument("--kc", type=int, default=2)
     ap.add_argument("-e", "--erode", type=int, default=2)
     ap.add_argument("-t", "--trim-length", type=int, default=None)
@@ -90,21 +91,35 @@ def abyss_main(argv=None):
             tip_len=args.trim_length, auto_coverage=args.coverage,
             min_mean_cov=args.mean_coverage, bubble_len=args.bubble_len,
             bubbles_out=bubbles)
+    elif "-" in str(args.kmer):
+        # multi-k sweep: k=kmin-kmax[:step]; each round's contigs feed
+        # the next k as extra input (ABYSS/abyss.cc:166-194)
+        rng_part, _, step_part = str(args.kmer).partition(":")
+        kmin, _, kmax = rng_part.partition("-")
+        step = int(step_part) if step_part else 1
+        ks = list(range(int(kmin), int(kmax) + 1, step))
+
+        def batches_fn():
+            return (b.codes[:b.num_reads] for b in
+                    io_read_batches(args.reads, 4096, 512))
+        contigs = hash_dbg.multi_k_sweep(batches_fn, ks, kc=args.kc,
+                                         erode_cov=args.erode)
+        table = None
     else:
         batches = [b.codes[:b.num_reads] for b in
                    io_read_batches(args.reads, 4096, 512)]
         contigs, table = hash_dbg.assemble_reads(
-            batches, args.kmer, kc=args.kc, erode_cov=args.erode,
+            batches, int(args.kmer), kc=args.kc, erode_cov=args.erode,
             tip_len=args.trim_length, auto_coverage=args.coverage,
             min_mean_cov=args.mean_coverage, bubble_len=args.bubble_len,
             bubbles_out=bubbles)
-    if args.snapshot:
+    if args.snapshot and table is not None:
         hash_dbg.save_snapshot(table, args.snapshot)
     if args.bubbles:
         with open(args.bubbles, "w") as f:
             for i, s in enumerate(bubbles):
                 f.write(f">bubble{i} {len(s)}\n{s}\n")
-    if args.coverage_hist:
+    if args.coverage_hist and table is not None:
         with open(args.coverage_hist, "w") as f:
             f.write(hash_dbg.coverage_histogram(table).to_text())
     out = sys.stdout if args.out == "-" else open(args.out, "w")

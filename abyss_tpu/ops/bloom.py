@@ -93,7 +93,9 @@ class CountingBloomFilter:
     # "scatter": XLA gather + scatter-max (memory-lean, scatter-bound);
     # "sort": the merge reformulation (ops/sort_join.dense_gather_u8 /
     # dense_scatter_max_u8) — 4 sorts of (size + Q) per batch, batch-
-    # amortized, the TPU fast path (BENCH_NOTES.md)
+    # amortized; "pallas": binned compare-broadcast kernels
+    # (ops/pallas_scatter.py) — sorted update stream + per-tile VPU
+    # dense max, no scatter at any level (BENCH_NOTES.md has rates)
     update_mode: str = dataclasses.field(metadata=dict(static=True),
                                          default="scatter")
 
@@ -129,7 +131,26 @@ class CountingBloomFilter:
         conservative underestimate). counts: [N] int. mask: [N] bool.
         """
         idx = self._indices(canon, mask)  # [N, H]
-        if self.update_mode == "sort":
+        if self.update_mode == "pallas":
+            # XLA gather (measured fastest for the read side) + the
+            # Pallas binned scatter for the write side
+            from .pallas_scatter import scatter_max_u8_pallas
+            flat = idx.reshape(-1)
+            cur = self.counters[flat].astype(jnp.int32).reshape(
+                idx.shape)
+            lo = jnp.min(cur, axis=-1)
+            tgt = jnp.minimum(lo + jnp.asarray(counts, jnp.int32),
+                              COUNTER_MAX)
+            tgt = jnp.broadcast_to(tgt[..., None], idx.shape)
+            tgt8 = tgt.reshape(-1).astype(jnp.uint8)
+            new, sok = scatter_max_u8_pallas(self.counters, flat, tgt8)
+            # capacity overflow cannot happen for hash-uniform indices;
+            # fall back to the exact XLA scatter if it ever does
+            new = jax.lax.cond(
+                sok, lambda _: new,
+                lambda _: self.counters.at[flat].max(tgt8, mode="drop"),
+                None)
+        elif self.update_mode == "sort":
             from .sort_join import dense_gather_u8, dense_scatter_max_u8
             flat = idx.reshape(-1)
             cur = dense_gather_u8(self.counters, flat).reshape(

@@ -17,7 +17,11 @@ Run on the real chip: python scripts/exp_scatter.py
 """
 
 import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
+
+sys.setrecursionlimit(100_000)
 
 import numpy as np
 
@@ -134,7 +138,7 @@ def main():
         def f(c, idx):
             def body(i, acc):
                 g = c[perturb(i, idx)]
-                return acc + g.astype(jnp.int32).sum()
+                return acc + g.astype(jnp.int32).sum(dtype=jnp.int32)
             return jax.lax.fori_loop(0, n, body, jnp.int32(0))
         return lambda: f(counters, idx0)
     report("D raw gather", _loop_rate(mk_d))
@@ -145,11 +149,97 @@ def main():
             def body(i, acc):
                 ii = jnp.sort(perturb(i, idx))
                 g = jnp.take(c, ii, indices_are_sorted=True)
-                return acc + g.astype(jnp.int32).sum()
+                return acc + g.astype(jnp.int32).sum(dtype=jnp.int32)
             return jax.lax.fori_loop(0, n, body, jnp.int32(0))
         return lambda: f(counters, idx0)
     report("D2 sorted hinted gather", _loop_rate(mk_d2))
 
+    # -- profile the real insert's stages at bloom-bench shapes ---------
+    from abyss_tpu.ops import nthash
+    from abyss_tpu.ops.bloom import CountingBloomFilter, _sorted_run_lengths
+    NK = Q // 4  # k-mers; H=4 indices each
+    canon0 = jax.device_put(
+        rng.integers(0, 2**63, size=NK, dtype=np.uint64))
+    filt = CountingBloomFilter.create(S, 25, 4, 2)
+
+    def mk_h(n):
+        @jax.jit
+        def f(canon):
+            def body(i, acc):
+                c = canon ^ jnp.uint64(i)
+                hs = nthash.multi_hashes(c, 25, 4)
+                return acc ^ hs[0, 0]
+            return jax.lax.fori_loop(0, n, body, jnp.uint64(0))
+        return lambda: f(canon0)
+    t = _loop_rate(mk_h)
+    print(f"multi_hashes H=4: {NK/t/1e6:10.1f} M kmers/s ({t*1e3:.2f} ms)")
+
+    def mk_r(n):
+        @jax.jit
+        def f(canon):
+            def body(i, acc):
+                c = canon ^ jnp.uint64(i)
+                s_, rl, v = _sorted_run_lengths(c, None)
+                return acc ^ s_[0] ^ jnp.uint64(rl[1])
+            return jax.lax.fori_loop(0, n, body, jnp.uint64(0))
+        return lambda: f(canon0)
+    t = _loop_rate(mk_r)
+    print(f"sort+RLE pre-pass: {NK/t/1e6:10.1f} M kmers/s ({t*1e3:.2f} ms)")
+
+    def mk_i(n):
+        @jax.jit
+        def f(filt, canon):
+            def body(i, fi):
+                return fi.insert(canon ^ jnp.uint64(i))
+            return jax.lax.fori_loop(0, n, body, filt)
+        return lambda: f(filt, canon0)
+    t = _loop_rate(mk_i)
+    print(f"full insert H=4: {NK/t/1e6:10.1f} M kmers/s ({t*1e3:.2f} ms)")
+
+
+def main_pallas():
+    """Pallas binned scatter/gather (ops/pallas_scatter.py) on-chip."""
+    from abyss_tpu.ops import pallas_scatter as ps
+    rng = np.random.default_rng(0)
+    idx0 = jax.device_put(rng.integers(0, S, size=Q, dtype=np.int32))
+    val0 = jax.device_put(rng.integers(1, 250, size=Q, dtype=np.uint8))
+    counters = jax.device_put(np.zeros(S + 1, dtype=np.uint8))
+
+    def perturb(i, idx):
+        return jnp.bitwise_and(idx + i, jnp.int32(S - 1))
+
+    def mk_e(n):
+        @jax.jit
+        def f(c, idx, val):
+            def body(i, c):
+                new, _ = ps.scatter_max_u8_pallas(
+                    c, perturb(i, idx), val)
+                return new
+            return jax.lax.fori_loop(0, n, body, c)
+        return lambda: f(counters, idx0, val0)
+    report("E pallas binned scatter-max (incl sort)", _loop_rate(mk_e))
+
+    def mk_f(n):
+        @jax.jit
+        def f(c, idx):
+            def body(i, acc):
+                g, _ = ps.gather_u8_pallas(c, perturb(i, idx))
+                return acc + g.astype(jnp.int32).sum(dtype=jnp.int32)
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+        return lambda: f(counters, idx0)
+    report("F pallas binned gather (incl sort+unsort)", _loop_rate(mk_f))
+
+    # correctness on hardware
+    new, ok = ps.scatter_max_u8_pallas(counters, idx0, val0)
+    ref = np.zeros(S + 1, np.uint8)
+    i_np, v_np = np.asarray(idx0), np.asarray(val0)
+    np.maximum.at(ref, i_np, v_np)
+    print("hw scatter ok:", bool(ok), "match:",
+          np.array_equal(np.asarray(new)[:S], ref[:S]))
+
 
 if __name__ == "__main__":
-    main()
+    if "--pallas-only" in sys.argv:
+        main_pallas()
+    else:
+        main()
