@@ -80,13 +80,19 @@ def load_filter(batches: Iterable[fastx.ReadBatch], params: AssemblyParams,
     if params.filter_mode == "sorted":
         from ..ops.sorted_filter import SortedKmerCounter
         ctr = SortedKmerCounter(params.k, params.min_cov)
+        # accumulate the k-mer tally on device; one scalar sync at the
+        # end (a per-batch sync pays the tunnel round-trip every batch)
+        kmer_tally = None
         for batch in batches:
             canon, valid = nthash.canonical_hashes(
                 jnp.asarray(batch.codes), params.k)
             ctr.add(canon, valid)
             if counters is not None:
                 counters.read_count += batch.num_reads
-                counters.kmers_loaded += int(np.asarray(valid).sum())
+                v = valid.sum(dtype=jnp.int64)
+                kmer_tally = v if kmer_tally is None else kmer_tally + v
+        if counters is not None and kmer_tally is not None:
+            counters.kmers_loaded += int(np.asarray(kmer_tally))
         return ctr.finalize()
     counting_size, _ = bloom_ops.recommended_sizes(params.bloom_bytes)
     cbf = bloom_ops.CountingBloomFilter.create(

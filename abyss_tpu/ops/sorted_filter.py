@@ -143,6 +143,35 @@ class SortedKmerCounter:
         keys = jnp.where(start, s, jnp.uint64(0xFFFFFFFFFFFFFFFF))
         return keys, counts
 
+    @staticmethod
+    @jax.jit
+    def _merge_pairs(keys, counts):
+        """Merge (possibly duplicated-key) sorted-or-not pairs into
+        run-starts-marked (keys, totals) — device-only, scan-based.
+
+        Per-key totals on the sorted array come from a cumsum
+        differenced at each run's first/last position (both found by
+        searchsorted on the array itself) — no segment scatter, and
+        crucially NO host pull: on a tunneled device, shipping the
+        uncompacted intermediate to host costs hundreds of seconds
+        (the round-2 genome-e2e pass-1 regression)."""
+        ks, cs = jax.lax.sort((keys, counts.astype(jnp.int64)),
+                              num_keys=1)
+        csum = jnp.cumsum(cs)
+        first = jnp.searchsorted(ks, ks, side="left")
+        last = jnp.searchsorted(ks, ks, side="right") - 1
+        before = jnp.where(first > 0, csum[jnp.maximum(first - 1, 0)], 0)
+        totals = csum[last] - before
+        start = jnp.concatenate(
+            [jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+        keep = start & (ks != jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        outk = jnp.where(keep, ks, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        outc = jnp.where(keep, totals, 0)
+        # compact: push non-starts/sentinels to the end, key order kept
+        outk, outc = jax.lax.sort((outk, outc), num_keys=1)
+        n_real = jnp.sum(keep)
+        return outk, outc, n_real
+
     def add(self, canon, mask=None):
         canon = jnp.asarray(canon, jnp.uint64).reshape(-1)
         if mask is not None:
@@ -154,17 +183,20 @@ class SortedKmerCounter:
             self._reduce()
 
     def _reduce(self):
+        """Pre-reduce pending hash chunks to device-resident
+        (distinct key, count) pairs; only a scalar count crosses to
+        host."""
         if not self._hash_chunks:
             return
         allh = jnp.concatenate(self._hash_chunks)
-        keys, counts = self._sort_rle(allh)
-        # pull the (much smaller) uniques to host to release device memory
-        keys_np = np.asarray(keys)
-        counts_np = np.asarray(counts)
-        keep = counts_np > 0
-        self._pair_chunks.append((keys_np[keep], counts_np[keep]))
         self._hash_chunks = []
         self._pending = 0
+        keys, counts = self._sort_rle(allh)
+        del allh
+        keys, counts, n_real = self._merge_pairs(
+            keys, counts.astype(jnp.int64))
+        n = int(n_real)  # scalar D2H only
+        self._pair_chunks.append((keys[:n], counts[:n]))
 
     def finalize(self) -> SortedKmerFilter:
         self._reduce()
@@ -173,22 +205,17 @@ class SortedKmerCounter:
                 kmers=jnp.zeros(0, jnp.uint64),
                 counts=jnp.zeros(0, jnp.int32),
                 k=self.k, threshold=self.threshold)
-        keys = np.concatenate([k_ for k_, _ in self._pair_chunks])
-        counts = np.concatenate([c for _, c in self._pair_chunks])
-        order = np.argsort(keys, kind="stable")
-        keys = keys[order]
-        counts = counts[order]
-        # merge duplicate keys across chunks
-        uniq_mask = np.concatenate([[True], keys[1:] != keys[:-1]])
-        uniq_idx = np.cumsum(uniq_mask) - 1
-        merged = np.zeros(int(uniq_mask.sum()), np.int64)
-        np.add.at(merged, uniq_idx, counts)
-        sentinel = keys[uniq_mask] != np.uint64(0xFFFFFFFFFFFFFFFF)
+        if len(self._pair_chunks) == 1:
+            kmers, counts64 = self._pair_chunks[0]
+        else:
+            keys = jnp.concatenate([k_ for k_, _ in self._pair_chunks])
+            counts = jnp.concatenate([c for _, c in self._pair_chunks])
+            keys, counts, n_real = self._merge_pairs(keys, counts)
+            n = int(n_real)
+            kmers, counts64 = keys[:n], counts[:n]
         self._pair_chunks = []
         from .sort_join import pack_table
-        kmers = jnp.asarray(keys[uniq_mask][sentinel])
-        counts = jnp.asarray(
-            np.minimum(merged[sentinel], COUNTER_MAX).astype(np.int32))
+        counts = jnp.minimum(counts64, COUNTER_MAX).astype(jnp.int32)
         return SortedKmerFilter(
             kmers=kmers, counts=counts, packed=pack_table(kmers, counts),
             k=self.k, threshold=self.threshold)

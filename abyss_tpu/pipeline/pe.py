@@ -756,12 +756,20 @@ def run(p: PipelineParams) -> dict[str, str]:
     t0 = time.time()
     os.makedirs(p.outdir, exist_ok=True)
     artifacts = {}
-    artifacts["unitigs1"] = stage_unitigs_1(p)
-    artifacts["unitigs"], _ = stage_graph_2_3(p)
-    artifacts["dist"] = stage_dist_5(p)
-    artifacts["contigs"] = stage_contigs_6(p)
-    artifacts["scaffolds"] = stage_scaffolds_8(p)
-    sealed = stage_sealer(p)
+
+    def timed(label, fn, *a):
+        ts = time.time()
+        r = fn(*a)
+        _log(p, f"[wall] {label}: {time.time() - ts:.1f}s")
+        return r
+
+    artifacts["unitigs1"] = timed("stage 1 (unitigs)", stage_unitigs_1, p)
+    artifacts["unitigs"], _ = timed("stage 2-3 (graph)", stage_graph_2_3, p)
+    artifacts["dist"] = timed("stage 4-5 (map+dist)", stage_dist_5, p)
+    artifacts["contigs"] = timed("stage 6 (contigs)", stage_contigs_6, p)
+    artifacts["scaffolds"] = timed("stage 7-8 (scaffolds)",
+                                   stage_scaffolds_8, p)
+    sealed = timed("sealer", stage_sealer, p)
     if sealed:
         artifacts["sealed"] = sealed
     ten = stage_linked_10(p)
