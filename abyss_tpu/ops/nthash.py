@@ -181,13 +181,20 @@ def qr_seed_pair(k: int, K: int) -> str:
 def canonical_hashes(codes, k: int):
     """(canon, valid) for all k-windows via the configured backend.
 
-    ABYSS_TPU_HASH=pallas routes the canonical-only hot paths (filter
-    load, counting, solidity probes) through the hand-written Pallas
-    kernel (ops/pallas_kernels.kmer_hashes_pallas, ~1.7 G k-mers/s on
-    v5e vs the XLA prefix-scan formulation — BENCH_NOTES.md); the
-    default is the XLA path, which fuses into surrounding ops.  Falls
-    back to XLA off-TPU or when the kernel rejects the shape."""
-    impl = os.environ.get("ABYSS_TPU_HASH", "xla")
+    The canonical-only hot paths (filter load, counting, solidity
+    probes) default to the hand-written Pallas kernel on TPU backends
+    (ops/pallas_kernels.kmer_hashes_pallas): measured end-to-end it
+    lifts the stage-1 count from 445M to 543M k-mers/s/chip
+    (BENCH_NOTES.md round 2).  ABYSS_TPU_HASH=xla|pallas overrides;
+    non-TPU backends and shapes the kernel rejects fall back to the
+    fused XLA prefix-scan path."""
+    impl = os.environ.get("ABYSS_TPU_HASH")
+    if impl is None:
+        try:
+            impl = ("pallas" if jax.devices()[0].platform
+                    in ("tpu", "axon") else "xla")
+        except Exception:
+            impl = "xla"
     if impl == "pallas":
         try:
             from .pallas_kernels import kmer_hashes_pallas

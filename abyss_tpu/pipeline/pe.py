@@ -111,7 +111,9 @@ class PipelineParams:
     scaffold_n: tuple | None = None   # N=lo-hi
     outdir: str = "."
     verbose: int = 1
-    batch_size: int = 4096
+    # reads per device batch: bigger batches amortize per-dispatch
+    # latency (the tunnel round trip) and raise sort efficiency
+    batch_size: int = 16384
     max_read_len: int = 256
     # linked reads (lr=, bin/abyss-pe:752-849): tigmint cut + arcs
     lr_files: list = field(default_factory=list)

@@ -78,16 +78,18 @@ def main():
                 cached_k = json.load(f)
         except (OSError, ValueError):
             cached_k = None
-    if cached_k != k:
+    if cached_k != [k, (sys.argv[5] if len(sys.argv) > 5 else "exact")]:
         for stale in os.listdir(outdir):
             if stale.startswith("ecoli-"):
                 os.remove(os.path.join(outdir, stale))
         with open(k_sentinel, "w") as f:
-            json.dump(k, f)
+            json.dump([k, sys.argv[5] if len(sys.argv) > 5 else "exact"],
+                      f)
 
     t1 = time.time()
+    engine = sys.argv[5] if len(sys.argv) > 5 else "exact"
     p = pe.PipelineParams(name="ecoli", k=k, in_files=[r1, r2],
-                          outdir=outdir, verbose=2)
+                          outdir=outdir, verbose=2, engine=engine)
     artifacts = pe.run(p)
     wall = time.time() - t1
 
@@ -95,6 +97,7 @@ def main():
     h = Histogram.of(len(s) for s in seqs if len(s) >= 500)
     summary = {
         "genome_bp": genome_bp, "k": k, "coverage": coverage,
+        "engine": engine,
         "pairs": n_pairs, "wall_s": round(wall, 1),
         "n_scaffolds_500": h.size(), "sum": int(h.sum()),
         "n50": int(h.n50()), "max": int(h.maximum()),
