@@ -261,31 +261,46 @@ def fill_wide_side(t: KmerTable, batches) -> KmerTable:
         t.hr, t.text = hr, text
         return t
     filled = np.zeros(N, bool)
+    kmers_dev = jnp.asarray(kmers)
+
+    @jax.jit
+    def batch_rows(codes, filled_dev):
+        """Device side: which windows are the first-needed occurrences'
+        candidates.  Only the small per-batch selection crosses to host
+        (pulling fh/rh/canon per batch costs ~85MB/batch on a tunneled
+        device — the round-2 wide-mode profile)."""
+        fh, rh, canon, valid = nthash.kmer_hashes(codes, k)
+        fh, rh = fh.reshape(-1), rh.reshape(-1)
+        canon = canon.reshape(-1)
+        valid = valid.reshape(-1)
+        rows = jnp.searchsorted(kmers_dev, canon)
+        rows = jnp.minimum(rows, N - 1)
+        hit = valid & (kmers_dev[rows] == canon)
+        need = hit & ~filled_dev[rows]
+        return need, rows, fh, rh
+
     for codes in batches:
         codes_np = np.asarray(codes, np.uint8)
-        fh, rh, canon, valid = nthash.kmer_hashes(jnp.asarray(codes_np), k)
-        fh = np.asarray(fh).reshape(-1)
-        rh = np.asarray(rh).reshape(-1)
-        canon = np.asarray(canon).reshape(-1)
-        valid = np.asarray(valid).reshape(-1)
-        rows = np.searchsorted(kmers, canon)
-        rows = np.minimum(rows, N - 1)
-        hit = valid & (kmers[rows] == canon)
-        need = hit & ~filled[rows]
+        need_d, rows_d, fh_d, rh_d = batch_rows(
+            jnp.asarray(codes_np), jnp.asarray(filled))
+        need = np.asarray(need_d)          # [BW] bool: the only bulk pull
         if not need.any():
             if filled.all():
                 break
             continue
-        # first occurrence of each still-unfilled row within this batch
         occ = np.nonzero(need)[0]
-        first = occ[np.unique(rows[occ], return_index=True)[1]]
+        rows_occ = np.asarray(rows_d[jnp.asarray(occ)])
+        first = occ[np.unique(rows_occ, return_index=True)[1]]
+        first_d = jnp.asarray(first)
+        fh = np.asarray(fh_d[first_d])
+        rh = np.asarray(rh_d[first_d])
+        r = np.asarray(rows_d[first_d])
         win = np.lib.stride_tricks.sliding_window_view(
             codes_np, k, axis=1).reshape(-1, k)[first]
-        flip = rh[first] < fh[first]
+        flip = rh < fh
         win = np.where(flip[:, None], 3 - win[:, ::-1], win)
-        r = rows[first]
         text[r] = pack_text(win.astype(np.uint8), k)
-        hr[r] = np.where(flip, fh[first], rh[first])
+        hr[r] = np.where(flip, fh, rh)
         filled[r] = True
         if filled.all():
             break
