@@ -40,6 +40,7 @@ accepts 5% false positives by design.
 
 from __future__ import annotations
 
+import sys
 import os
 from dataclasses import dataclass
 from functools import partial
@@ -848,24 +849,42 @@ def assemble_table(t: KmerTable, kc: int = 2, erode_cov: int = 2,
                    ) -> list[tuple[str, int]]:
     """Run the post-load phases on an existing table (e.g. one restored
     from a `.kmer` snapshot)."""
+    import time as _time
+
+    def _ph(name, t0):
+        if os.environ.get("ABYSS_TPU_PHASE_LOG"):
+            print(f"[hash-dbg] {name}: {_time.time() - t0:.1f}s "
+                  f"(n={t.n}, alive={int(np.asarray(t.alive).sum())})",
+                  file=sys.stderr, flush=True)
+        return _time.time()
+
     k = t.k
     kc_eff = kc
+    tt = _time.time()
     if auto_coverage:
         h = coverage_histogram(t)
         thr = coverage_threshold(h)
         if thr > 0:
             kc_eff = max(kc, int(round(thr)))
     apply_coverage_threshold(t, kc_eff)
+    tt = _ph("kc filter", tt)
     build_adjacency(t)
+    tt = _ph("adjacency", tt)
     tip = tip_len if tip_len is not None else k
     erode(t, erode_cov, erode_strand)
+    tt = _ph("erode", tt)
     trim(t, tip)
+    tt = _ph("trim", tt)
     if min_mean_cov:
         while remove_low_coverage_contigs(t, min_mean_cov):
             erode(t, erode_cov, erode_strand)
             trim(t, tip)
+        tt = _ph("low-cov loop", tt)
     popped = pop_bubbles_kmer(
         t, bubble_len if bubble_len is not None else 3 * k)
+    tt = _ph("bubbles", tt)
     if bubbles_out is not None:
         bubbles_out.extend(popped)
-    return assemble(t)
+    out = assemble(t)
+    _ph("assemble", tt)
+    return out

@@ -34,6 +34,25 @@ from .scan import running_min
 COUNTER_MAX = 32767  # COVERAGE_MAX, Assembly/VertexData.h:33
 
 
+def _pad_pow2(x, fill=None):
+    """Pad dim 0 up to the next power of two (sentinel/zero fill).
+
+    Compiled sort/merge programs are then per-pow2-bucket instead of
+    per-exact-shape: data-dependent sizes otherwise force a fresh XLA
+    compile per run, and on this platform a large-sort compile can take
+    tens of minutes (remote-compile pathology, BENCH_NOTES.md)."""
+    n = x.shape[0]
+    m = 1 << max(int(n - 1).bit_length(), 0)
+    if m == n:
+        return x
+    if fill is None:
+        fillv = jnp.asarray(0xFFFFFFFFFFFFFFFF, x.dtype)             if x.dtype == jnp.uint64 else jnp.asarray(0, x.dtype)
+    else:
+        fillv = jnp.asarray(fill, x.dtype)
+    pad = jnp.full((m - n,), fillv, x.dtype)
+    return jnp.concatenate([x, pad])
+
+
 @dataclass(frozen=True)
 class SortedKmerFilter:
     """Immutable sorted k-mer count table (pytree; static k/threshold)."""
@@ -115,7 +134,7 @@ class SortedKmerCounter:
     """
 
     def __init__(self, k: int, threshold: int = 2,
-                 reduce_every: int = 64 << 20):
+                 reduce_every: int = 12 << 20):
         self.k = k
         self.threshold = threshold
         self._hash_chunks: list = []
@@ -188,7 +207,7 @@ class SortedKmerCounter:
         host."""
         if not self._hash_chunks:
             return
-        allh = jnp.concatenate(self._hash_chunks)
+        allh = _pad_pow2(jnp.concatenate(self._hash_chunks))
         self._hash_chunks = []
         self._pending = 0
         keys, counts = self._sort_rle(allh)
@@ -196,7 +215,11 @@ class SortedKmerCounter:
         keys, counts, n_real = self._merge_pairs(
             keys, counts.astype(jnp.int64))
         n = int(n_real)  # scalar D2H only
-        self._pair_chunks.append((keys[:n], counts[:n]))
+        # slice to a pow2 BUCKET, not the exact n: an exact-n slice is
+        # a fresh XLA program per reduce (minutes each on a remote-
+        # compile platform); the sentinel tail merges out downstream
+        m = min(1 << max(int(n - 1).bit_length(), 0), keys.shape[0])
+        self._pair_chunks.append((keys[:m], counts[:m], n))
 
     def finalize(self) -> SortedKmerFilter:
         self._reduce()
@@ -206,10 +229,15 @@ class SortedKmerCounter:
                 counts=jnp.zeros(0, jnp.int32),
                 k=self.k, threshold=self.threshold)
         if len(self._pair_chunks) == 1:
-            kmers, counts64 = self._pair_chunks[0]
+            keys, counts, n = self._pair_chunks[0]
+            # the one exact-shape slice per dataset (downstream phase
+            # programs are per-N anyway)
+            kmers, counts64 = keys[:n], counts[:n]
         else:
-            keys = jnp.concatenate([k_ for k_, _ in self._pair_chunks])
-            counts = jnp.concatenate([c for _, c in self._pair_chunks])
+            keys = _pad_pow2(
+                jnp.concatenate([k_ for k_, _, _ in self._pair_chunks]))
+            counts = _pad_pow2(
+                jnp.concatenate([c for _, c, _ in self._pair_chunks]), 0)
             keys, counts, n_real = self._merge_pairs(keys, counts)
             n = int(n_real)
             kmers, counts64 = keys[:n], counts[:n]
