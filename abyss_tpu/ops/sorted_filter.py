@@ -138,7 +138,7 @@ class SortedKmerCounter:
         self.k = k
         self.threshold = threshold
         self._hash_chunks: list = []
-        self._pair_chunks: list = []  # (kmers, counts) pre-reduced
+        self._merged = None  # (keys, counts, n) running device table
         self._pending = 0
         self._reduce_every = reduce_every
 
@@ -165,28 +165,32 @@ class SortedKmerCounter:
     @staticmethod
     @jax.jit
     def _merge_pairs(keys, counts):
-        """Merge (possibly duplicated-key) sorted-or-not pairs into
-        run-starts-marked (keys, totals) — device-only, scan-based.
+        """Merge (possibly duplicated-key) pairs into compacted
+        (keys, totals) — device-only, scan-based.
 
-        Per-key totals on the sorted array come from a cumsum
-        differenced at each run's first/last position (both found by
-        searchsorted on the array itself) — no segment scatter, and
-        crucially NO host pull: on a tunneled device, shipping the
-        uncompacted intermediate to host costs hundreds of seconds
-        (the round-2 genome-e2e pass-1 regression)."""
+        Per-key totals on the sorted array come from the cumsum
+        differenced against a forward-filled previous-run-end cumsum
+        (a running-max scan) — no segment scatter, no bulk
+        searchsorted (which crashes this TPU at multi-M rows,
+        BENCH_NOTES round 1), and NO host pull (shipping the
+        uncompacted intermediate to host costs hundreds of seconds on
+        a tunneled device)."""
+        from .scan import running_max
         ks, cs = jax.lax.sort((keys, counts.astype(jnp.int64)),
                               num_keys=1)
         csum = jnp.cumsum(cs)
-        first = jnp.searchsorted(ks, ks, side="left")
-        last = jnp.searchsorted(ks, ks, side="right") - 1
-        before = jnp.where(first > 0, csum[jnp.maximum(first - 1, 0)], 0)
-        totals = csum[last] - before
-        start = jnp.concatenate(
-            [jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-        keep = start & (ks != jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        last = jnp.concatenate(
+            [ks[:-1] != ks[1:], jnp.ones((1,), bool)])
+        # cumsum at the previous run's last element, forward-filled
+        # (csum is nondecreasing, so a running max fills correctly)
+        ends = jnp.where(last, csum, jnp.int64(0))
+        prev = running_max(
+            jnp.concatenate([jnp.zeros((1,), jnp.int64), ends[:-1]]))
+        totals = csum - prev
+        keep = last & (ks != jnp.uint64(0xFFFFFFFFFFFFFFFF))
         outk = jnp.where(keep, ks, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-        outc = jnp.where(keep, totals, 0)
-        # compact: push non-starts/sentinels to the end, key order kept
+        outc = jnp.where(keep, totals, jnp.int64(0))
+        # compact: push non-lasts/sentinels to the end, key order kept
         outk, outc = jax.lax.sort((outk, outc), num_keys=1)
         n_real = jnp.sum(keep)
         return outk, outc, n_real
@@ -202,9 +206,16 @@ class SortedKmerCounter:
             self._reduce()
 
     def _reduce(self):
-        """Pre-reduce pending hash chunks to device-resident
-        (distinct key, count) pairs; only a scalar count crosses to
-        host."""
+        """Fold pending hash chunks into the running merged table —
+        all on device, all at pow2-bucketed shapes.
+
+        One `_merge_pairs` per reduce over concat(running, fresh RLE):
+        the running table stays compacted (an LSM-free running merge),
+        peak memory ~2x the final distinct set, and the program shapes
+        are pow2 buckets so compiles amortize across reduces AND runs
+        (a data-dependent shape costs a fresh multi-minute remote
+        compile on this platform).  Only a scalar count crosses to
+        host per reduce."""
         if not self._hash_chunks:
             return
         allh = _pad_pow2(jnp.concatenate(self._hash_chunks))
@@ -212,38 +223,33 @@ class SortedKmerCounter:
         self._pending = 0
         keys, counts = self._sort_rle(allh)
         del allh
-        keys, counts, n_real = self._merge_pairs(
-            keys, counts.astype(jnp.int64))
+        counts = counts.astype(jnp.int64)
+        if self._merged is not None:
+            k0, c0, _ = self._merged
+            keys = _pad_pow2(jnp.concatenate([k0, keys]))
+            counts = _pad_pow2(
+                jnp.concatenate([c0.astype(jnp.int64), counts]), 0)
+        keys, counts, n_real = self._merge_pairs(keys, counts)
         n = int(n_real)  # scalar D2H only
-        # slice to a pow2 BUCKET, not the exact n: an exact-n slice is
-        # a fresh XLA program per reduce (minutes each on a remote-
-        # compile platform); the sentinel tail merges out downstream
         m = min(1 << max(int(n - 1).bit_length(), 0), keys.shape[0])
-        self._pair_chunks.append((keys[:m], counts[:m], n))
+        self._merged = (keys[:m],
+                        jnp.minimum(counts[:m], COUNTER_MAX
+                                    ).astype(jnp.int32), n)
 
     def finalize(self) -> SortedKmerFilter:
         self._reduce()
-        if not self._pair_chunks:
+        if self._merged is None:
             return SortedKmerFilter(
                 kmers=jnp.zeros(0, jnp.uint64),
                 counts=jnp.zeros(0, jnp.int32),
                 k=self.k, threshold=self.threshold)
-        if len(self._pair_chunks) == 1:
-            keys, counts, n = self._pair_chunks[0]
-            # the one exact-shape slice per dataset (downstream phase
-            # programs are per-N anyway)
-            kmers, counts64 = keys[:n], counts[:n]
-        else:
-            keys = _pad_pow2(
-                jnp.concatenate([k_ for k_, _, _ in self._pair_chunks]))
-            counts = _pad_pow2(
-                jnp.concatenate([c for _, c, _ in self._pair_chunks]), 0)
-            keys, counts, n_real = self._merge_pairs(keys, counts)
-            n = int(n_real)
-            kmers, counts64 = keys[:n], counts[:n]
-        self._pair_chunks = []
+        keys, counts, n = self._merged
+        self._merged = None
+        # the one exact-shape slice per dataset (downstream phase
+        # programs are per-N anyway)
+        kmers = keys[:n]
+        counts = counts[:n]
         from .sort_join import pack_table
-        counts = jnp.minimum(counts64, COUNTER_MAX).astype(jnp.int32)
         return SortedKmerFilter(
             kmers=kmers, counts=counts, packed=pack_table(kmers, counts),
             k=self.k, threshold=self.threshold)
