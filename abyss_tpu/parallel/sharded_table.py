@@ -445,11 +445,10 @@ def trim_sharded(t: ShardedKmerTable, max_tip: int) -> int:
     doubling (each hop a routed gather), then the chain-decomposition
     tip rules of the single-device engine (TrimAlgorithm.h:15-99;
     trim semantics identical to dbg.hash_dbg._trim_round)."""
+    # straight to the t-fixpoint: each batched round already computes
+    # full chain decompositions, so the reference's 1,2,4..t ladder
+    # would only repeat the same work (see hash_dbg.trim)
     total = 0
-    ln = 1
-    while ln < max_tip:
-        total += _trim_round_sharded(t, ln)
-        ln *= 2
     while True:
         n = _trim_round_sharded(t, max_tip)
         total += n
