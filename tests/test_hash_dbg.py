@@ -337,3 +337,47 @@ def test_erode_strand_threshold():
     # E=1 erodes from the blunt ends inward (each k-mer is one-strand)
     n = hash_dbg.erode(t2, 2, 1)
     assert n == t2.n  # the whole single-strand path erodes away
+
+
+def test_trim_fixpoint_equals_ladder_schedule():
+    """The direct t-fixpoint trim reaches the same alive set as the
+    reference's 1,2,4..t ladder (TrimAlgorithm.h:15-34) on random
+    error-laden graphs — the schedule is a cost model, not semantics."""
+    from abyss_tpu import sim
+    from abyss_tpu.core import alphabet
+
+    def ladder(t, max_tip):
+        total, ln = 0, 1
+        while ln < max_tip:
+            total += hash_dbg._trim_round(t, ln)
+            ln *= 2
+        while True:
+            n = hash_dbg._trim_round(t, max_tip)
+            total += n
+            if n == 0:
+                return total
+
+    for seed in (101, 202, 303):
+        rng = np.random.default_rng(seed)
+        genome = sim.genome_with_repeats(3000, seed=seed, n_repeats=3,
+                                         repeat_len=150)
+        reads = sim.simulate_paired_reads(
+            genome, coverage=25, read_len=70, error_rate=0.01,
+            seed=seed + 1)
+        batch = []
+        for (n1, s1, _), (n2, s2, _) in zip(reads.reads1, reads.reads2):
+            batch.extend([s1, s2])
+        codes = np.full((len(batch), 70), 4, np.uint8)
+        for i, s in enumerate(batch):
+            codes[i, :len(s)] = alphabet.encode(s)
+        k = 21
+        ta = hash_dbg.count_kmers([codes], k)
+        hash_dbg.apply_coverage_threshold(ta, 2)
+        hash_dbg.build_adjacency(ta)
+        hash_dbg.erode(ta, 2)
+        tb = hash_dbg.KmerTable(k, ta.kmers.copy(), ta.counts.copy(),
+                                ta.alive.copy())
+        hash_dbg.build_adjacency(tb)
+        hash_dbg.trim(ta, k)          # direct fixpoint
+        ladder(tb, k)                 # reference schedule
+        np.testing.assert_array_equal(ta.alive, tb.alive)
