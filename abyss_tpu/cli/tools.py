@@ -99,11 +99,21 @@ def abyss_main(argv=None):
         step = int(step_part) if step_part else 1
         ks = list(range(int(kmin), int(kmax) + 1, step))
 
+        for flag, val in (("--snapshot", args.snapshot),
+                          ("--coverage-hist", args.coverage_hist),
+                          ("--bubbles", args.bubbles)):
+            if val:
+                print(f"warning: {flag} is ignored in a multi-k sweep "
+                      "(per-k artifacts are not defined for k ranges)",
+                      file=sys.stderr)
+
         def batches_fn():
             return (b.codes[:b.num_reads] for b in
                     io_read_batches(args.reads, 4096, 512))
-        contigs = hash_dbg.multi_k_sweep(batches_fn, ks, kc=args.kc,
-                                         erode_cov=args.erode)
+        contigs = hash_dbg.multi_k_sweep(
+            batches_fn, ks, kc=args.kc, erode_cov=args.erode,
+            tip_len=args.trim_length, auto_coverage=args.coverage,
+            min_mean_cov=args.mean_coverage, bubble_len=args.bubble_len)
         table = None
     else:
         batches = [b.codes[:b.num_reads] for b in

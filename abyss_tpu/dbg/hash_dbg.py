@@ -803,12 +803,15 @@ def assemble(t: KmerTable) -> list[tuple[str, int]]:
 
 
 def multi_k_sweep(read_batches_fn, ks: list[int], kc: int = 2,
-                  erode_cov: int = 2) -> list[tuple[str, int]]:
+                  erode_cov: int = 2, **assemble_kw
+                  ) -> list[tuple[str, int]]:
     """Multi-k sweep (ABYSS/abyss.cc:166-194): assemble at increasing k,
     feeding each round's contigs back as extra input sequences.
 
     read_batches_fn() must return a fresh iterator of [B, L] code
-    batches over the reads.
+    batches over the reads.  Extra keyword args (tip_len, auto_coverage,
+    min_mean_cov, bubble_len, ...) pass through to assemble_reads for
+    every k in the sweep.
     """
     from ..core import alphabet as _alpha
     contigs: list[tuple[str, int]] = []
@@ -821,7 +824,8 @@ def multi_k_sweep(read_batches_fn, ks: list[int], kc: int = 2,
                 arr[i, :len(s)] = _alpha.encode(s)
             extra = [arr]
         batches = list(read_batches_fn()) + extra
-        contigs, _ = assemble_reads(batches, k, kc=kc, erode_cov=erode_cov)
+        contigs, _ = assemble_reads(batches, k, kc=kc, erode_cov=erode_cov,
+                                    **assemble_kw)
     return contigs
 
 

@@ -131,7 +131,15 @@ class CountingBloomFilter:
         conservative underestimate). counts: [N] int. mask: [N] bool.
         """
         idx = self._indices(canon, mask)  # [N, H]
-        if self.update_mode == "pallas":
+        update_mode = self.update_mode
+        if update_mode == "pallas":
+            # the binned kernel tiles SUPER=64K counters at a time;
+            # smaller filters fall back to the XLA scatter (mirrors the
+            # sok-size fallback rather than failing at trace time)
+            from .pallas_scatter import SUPER
+            if self.size < SUPER:
+                update_mode = "scatter"
+        if update_mode == "pallas":
             # XLA gather (measured fastest for the read side) + the
             # Pallas binned scatter for the write side
             from .pallas_scatter import scatter_max_u8_pallas
@@ -150,7 +158,7 @@ class CountingBloomFilter:
                 sok, lambda _: new,
                 lambda _: self.counters.at[flat].max(tgt8, mode="drop"),
                 None)
-        elif self.update_mode == "sort":
+        elif update_mode == "sort":
             from .sort_join import dense_gather_u8, dense_scatter_max_u8
             flat = idx.reshape(-1)
             cur = dense_gather_u8(self.counters, flat).reshape(

@@ -178,6 +178,20 @@ def qr_seed_pair(k: int, K: int) -> str:
     return (qr + "0" * (k - 2 * K) + qr[::-1])[:k]
 
 
+def resolved_impl() -> str:
+    """The hash implementation the engine paths will actually use:
+    ABYSS_TPU_HASH if set, else pallas on TPU backends, xla elsewhere.
+    bench.py records this so the bench JSON matches reality."""
+    impl = os.environ.get("ABYSS_TPU_HASH")
+    if impl is None:
+        try:
+            impl = ("pallas" if jax.devices()[0].platform
+                    in ("tpu", "axon") else "xla")
+        except Exception:
+            impl = "xla"
+    return impl
+
+
 def canonical_hashes(codes, k: int):
     """(canon, valid) for all k-windows via the configured backend.
 
@@ -188,13 +202,7 @@ def canonical_hashes(codes, k: int):
     (BENCH_NOTES.md round 2).  ABYSS_TPU_HASH=xla|pallas overrides;
     non-TPU backends and shapes the kernel rejects fall back to the
     fused XLA prefix-scan path."""
-    impl = os.environ.get("ABYSS_TPU_HASH")
-    if impl is None:
-        try:
-            impl = ("pallas" if jax.devices()[0].platform
-                    in ("tpu", "axon") else "xla")
-        except Exception:
-            impl = "xla"
+    impl = resolved_impl()
     if impl == "pallas":
         try:
             from .pallas_kernels import kmer_hashes_pallas

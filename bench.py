@@ -202,8 +202,7 @@ def main():
             "sorted_probe_kmers_per_s": round(probe_rate),
             "bloom_insert_kmers_per_s": bloom_rates,
             "hash_kmers_per_s": hash_rates,
-            "hash_impl_engine_paths": os.environ.get(
-                "ABYSS_TPU_HASH", "xla"),
+            "hash_impl_engine_paths": nthash.resolved_impl(),
             "k": K, "batch": BATCH,
             "distinct_kmers_in_table": int(table.n),
             "device": str(jax.devices()[0]),
