@@ -310,6 +310,39 @@ def fill_wide_side(t: KmerTable, batches) -> KmerTable:
     return t
 
 
+def compact(t: KmerTable) -> KmerTable:
+    """Drop dead rows in place (sorted order is preserved by slicing).
+
+    The post-kc table is typically ~20% alive (round-2 profile: 5.04M
+    solid of 25.3M distinct at 4.6 Mbp) and every later phase —
+    adjacency probes, erode/trim degree passes, chain ranking sorts —
+    pays full-table cost for dead rows.  Compacting right after the kc
+    filter (before adjacency, so no index remap is needed) shrinks all
+    of it ~5x.  When `nbr` exists, neighbour indices are remapped."""
+    keep = t.alive
+    if keep.all():
+        return t
+    if t.nbr is not None:
+        new_idx = np.cumsum(keep, dtype=np.int64) - 1
+        nb = t.nbr
+        ok = (nb >= 0) & keep[np.maximum(nb, 0)]
+        t.nbr = np.where(ok, new_idx[np.maximum(nb, 0)], -1).astype(
+            np.int32)[keep]
+    t.kmers = t.kmers[keep]
+    t.counts = t.counts[keep]
+    if t.fwd_counts is not None:
+        t.fwd_counts = t.fwd_counts[keep]
+    if t.hr is not None:
+        t.hr = t.hr[keep]
+    if t.text is not None:
+        t.text = t.text[keep]
+    t.alive = np.ones(len(t.kmers), bool)
+    for cache in ("_end_bases", "_dev"):
+        if hasattr(t, cache):
+            delattr(t, cache)
+    return t
+
+
 def coverage_histogram(t: KmerTable) -> Histogram:
     h = Histogram()
     vals, cnts = np.unique(t.counts[t.alive], return_counts=True)
@@ -414,6 +447,8 @@ def _neighbor_probe_wide(kmers, hr, firstb, lastb, k: int):
 
 def build_adjacency(t: KmerTable) -> KmerTable:
     """AdjacencyAlgorithm.h:9-46 as one batched probe."""
+    if hasattr(t, "_dev"):
+        delattr(t, "_dev")
     if t.n == 0:
         t.nbr = np.zeros((0, 8), np.int32)
         return t
@@ -436,6 +471,25 @@ def _degrees(t: KmerTable) -> tuple[np.ndarray, np.ndarray]:
     return ok[:, :4].sum(axis=1), ok[:, 4:].sum(axis=1)
 
 
+def _use_device() -> bool:
+    """The chain phases run device-resident (dbg/chain_ops.py) unless
+    ABYSS_TPU_CHAIN=host selects the numpy reference implementations
+    (kept for A/B checks and as executable documentation)."""
+    return os.environ.get("ABYSS_TPU_CHAIN", "device") != "host"
+
+
+def _device_dbg(t: KmerTable):
+    """Cached device-resident view; alive is pushed fresh per call."""
+    from . import chain_ops
+    d = t.__dict__.get("_dev")
+    if d is None or d.n != t.n:
+        d = chain_ops.DeviceDBG(t)
+        t._dev = d
+    else:
+        d.sync_from_host()
+    return d
+
+
 def erode(t: KmerTable, e: int, e_strand: int = 0) -> int:
     """Remove blunt-ended k-mers with coverage < e — or either strand's
     coverage < e_strand (the `E` parameter, ErodeAlgorithm.h:75-77) —
@@ -444,6 +498,13 @@ def erode(t: KmerTable, e: int, e_strand: int = 0) -> int:
     Strand thresholds need per-strand counts: count_kmers(...,
     strand_counts=True) fills t.fwd_counts; without them e_strand is
     ignored."""
+    if t.n == 0:
+        return 0
+    if _use_device():
+        d = _device_dbg(t)
+        total = d.erode(e, e_strand)
+        d.sync_to_host()
+        return total
     total = 0
     use_strand = e_strand > 0 and t.fwd_counts is not None
     while True:
@@ -467,16 +528,21 @@ def trim(t: KmerTable, max_tip: int) -> int:
     TrimAlgorithm.h:15-34).
 
     The reference ladders 1, 2, 4, .., t because its per-endpoint walks
-    cost O(round length); the batched round here computes the FULL
-    chain decomposition regardless of the length bound, so the ladder
-    would just repeat the same O(N log L) work ~log t extra times.  We
-    go straight to the t-fixpoint: every batched round removes all
+    cost O(round length); the batched round here computes the chain
+    decomposition (ranking capped at the tip bound, chain_ops) so the
+    ladder would just repeat the same work ~log t extra times.  We go
+    straight to the t-fixpoint: every batched round removes all
     currently-qualifying tips at once, and repeats only while removals
     expose new tips (the same fixpoint the ladder reaches —
     regression-checked against the reference binaries in
     tests/test_reference_parity.py)."""
-    if max_tip <= 0:
+    if max_tip <= 0 or t.n == 0:
         return 0
+    if _use_device():
+        d = _device_dbg(t)
+        total = d.trim(max_tip)
+        d.sync_to_host()
+        return total
     total = 0
     while True:
         n = _trim_round(t, max_tip)
@@ -616,8 +682,10 @@ def _oriented_next(t: KmerTable) -> np.ndarray:
         # orientation) is 1: in-deg of oriented v = out-deg of flip(v)...
         # compute target left-degree in its walk orientation:
         t_in = np.where(tstrand == 0, left_deg[tgt], right_deg[tgt])
-        good = (t_in == 1) & ~tpal
         src = 2 * rows + strand
+        # homopolymer self-successors (AAAA.. -> AAAA..) are chain
+        # breaks, not 1-cycles
+        good = (t_in == 1) & ~tpal & (ov_t != src)
         nxt[src[good]] = ov_t[good]
     return nxt
 
@@ -738,12 +806,206 @@ def _chain_flank_rows(t: KmerTable, rows, strands) -> tuple[set, set]:
     return entry, exit_
 
 
+class _ChainStruct:
+    """Host view of the device chain decomposition: the alive oriented
+    vertices in sorted (head, pos) order plus vectorized per-segment
+    reductions.  Built from ONE device pull (chain_ops.DeviceDBG.chains);
+    everything here is numpy over segment boundaries — np.diff /
+    cumsum-differences — never per-chain Python loops."""
+
+    def __init__(self, t: KmerTable):
+        self.t = t
+        d = _device_dbg(t)
+        self.ov_s, self.sidx, self.lengths = d.chains()
+        self.rows = self.ov_s >> 1
+        self.strands = (self.ov_s & 1).astype(np.uint8)
+        self.headv = self.ov_s[self.sidx] if len(self.sidx) else \
+            np.zeros(0, np.int32)
+        ends = self.sidx + self.lengths - 1
+        self.endv = self.ov_s[ends] if len(self.sidx) else \
+            np.zeros(0, np.int32)
+        # rc-duplicate dedup: the reverse-complement chain of
+        # (head h, end e) is (e^1, h^1); keep the lexicographically
+        # smaller of the pair (self-rc chains appear once and compare
+        # equal, so they are kept)
+        two_n = np.int64(2 * t.n)
+        a = self.headv.astype(np.int64) * two_n + self.endv
+        b = (self.endv.astype(np.int64) ^ 1) * two_n + \
+            (self.headv.astype(np.int64) ^ 1)
+        self.kept = a <= b
+        ccum = np.zeros(len(self.rows) + 1, np.int64)
+        np.cumsum(t.counts[self.rows], dtype=np.int64, out=ccum[1:])
+        self.covsum = ccum[self.sidx + self.lengths] - ccum[self.sidx]
+
+    def seg_elements(self, segs: np.ndarray) -> np.ndarray:
+        """Indices into ov_s of all elements of the given segments."""
+        ln = self.lengths[segs]
+        base = np.repeat(self.sidx[segs], ln)
+        return base + _concat_ranges(ln)
+
+    def kill(self, segs: np.ndarray) -> None:
+        """Mark every row of the given segments dead."""
+        self.t.alive[self.rows[self.seg_elements(segs)]] = False
+
+
+def _concat_ranges(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated (vectorized)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = np.zeros(len(lengths), np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+
+
+def _expand_head_kmers(t: KmerTable, rows: np.ndarray,
+                       strands: np.ndarray) -> np.ndarray:
+    """[nc, k] base codes of each chain's first k-mer in walk
+    orientation (vectorized unpack of packed words / wide text)."""
+    k = t.k
+    if t.wide:
+        j = np.arange(k)
+        codes = (t.text[rows][:, j // 4] >> (6 - 2 * (j % 4))) & 3
+    else:
+        shifts = (2 * (k - 1 - np.arange(k))).astype(np.uint64)
+        codes = ((t.kmers[rows][:, None] >> shifts[None, :])
+                 & np.uint64(3)).astype(np.uint8)
+    flip = strands.astype(bool)
+    codes = np.where(flip[:, None], 3 - codes[:, ::-1], codes)
+    return codes.astype(np.uint8)
+
+
+def _walk_last_bases(t: KmerTable, rows: np.ndarray,
+                     strands: np.ndarray) -> np.ndarray:
+    """Last base (walk orientation) contributed by each oriented
+    vertex: stored last base on strand 0, complement of the stored
+    first base on strand 1."""
+    if t.wide:
+        firstb, lastb = t.end_bases()
+    else:
+        lastb = (t.kmers & np.uint64(3)).astype(np.uint8)
+        firstb = ((t.kmers >> np.uint64(2 * (t.k - 1)))
+                  & np.uint64(3)).astype(np.uint8)
+    return np.where(strands == 0, lastb[rows], 3 - firstb[rows]).astype(
+        np.uint8)
+
+
+_ASCII = np.frombuffer(b"ACGT", np.uint8)
+_RC_TABLE = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def _emit_segments(cs: _ChainStruct, segs: np.ndarray,
+                   canonical: bool = False) -> list[tuple[str, int]]:
+    """Materialize the selected segments as (sequence, coverage_sum):
+    one flat base buffer filled by two vectorized scatters (first
+    k-mers + per-vertex tail bases), sliced per contig as bytes."""
+    t = cs.t
+    k = t.k
+    if len(segs) == 0:
+        return []
+    L = cs.lengths[segs]
+    outlen = k + L - 1
+    offs = np.zeros(len(segs) + 1, np.int64)
+    np.cumsum(outlen, out=offs[1:])
+    buf = np.empty(int(offs[-1]), np.uint8)
+    h = cs.ov_s[cs.sidx[segs]]
+    first = _expand_head_kmers(t, h >> 1, (h & 1).astype(np.uint8))
+    idx0 = offs[:-1][:, None] + np.arange(k)[None, :]
+    buf[idx0.reshape(-1)] = first.reshape(-1)
+    tail_len = L - 1
+    src = np.repeat(cs.sidx[segs] + 1, tail_len) + _concat_ranges(tail_len)
+    tgt = np.repeat(offs[:-1] + k, tail_len) + _concat_ranges(tail_len)
+    buf[tgt] = _walk_last_bases(t, cs.rows[src], cs.strands[src])
+    ascii_buf = _ASCII[buf].tobytes()
+    out = []
+    covs = cs.covsum[segs]
+    for i in range(len(segs)):
+        s = ascii_buf[offs[i]:offs[i + 1]]
+        if canonical:
+            rc = s.translate(_RC_TABLE)[::-1]
+            if rc < s:
+                s = rc
+        out.append((s.decode(), int(covs[i])))
+    return out
+
+
+def _flank_info(cs: _ChainStruct):
+    """Per-kept-segment unique entry/exit junction rows (or -1): the
+    vectorized form of _chain_flank_rows, with same-chain candidates
+    excluded via each row's chain id."""
+    t = cs.t
+    # chain id per row: min of the two oriented chains' heads
+    head_per_elem = np.repeat(cs.headv, cs.lengths)
+    headov = np.full(2 * t.n, -1, np.int64)
+    headov[cs.ov_s] = head_per_elem
+    rowchain = np.minimum(headov[0::2], headov[1::2])
+    chainid = np.minimum(cs.headv.astype(np.int64),
+                         cs.endv.astype(np.int64) ^ 1)
+
+    def side(ovs, entry_side):
+        r = ovs >> 1
+        s = ovs & 1
+        # entry: neighbours behind the head (left cols on strand 0);
+        # exit: neighbours past the end (right cols on strand 0)
+        use_left = (s == 0) if entry_side else (s == 1)
+        cand = np.where(use_left[:, None], t.nbr[r][:, 4:8],
+                        t.nbr[r][:, 0:4])
+        cc = np.maximum(cand, 0)
+        ok = (cand >= 0) & t.alive[cc] & (rowchain[cc] != chainid[:, None])
+        cnt = ok.sum(axis=1)
+        row = np.max(np.where(ok, cand, -1), axis=1)
+        return cnt, row
+
+    ecnt, erow = side(cs.headv, True)
+    xcnt, xrow = side(cs.endv, False)
+    return ecnt, erow, xcnt, xrow
+
+
 def pop_bubbles_kmer(t: KmerTable, max_len: int,
                      max_branches: int = 3) -> list[str]:
     """k-mer-level bubble popping (BubbleAlgorithm.h:46-137): chains of
     <= max_len k-mers that share their entry and exit junction k-mers
     are a bubble; keep the highest-coverage branch, delete the rest.
     Returns the popped branch sequences (the *-bubbles.fa payload)."""
+    if t.n == 0:
+        return []
+    if not _use_device():
+        return _pop_bubbles_kmer_host(t, max_len, max_branches)
+    cs = _ChainStruct(t)
+    cand = cs.kept & (cs.lengths <= max_len)
+    if not cand.any():
+        return []
+    ecnt, erow, xcnt, xrow = _flank_info(cs)
+    cand &= (ecnt == 1) & (xcnt == 1)
+    segs = np.flatnonzero(cand)
+    if len(segs) == 0:
+        return []
+    a = np.minimum(erow[segs], xrow[segs])
+    b = np.maximum(erow[segs], xrow[segs])
+    order = np.lexsort((segs, b, a))
+    segs, a, b = segs[order], a[order], b[order]
+    boundary = np.flatnonzero(
+        np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]))
+    ends = np.append(boundary[1:], len(segs))
+    pop_segs = []
+    for gb, ge in zip(boundary, ends):
+        if not (2 <= ge - gb <= max_branches):
+            continue
+        grp = segs[gb:ge]
+        covs = cs.covsum[grp].astype(np.float64) / cs.lengths[grp]
+        keep = int(np.argmax(covs))
+        pop_segs.extend(int(s) for i, s in enumerate(grp) if i != keep)
+    if not pop_segs:
+        return []
+    pop_segs = np.asarray(pop_segs)
+    popped = [s for s, _ in _emit_segments(cs, pop_segs)]
+    cs.kill(pop_segs)
+    return popped
+
+
+def _pop_bubbles_kmer_host(t: KmerTable, max_len: int,
+                           max_branches: int = 3) -> list[str]:
+    """Numpy reference implementation (per-chain loops)."""
     chains = _chain_list(t)
     groups: dict[tuple, list] = {}
     for rows, strands in chains:
@@ -775,12 +1037,22 @@ def remove_low_coverage_contigs(t: KmerTable, c: float) -> int:
     (AssembleAlgorithm.h:14-39 / ABYSS/abyss.cc:22-34).  Returns the
     number of contigs removed; the caller re-erodes/re-trims (the goto
     loop, abyss.cc:96-112)."""
-    removed = 0
-    for rows, _ in _chain_list(t):
-        if float(t.counts[rows].mean()) < c:
-            t.alive[rows] = False
-            removed += 1
-    return removed
+    if t.n == 0:
+        return 0
+    if not _use_device():
+        removed = 0
+        for rows, _ in _chain_list(t):
+            if float(t.counts[rows].mean()) < c:
+                t.alive[rows] = False
+                removed += 1
+        return removed
+    cs = _ChainStruct(t)
+    mean = cs.covsum.astype(np.float64) / cs.lengths
+    kill = cs.kept & (mean < c)
+    segs = np.flatnonzero(kill)
+    if len(segs):
+        cs.kill(segs)
+    return len(segs)
 
 
 def assemble(t: KmerTable) -> list[tuple[str, int]]:
@@ -789,16 +1061,29 @@ def assemble(t: KmerTable) -> list[tuple[str, int]]:
     Returns [(sequence, coverage_sum)] with each unitig reported once in
     canonical orientation.
     """
+    if t.n == 0:
+        return []
+    if not _use_device():
+        contigs = []
+        seen = set()
+        for rows, strands in _chain_list(t):
+            s = _chain_seq(t, rows, strands)
+            canon = min(s, alphabet.revcomp(s))
+            if canon in seen:
+                continue
+            seen.add(canon)
+            cov = int(t.counts[rows].sum())
+            contigs.append((canon, cov))
+        return contigs
+    cs = _ChainStruct(t)
+    segs = np.flatnonzero(cs.kept)
     contigs = []
     seen = set()
-    for rows, strands in _chain_list(t):
-        s = _chain_seq(t, rows, strands)
-        canon = min(s, alphabet.revcomp(s))
-        if canon in seen:
+    for s, cov in _emit_segments(cs, segs, canonical=True):
+        if s in seen:
             continue
-        seen.add(canon)
-        cov = int(t.counts[rows].sum())
-        contigs.append((canon, cov))
+        seen.add(s)
+        contigs.append((s, cov))
     return contigs
 
 
@@ -880,6 +1165,7 @@ def assemble_table(t: KmerTable, kc: int = 2, erode_cov: int = 2,
         if thr > 0:
             kc_eff = max(kc, int(round(thr)))
     apply_coverage_threshold(t, kc_eff)
+    compact(t)   # later phases pay full-table cost for dead rows
     tt = _ph("kc filter", tt)
     build_adjacency(t)
     tt = _ph("adjacency", tt)
