@@ -605,7 +605,100 @@ def _oriented_next_sharded(t: ShardedKmerTable):
     return nxt, outdeg, palin
 
 
-def _trim_round_sharded(t: ShardedKmerTable, max_tip: int) -> int:
+class RoutedReduce:
+    """Reduce-by-key to key owners, overflow-adaptive like RoutedGather:
+    each device locally sorts its (key, value) pairs, pre-reduces runs
+    of equal keys, routes ONE record per distinct key to the key's
+    owner, and owners scatter-reduce into a [Q]-slot array.  op is
+    "max" or "add" (int64 values; identity 0 — callers bias values so 0
+    means absent).  Keys are global slot ids (owner = key // Q)."""
+
+    MAX_SLACK = 256.0
+
+    def __init__(self, mesh, Q: int, op: str, slack: float = 2.5):
+        self.mesh, self.Q, self.op, self.slack = mesh, Q, op, slack
+        self._fns: dict = {}
+
+    def _build(self, n_in: int, slack: float):
+        mesh, Q, op = self.mesh, self.Q, self.op
+        ax = table_axes(mesh)
+        n_dev = mesh_size(mesh)
+        cap = max(64, min(n_in, int(slack * n_in / n_dev)))
+        big = jnp.int64(1) << jnp.int64(62)
+        from ..ops.scan import running_max as _rmax
+
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(ax), P(ax)),
+                 out_specs=(P(ax), P(ax)))
+        def reduce_(key2, val2):
+            key = key2[0]
+            val = val2[0]
+            valid = key >= 0
+            kk = jnp.where(valid, key, big)
+            vv = jnp.where(valid, val, 0)
+            if op == "max":
+                # sort by (key, value): each run's LAST element holds
+                # the run max — full-width int64 values, no scan
+                ks, vs = jax.lax.sort((kk, vv), num_keys=2,
+                                      is_stable=False)
+                red = vs
+            else:
+                ks, vs = jax.lax.sort((kk, vv), num_keys=1,
+                                      is_stable=False)
+                pos = jnp.arange(n_in, dtype=jnp.int32)
+                first = jnp.concatenate(
+                    [jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+                run_start = _rmax(jnp.where(first, pos, -1))
+                csum = jnp.cumsum(vs)
+                # sum of run at its last element = csum - csum before
+                # the run's first element
+                base = (csum - vs)[jnp.clip(run_start, 0)]
+                red = csum - base
+            last = jnp.concatenate(
+                [ks[:-1] != ks[1:], jnp.ones((1,), bool)]) & (ks < big)
+            recs_k = jnp.where(last, ks, big)
+            recs_v = jnp.where(last, red, 0)
+            dest = jnp.where(last, recs_k // Q, n_dev).astype(jnp.int32)
+            (kb, vb), ovf, *_ = _bucketize(
+                dest, last, (recs_k % jnp.int64(Q), recs_v), cap, n_dev,
+                (jnp.int64(0), jnp.int64(0)))
+            kr = jax.lax.all_to_all(kb, ax, 0, 0)
+            vr = jax.lax.all_to_all(vb, ax, 0, 0)
+            flatk = kr.reshape(-1)
+            flatv = vr.reshape(-1)
+            outv = jnp.zeros((Q,), jnp.int64)
+            slot = jnp.where(flatv != 0, flatk, Q)
+            if op == "max":
+                outv = outv.at[slot].max(flatv, mode="drop")
+            else:
+                outv = outv.at[slot].add(flatv, mode="drop")
+            return outv[None], ovf.reshape(1)
+
+        return reduce_
+
+    def __call__(self, keys, values):
+        n_in = keys.shape[-1]
+        slack = self.slack
+        while True:
+            fn = self._fns.get((n_in, slack))
+            if fn is None:
+                fn = self._build(n_in, slack)
+                self._fns[(n_in, slack)] = fn
+            out, ovf = fn(keys, values)
+            if int(np.asarray(ovf).sum()) == 0:
+                return out
+            if slack >= self.MAX_SLACK:
+                raise RuntimeError(
+                    f"routed reduce overflow at slack {slack}")
+            slack = min(slack * 4, self.MAX_SLACK)
+            self.slack = slack
+
+
+def _rank_chains(t: ShardedKmerTable):
+    """Distributed list ranking: (P, dist, outdeg, nxt) — P[p] is the
+    global oriented id of p's chain head, dist its position.  Local
+    slot p on device d is oriented gid 2*d*S + p."""
     mesh = t.mesh
     ax = table_axes(mesh)
     S = t.shard_size
@@ -701,65 +794,105 @@ def _trim_round_sharded(t: ShardedKmerTable, max_tip: int) -> int:
         Pcur = Pnew
         if int(np.asarray(moved)[0]) == 0:
             break
+    return Pcur, dist, outdeg, nxt
 
-    # chain stats at the head owner: routed scatter-max of dist and
-    # the end vertex (argmax by packing (dist << 40 | ov-low-bits)
-    # is fragile; instead gather on host — chain decisions are tiny
-    # compared with the table). Pull per-ov (head, pos, outdeg) to
-    # host, decide kills, push kill mask back.
-    head_np = np.asarray(Pcur).reshape(-1)
-    dist_np = np.asarray(dist).reshape(-1)
-    outdeg_np = np.asarray(outdeg).reshape(-1)
-    alive_np = np.asarray(t.alive).reshape(-1)
-    keys_np = np.asarray(t.keys).reshape(-1)
-    S_all = S
-    # oriented id mapping: global flat index f on device d row r strand s
-    # = position in [D, 2S] flatten = d*2S + 2r + s; its GLOBAL oriented
-    # id = 2*(d*S+r)+s. Build the per-position gid to align with head.
-    D = n_dev
-    d_idx = np.repeat(np.arange(D), 2 * S_all)
-    r_idx = np.tile(np.repeat(np.arange(S_all), 2), D)
-    s_idx = np.tile(np.array([0, 1]), D * S_all)
-    gid_of_pos = 2 * (d_idx * S_all + r_idx) + s_idx
-    pos_of_gid = np.empty(2 * D * S_all, np.int64)
-    pos_of_gid[gid_of_pos] = np.arange(2 * D * S_all)
 
-    alive_ov = np.repeat(alive_np, 2)[pos_of_gid[gid_of_pos]]
-    # alive per position: row alive
-    alive_pos = np.repeat(
-        alive_np.reshape(D, S_all), 2, axis=1).reshape(-1)
-    real_pos = np.repeat(
-        (keys_np != np.uint64(0xFFFFFFFFFFFFFFFF)
-         ).reshape(D, S_all), 2, axis=1).reshape(-1)
-    indeg_pos = outdeg_np[pos_of_gid[gid_of_pos ^ 1]]
+_OV_BITS = 40  # oriented gids fit 40 bits (≤ 2^39 rows globally)
 
-    sel = alive_pos & real_pos
-    if not sel.any():
-        return 0
-    order = np.lexsort((dist_np, head_np))
-    order = order[sel[order]]
-    heads = head_np[order]
-    b = np.nonzero(np.concatenate([[True], heads[1:] != heads[:-1]]))[0]
-    e = np.concatenate([b[1:], [len(order)]])
-    headp = order[b]
-    endp = order[e - 1]
-    length = e - b
-    start_blunt = indeg_pos[headp] == 0
-    short = length <= max_tip
-    removing_end = outdeg_np[endp] <= 1
-    kill_chain = start_blunt & short & removing_end
-    if not kill_chain.any():
-        return 0
-    mask = np.repeat(kill_chain, length)
-    kill_pos = order[mask]
-    # positions -> (device, row)
-    rows_flat = np.unique(d_idx[kill_pos] * S_all + r_idx[kill_pos])
-    new_alive = alive_np.reshape(D, S_all).copy()
-    new_alive[rows_flat // S_all, rows_flat % S_all] = False
-    t.alive = jax.device_put(
-        new_alive,
-        jax.sharding.NamedSharding(mesh, P(ax, None)))
-    return len(rows_flat)
+
+def _chain_ends(t: ShardedKmerTable, Pm, dist):
+    """Per local head slot h: packed (max dist << 40 | end ov) + 1, or
+    0 when h heads no alive chain.  Built by a reduce-by-head over the
+    VALID oriented vertices (alive, real rows)."""
+    mesh = t.mesh
+    ax = table_axes(mesh)
+    S = t.shard_size
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax),) * 4,
+             out_specs=(P(ax), P(ax)))
+    def keyed(Pm2, dist2, alive2, keys2):
+        Pl = Pm2[0]
+        dl = dist2[0]
+        alive = alive2[0]
+        keys = keys2[0]
+        ok = jnp.repeat(alive & (keys != SENTINEL), 2)
+        me = jax.lax.axis_index(ax).astype(jnp.int64)
+        my_ov = 2 * me * S + jnp.arange(2 * S, dtype=jnp.int64)
+        key = jnp.where(ok, Pl, -1)
+        # the (dist, ov) pack budgets 63 - _OV_BITS = 22+ bits for the
+        # position; clamp positions beyond it (and cycle members'
+        # overflowed dists) — such chains are far past every length
+        # bound, so the truncated stats still decide "keep"
+        dl = jnp.clip(dl, 0, jnp.int64(1) << jnp.int64(22))
+        val = (dl << jnp.int64(_OV_BITS)) | my_ov
+        return key[None], (val + 1)[None]
+
+    key, val = keyed(Pm, dist, t.alive, t.keys)
+    red = RoutedReduce(mesh, 2 * S, "max")
+    return red(key, val)
+
+
+def _trim_round_sharded(t: ShardedKmerTable, max_tip: int) -> int:
+    """One distributed trim round with the kill decision AT THE HEAD
+    OWNER (no host funnel): chain length/end from a reduce-by-head,
+    the end's out-degree from a routed gather, and the verdict
+    broadcast back to members by a head-keyed routed gather — the
+    distributed form of hash_dbg._trim_round's segment rules."""
+    mesh = t.mesh
+    ax = table_axes(mesh)
+    S = t.shard_size
+    Pm, dist, outdeg, _ = _rank_chains(t)
+    endpack = _chain_ends(t, Pm, dist)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax)), out_specs=P(ax))
+    def end_query(ep2, _d):
+        ep = ep2[0]
+        has = ep > 0
+        end_ov = (ep - 1) & jnp.int64((1 << _OV_BITS) - 1)
+        return jnp.where(has, end_ov, -1)[None]
+
+    end_ov = end_query(endpack, t.alive)
+    g_out = RoutedGather(mesh, 2 * S, 2 * S, jnp.int32)
+    end_outdeg = g_out(outdeg, end_ov)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax),) * 3, out_specs=P(ax))
+    def decide(ep2, outdeg2, eo2):
+        ep = ep2[0]
+        outd = outdeg2[0]
+        eo = eo2[0]
+        has = ep > 0
+        length = ((ep - 1) >> jnp.int64(_OV_BITS)) + 1
+        # in-degree of head ov h = out-degree of h^1 (local slot h^1)
+        slot = jnp.arange(2 * S)
+        indeg = outd[slot ^ 1]
+        kill = has & (indeg == 0) & (length <= max_tip) & (eo <= 1)
+        return kill[None]
+
+    kill_head = decide(endpack, outdeg, end_outdeg)
+    g_kill = RoutedGather(mesh, 2 * S, 2 * S, jnp.bool_)
+    kill_ov = g_kill(kill_head, Pm)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax)), out_specs=(P(ax), P(ax)))
+    def apply(kill2, alive2):
+        kill = kill2[0].reshape(S, 2)
+        alive = alive2[0]
+        kill_row = (kill[:, 0] | kill[:, 1]) & alive
+        removed = jax.lax.psum(jnp.sum(kill_row), ax)
+        return (alive & ~kill_row)[None], removed.reshape(1)
+
+    alive, removed = apply(kill_ov, t.alive)
+    removed = int(np.asarray(removed)[0])
+    if removed:
+        t.alive = alive
+    return removed
 
 
 def assemble_sharded(mesh: Mesh, batches, k: int, kc: int = 2,
