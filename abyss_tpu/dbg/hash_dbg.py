@@ -806,6 +806,19 @@ def _chain_flank_rows(t: KmerTable, rows, strands) -> tuple[set, set]:
     return entry, exit_
 
 
+def _kept_rule(hk, hs, ek, es):
+    """Keep chain (head, end) iff its signature (head kmer, head
+    strand, end kmer, end strand) <= the rc chain's signature
+    (end kmer, end strand^1, head kmer, head strand^1).  Works in
+    numpy and jnp (vectorized lexicographic compare)."""
+    rk, rs = ek, es ^ 1
+    qk, qs = hk, hs ^ 1
+    lt = (hk < rk) | ((hk == rk) & (
+        (hs < rs) | ((hs == rs) & (
+            (ek < qk) | ((ek == qk) & (es <= qs))))))
+    return lt
+
+
 class _ChainStruct:
     """Host view of the device chain decomposition: the alive oriented
     vertices in sorted (head, pos) order plus vectorized per-segment
@@ -825,14 +838,15 @@ class _ChainStruct:
         self.endv = self.ov_s[ends] if len(self.sidx) else \
             np.zeros(0, np.int32)
         # rc-duplicate dedup: the reverse-complement chain of
-        # (head h, end e) is (e^1, h^1); keep the lexicographically
-        # smaller of the pair (self-rc chains appear once and compare
-        # equal, so they are kept)
-        two_n = np.int64(2 * t.n)
-        a = self.headv.astype(np.int64) * two_n + self.endv
-        b = (self.endv.astype(np.int64) ^ 1) * two_n + \
-            (self.headv.astype(np.int64) ^ 1)
-        self.kept = a <= b
+        # (head h, end e) is (e^1, h^1); keep the chain whose signature
+        # (head kmer, head strand, end kmer, end strand) is
+        # lexicographically <= its rc's — an ID-SPACE-INDEPENDENT rule,
+        # so the mesh-sharded engine (hash-placed global ids) picks the
+        # same orientations and emits in the same order.  Self-rc
+        # chains compare equal and are kept.
+        self.kept = _kept_rule(
+            t.kmers[self.headv >> 1], (self.headv & 1).astype(np.int64),
+            t.kmers[self.endv >> 1], (self.endv & 1).astype(np.int64))
         ccum = np.zeros(len(self.rows) + 1, np.int64)
         np.cumsum(t.counts[self.rows], dtype=np.int64, out=ccum[1:])
         self.covsum = ccum[self.sidx + self.lengths] - ccum[self.sidx]
@@ -992,8 +1006,7 @@ def pop_bubbles_kmer(t: KmerTable, max_len: int,
         if not (2 <= ge - gb <= max_branches):
             continue
         grp = segs[gb:ge]
-        covs = cs.covsum[grp].astype(np.float64) / cs.lengths[grp]
-        keep = int(np.argmax(covs))
+        keep = _best_branch(cs.covsum[grp], cs.lengths[grp])
         pop_segs.extend(int(s) for i, s in enumerate(grp) if i != keep)
     if not pop_segs:
         return []
@@ -1001,6 +1014,19 @@ def pop_bubbles_kmer(t: KmerTable, max_len: int,
     popped = [s for s, _ in _emit_segments(cs, pop_segs)]
     cs.kill(pop_segs)
     return popped
+
+
+def _best_branch(covsums, lengths) -> int:
+    """Highest-mean-coverage branch, first on ties — by EXACT rational
+    comparison (covsum_i * len_j vs covsum_j * len_i in Python ints),
+    so every implementation (host, device, mesh-sharded) picks the
+    same winner regardless of float precision or id space."""
+    best = 0
+    for i in range(1, len(covsums)):
+        if int(covsums[i]) * int(lengths[best]) > \
+                int(covsums[best]) * int(lengths[i]):
+            best = i
+    return best
 
 
 def _pop_bubbles_kmer_host(t: KmerTable, max_len: int,
@@ -1021,9 +1047,9 @@ def _pop_bubbles_kmer_host(t: KmerTable, max_len: int,
     for key, branches in groups.items():
         if len(branches) < 2 or len(branches) > max_branches:
             continue
-        covs = [float(t.counts[rows].sum()) / len(rows)
-                for rows, _ in branches]
-        keep = int(np.argmax(covs))
+        keep = _best_branch([int(t.counts[rows].sum())
+                             for rows, _ in branches],
+                            [len(rows) for rows, _ in branches])
         for i, (rows, strands) in enumerate(branches):
             if i == keep:
                 continue

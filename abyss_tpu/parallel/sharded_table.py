@@ -773,8 +773,6 @@ def _rank_chains(t: ShardedKmerTable):
         dl = jnp.where(prevl >= 0, 1, 0).astype(jnp.int64)
         return Pl[None], dl[None]
 
-    Pcur, dist = pd_init(prev, dummy)
-
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(ax),) * 4,
@@ -787,13 +785,82 @@ def _rank_chains(t: ShardedKmerTable):
         return gP[None], nd[None], jax.lax.psum(
             moved, ax).reshape(1)
 
-    for _ in range(64):
-        gP = gather_oid(Pcur, Pcur)
-        gd = gather_i64(dist, Pcur)
-        Pnew, dist, moved = pd_step(Pcur, dist, gP, gd)
-        Pcur = Pnew
-        if int(np.asarray(moved)[0]) == 0:
-            break
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax),) * 4, out_specs=(P(ax), P(ax)))
+    def min_step(Mk2, Ms2, gMk2, gMs2):
+        # lexicographic (kmer, strand) minimum: id-space independent,
+        # so the cycle break lands on the same vertex as the
+        # single-device engine (whose min-ov rule equals min
+        # (kmer, strand) because its rows are kmer-sorted)
+        Mk, Ms = Mk2[0], Ms2[0]
+        gMk, gMs = gMk2[0], gMs2[0]
+        take = (gMk < Mk) | ((gMk == Mk) & (gMs < Ms))
+        return (jnp.where(take, gMk, Mk)[None],
+                jnp.where(take, gMs, Ms)[None])
+
+    gather_u64 = RoutedGather(mesh, 2 * S, 2 * S, jnp.uint64)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax)), out_specs=(P(ax), P(ax)))
+    def min_init(keys2, _d):
+        keys = keys2[0]
+        slot = jnp.arange(2 * S)
+        return (keys[slot >> 1][None],
+                (slot & 1).astype(jnp.int64)[None])
+
+    def pd_loop(prev_links, with_min):
+        Pcur, dist = pd_init(prev_links, dummy)
+        Mk = Ms = None
+        if with_min:
+            Mk, Ms = min_init(t.keys, dummy)
+        moved = -1
+        for _ in range(64):
+            gP = gather_oid(Pcur, Pcur)
+            gd = gather_i64(dist, Pcur)
+            if with_min:
+                Mk, Ms = min_step(Mk, Ms, gather_u64(Mk, Pcur),
+                                  gather_oid(Ms, Pcur))
+            Pnew, dist, moved_a = pd_step(Pcur, dist, gP, gd)
+            Pcur = Pnew
+            moved = int(np.asarray(moved_a)[0])
+            if moved == 0:
+                break
+        return Pcur, dist, (Mk, Ms), moved
+
+    Pcur, dist, _, moved = pd_loop(prev, False)
+    if moved:
+        # cycles (circular unitigs): find each cycle's minimum
+        # (kmer, strand) member with a min-reduction riding a second
+        # ranking pass, cut the edge into it, and re-rank — the
+        # distributed form of chain_ops._full_rank's cycle breaking
+        _, _, (Mk, Ms), _ = pd_loop(prev, True)
+        g_bool = RoutedGather(mesh, 2 * S, 2 * S, jnp.bool_)
+
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(ax), P(ax)), out_specs=P(ax))
+        def isroot_f(prev2, _d):
+            return (prev2[0] < 0)[None]
+
+        conv = g_bool(isroot_f(prev, dummy), Pcur)
+
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(ax),) * 5, out_specs=P(ax))
+        def cut(prev2, conv2, Mk2, Ms2, keys2):
+            prevl = prev2[0]
+            convl = conv2[0]
+            Mkl, Msl = Mk2[0], Ms2[0]
+            keys = keys2[0]
+            slot = jnp.arange(2 * S)
+            mine = (keys[slot >> 1] == Mkl) & \
+                ((slot & 1).astype(jnp.int64) == Msl)
+            return jnp.where(~convl & mine, -1, prevl)[None]
+
+        prev = cut(prev, conv, Mk, Ms, t.keys)
+        Pcur, dist, _, _ = pd_loop(prev, False)
     return Pcur, dist, outdeg, nxt
 
 
@@ -895,29 +962,654 @@ def _trim_round_sharded(t: ShardedKmerTable, max_tip: int) -> int:
     return removed
 
 
+# --------------------------------------------------------------------------
+# distributed finish: low-coverage removal, bubbles, emission
+#
+# The reference's MPI engine runs POPBUBBLE / low-coverage / ASSEMBLE
+# distributed, and rank 0 merges only per-rank CONTIG files
+# (NetworkSequenceCollection.cpp:457-664, parallelAbyss.cpp:29-68).
+# These phases reuse the chain machinery above: chain stats live at
+# each chain head's owner (RoutedReduce), verdicts are broadcast back
+# with head-keyed dedup gathers, and emission scatters (position, base)
+# pairs into a position-sharded output buffer, so the only data that
+# ever crosses to the host is per-chain metadata plus the contig bases
+# themselves.
+
+
+def _chain_covsums(t: ShardedKmerTable, Pm):
+    """Per local head slot: sum of member k-mer counts (int64)."""
+    mesh = t.mesh
+    ax = table_axes(mesh)
+    S = t.shard_size
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax),) * 4, out_specs=(P(ax), P(ax)))
+    def keyed(Pm2, alive2, keys2, counts2):
+        Pl = Pm2[0]
+        alive = alive2[0]
+        keys = keys2[0]
+        counts = counts2[0]
+        ok = jnp.repeat(alive & (keys != SENTINEL), 2)
+        key = jnp.where(ok, Pl, -1)
+        val = jnp.repeat(counts.astype(jnp.int64), 2)
+        return key[None], val[None]
+
+    key, val = keyed(Pm, t.alive, t.keys, t.counts)
+    red = RoutedReduce(mesh, 2 * S, "add")
+    return red(key, val)
+
+
+def _kept_len_end(t: ShardedKmerTable, endpack):
+    """Per local head slot: (has, kept, length, end_ov) — kept is the
+    rc-duplicate dedup by (head kmer, head strand, end kmer, end
+    strand) signature vs the rc chain's, exactly hash_dbg._kept_rule:
+    id-space independent, so the sharded engine picks the same chain
+    orientations (and hence emission order) as the single-device one.
+    The end k-mer comes from one routed gather."""
+    mesh = t.mesh
+    ax = table_axes(mesh)
+    S = t.shard_size
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax)),
+             out_specs=(P(ax), P(ax), P(ax)))
+    def basic(ep2, _d):
+        ep = ep2[0]
+        has = ep > 0
+        length = ((ep - 1) >> jnp.int64(_OV_BITS)) + 1
+        end_ov = (ep - 1) & jnp.int64((1 << _OV_BITS) - 1)
+        return (has[None], jnp.where(has, length, 0)[None],
+                jnp.where(has, end_ov, -1)[None])
+
+    has, length, end_ov = basic(endpack, t.alive)
+    # end k-mer: gather keys at the end vertex's row
+    g_key = RoutedGather(mesh, S, 2 * S, jnp.uint64)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(ax),),
+             out_specs=P(ax))
+    def end_rows(eo2):
+        eo = eo2[0]
+        return jnp.where(eo >= 0, eo >> 1, -1)[None]
+
+    ek = g_key(t.keys, end_rows(end_ov))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax),) * 4, out_specs=P(ax))
+    def keptf(has2, eo2, ek2, keys2):
+        from ..dbg.hash_dbg import _kept_rule
+        hasl = has2[0]
+        eo = eo2[0]
+        ekl = ek2[0]
+        keys = keys2[0]
+        slot = jnp.arange(2 * S)
+        hk = keys[slot >> 1]
+        hs = (slot & 1).astype(jnp.int64)
+        es = jnp.where(eo >= 0, eo & 1, 0)
+        return (hasl & _kept_rule(hk, hs, ekl, es))[None]
+
+    kept = keptf(has, end_ov, ek, t.keys)
+    return has, kept, length, end_ov
+
+
+def remove_low_coverage_sharded(t: ShardedKmerTable, c: float) -> int:
+    """Distributed low-coverage contig removal: mean coverage < c
+    kills the chain's rows (AssembleAlgorithm.h:14-39).  The mean test
+    is the exact rational covsum * 2^20 < round(c * 2^20) * length —
+    exact (and identical to the float64 host compare) for every c
+    representable with <= 20 fractional bits, which covers the
+    reference's parameter space.  Returns the number of (deduped)
+    contigs removed."""
+    mesh = t.mesh
+    ax = table_axes(mesh)
+    S = t.shard_size
+    c20 = int(round(c * (1 << 20)))
+    Pm, dist, outdeg, _ = _rank_chains(t)
+    endpack = _chain_ends(t, Pm, dist)
+    covsum = _chain_covsums(t, Pm)
+    has, kept, length, _ = _kept_len_end(t, endpack)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax),) * 4, out_specs=(P(ax), P(ax)))
+    def decide(has2, kept2, len2, cov2):
+        hasl = has2[0]
+        keptl = kept2[0]
+        ln = len2[0]
+        cov = cov2[0]
+        kill = hasl & ((cov << jnp.int64(20)) < c20 * ln)
+        ncontigs = jax.lax.psum(jnp.sum(kill & keptl), ax)
+        return kill[None], ncontigs.reshape(1)
+
+    kill_head, ncontigs = decide(has, kept, length, covsum)
+    ncontigs = int(np.asarray(ncontigs)[0])
+    if ncontigs == 0:
+        return 0
+    g_kill = RoutedGather(mesh, 2 * S, 2 * S, jnp.bool_)
+    kill_ov = g_kill(kill_head, Pm)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax)), out_specs=P(ax))
+    def apply(kill2, alive2):
+        kill = kill2[0].reshape(S, 2)
+        alive = alive2[0]
+        return (alive & ~(kill[:, 0] | kill[:, 1]))[None]
+
+    t.alive = apply(kill_ov, t.alive)
+    return ncontigs
+
+
+def _entry_info(t: ShardedKmerTable, Pm, endpack, end_ov):
+    """Per local head slot: (entry_cnt, entry_row) — alive junction
+    rows just behind the chain head in walk orientation, same-chain
+    candidates excluded via each candidate row's chain id
+    (min of its two oriented heads)."""
+    mesh = t.mesh
+    ax = table_axes(mesh)
+    S = t.shard_size
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax)), out_specs=P(ax))
+    def cand_rows(nbr2, ep2):
+        nbr = nbr2[0]
+        ep = ep2[0]
+        has = ep > 0
+        slot = jnp.arange(2 * S)
+        r = slot >> 1
+        s = slot & 1
+        # entry side: left cols (4..7) on strand 0, right cols (0..3)
+        # on strand 1
+        cand = jnp.stack(
+            [jnp.where(s == 0, nbr[r, 4 + c], nbr[r, c])
+             for c in range(4)], axis=1)          # [2S, 4] row gids
+        cand = jnp.where(has[:, None], cand, -1)
+        return cand.reshape(-1)[None]             # [2S*4]
+
+    cand = cand_rows(t.nbr, endpack)
+    g_alive = RoutedGather(mesh, S, 2 * S * 4, jnp.bool_)
+    cand_alive = g_alive(t.alive, cand)
+    g_p = RoutedGather(mesh, 2 * S, 2 * S * 4, jnp.int64)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(ax),),
+             out_specs=(P(ax), P(ax)))
+    def cand_ovs(cand2):
+        cl = cand2[0]
+        return (jnp.where(cl >= 0, 2 * cl, -1)[None],
+                jnp.where(cl >= 0, 2 * cl + 1, -1)[None])
+
+    c0, c1 = cand_ovs(cand)
+    p0 = g_p(Pm, c0)
+    p1 = g_p(Pm, c1)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax),) * 5,
+             out_specs=(P(ax), P(ax)))
+    def combine(cand2, alive2, p02, p12, eo2):
+        cl = cand2[0].reshape(2 * S, 4)
+        al = alive2[0].reshape(2 * S, 4)
+        rc = jnp.minimum(p02[0], p12[0]).reshape(2 * S, 4)
+        eo = eo2[0]
+        me = jax.lax.axis_index(ax).astype(jnp.int64)
+        h = 2 * me * S + jnp.arange(2 * S, dtype=jnp.int64)
+        chainid = jnp.minimum(h, eo ^ 1)
+        ok = (cl >= 0) & al & (rc != chainid[:, None])
+        cnt = ok.sum(axis=1).astype(jnp.int32)
+        row = jnp.max(jnp.where(ok, cl, -1), axis=1)
+        return cnt[None], row[None]
+
+    return combine(cand, cand_alive, p0, p1, end_ov)
+
+
+def _route_records(mesh, dest_of, payloads, valid, n_in, fills,
+                   slack: float = 2.5):
+    """One-shot record routing with adaptive slack: bucketize + one
+    all_to_all per payload; returns routed [D, n_dev*cap] arrays
+    (fill-padded).  dest_of/valid/payloads are sharded [D, n_in]."""
+    ax = table_axes(mesh)
+    n_dev = mesh_size(mesh)
+    while True:
+        cap = max(64, min(n_in, int(slack * n_in / n_dev)))
+
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(ax),) * (2 + len(payloads)),
+                 out_specs=tuple([P(ax)] * len(payloads)) + (P(ax),))
+        def route(dest2, valid2, *pays2):
+            dest = dest2[0]
+            valid_l = valid2[0]
+            pays = [p[0] for p in pays2]
+            bufs, ovf, *_ = _bucketize(dest, valid_l, tuple(pays), cap,
+                                       n_dev, tuple(fills))
+            outs = [jax.lax.all_to_all(b, ax, 0, 0).reshape(1, -1)
+                    for b in bufs]
+            return tuple(outs) + (ovf.reshape(1),)
+
+        out = route(dest_of, valid, *payloads)
+        ovf = out[-1]
+        if int(np.asarray(ovf).sum()) == 0:
+            return out[:-1]
+        if slack >= 256:
+            raise RuntimeError("record routing overflow")
+        slack = min(slack * 4, 256)
+
+
+def pop_bubbles_sharded(t: ShardedKmerTable, max_len: int,
+                        max_branches: int = 3) -> list[str]:
+    """Distributed bubble popping (BubbleAlgorithm.h:46-137): candidate
+    chains are grouped by their (entry, exit) junction pair at the
+    pair-hash owner; the winner is the exact-rational
+    highest-mean-coverage branch with ties broken by (head k-mer,
+    strand) — the same id-space-independent rule as the single-device
+    engine — and losers' rows die.  Returns popped branch sequences."""
+    mesh, k = t.mesh, t.k
+    ax = table_axes(mesh)
+    S = t.shard_size
+    n_dev = t.n_dev
+    Pm, dist, outdeg, _ = _rank_chains(t)
+    endpack = _chain_ends(t, Pm, dist)
+    covsum = _chain_covsums(t, Pm)
+    has, kept, length, end_ov = _kept_len_end(t, endpack)
+    ecnt, erow = _entry_info(t, Pm, endpack, end_ov)
+    # exit info of chain (h, e) = entry info of its rc chain (head e^1)
+    g_cnt = RoutedGather(mesh, 2 * S, 2 * S, jnp.int32)
+    g_row = RoutedGather(mesh, 2 * S, 2 * S, jnp.int64)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(ax), P(ax)),
+             out_specs=P(ax))
+    def partner(eo2, has2):
+        eo = eo2[0]
+        hasl = has2[0]
+        return jnp.where(hasl, eo ^ 1, -1)[None]
+
+    pq = partner(end_ov, has)
+    xcnt = g_cnt(ecnt, pq)
+    xrow = g_row(erow, pq)
+
+    log2_d = int(n_dev - 1).bit_length()
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax),) * 8 + (P(ax),),
+             out_specs=tuple([P(ax)] * 8))
+    def records(kept2, len2, cov2, ecnt2, erow2, xcnt2, xrow2, keys2,
+                eo2):
+        keptl = kept2[0]
+        ln = len2[0]
+        cov = cov2[0]
+        ec, er = ecnt2[0], erow2[0]
+        xc, xr = xcnt2[0], xrow2[0]
+        keys = keys2[0]
+        cand = keptl & (ln <= max_len) & (ec == 1) & (xc == 1)
+        a = jnp.minimum(er, xr)
+        b = jnp.maximum(er, xr)
+        me = jax.lax.axis_index(ax).astype(jnp.int64)
+        h = 2 * me * S + jnp.arange(2 * S, dtype=jnp.int64)
+        slot = jnp.arange(2 * S)
+        hk = keys[slot >> 1]                      # head k-mer
+        hs = (slot & 1).astype(jnp.int64)
+        keyhash = _mix64(a.astype(jnp.uint64) *
+                         jnp.uint64(0x9E3779B97F4A7C15)
+                         ^ b.astype(jnp.uint64))
+        dest = (keyhash >> jnp.uint64(64 - log2_d)).astype(jnp.int32) \
+            if log2_d else jnp.zeros((2 * S,), jnp.int32)
+        return (dest[None], cand[None], a[None], b[None], cov[None],
+                ln[None], h[None], (hk | jnp.uint64(0))[None])
+
+    dest, cand, a, b, cov, ln, hgid, hkmer = records(
+        kept, length, covsum, ecnt, erow, xcnt, xrow, t.keys, end_ov)
+
+    ra, rb, rcov, rln, rh, rk = _route_records(
+        mesh, dest, (a, b, cov, ln, hgid, hkmer), cand, 2 * S,
+        (jnp.int64(-1), jnp.int64(-1), jnp.int64(0), jnp.int64(0),
+         jnp.int64(-1), SENTINEL))
+    Q = ra.shape[-1]
+    W = max_branches + 1
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax),) * 6,
+             out_specs=(P(ax), P(ax)))
+    def winners(ra2, rb2, rcov2, rln2, rh2, rk2):
+        av, bv = ra2[0], rb2[0]
+        cv, lv = rcov2[0], rln2[0]
+        hv = rh2[0]
+        kv = rk2[0]
+        valid = av >= 0
+        big = jnp.int64(1) << jnp.int64(62)
+        ak = jnp.where(valid, av, big)
+        # sort records by (a, b, head kmer, head strand): groups are
+        # contiguous, branch order is the id-space-independent tie rule
+        avs, bvs, kvs, svs, cvs, lvs, hvs = jax.lax.sort(
+            (ak, bv, kv, hv & 1, cv, lv, hv), num_keys=4)
+        valids = avs < big
+        same_prev = valids & jnp.concatenate(
+            [jnp.zeros((1,), bool),
+             (avs[1:] == avs[:-1]) & (bvs[1:] == bvs[:-1])])
+        first = valids & ~same_prev
+        pos = jnp.arange(Q, dtype=jnp.int32)
+        from ..ops.scan import running_max as _rmax, \
+            running_min as _rmin
+        start_pos = _rmax(jnp.where(first, pos, -1))
+        last = valids & jnp.concatenate(
+            [(avs[:-1] != avs[1:]) | (bvs[:-1] != bvs[1:]),
+             jnp.ones((1,), bool)])
+        end_pos = _rmin(jnp.where(last, pos, Q), reverse=True)
+        gsize = end_pos - start_pos + 1
+        group_ok = valids & (gsize >= 2) & (gsize <= max_branches)
+
+        def beats(ci, li, ki, si, cj, lj, kj, sj):
+            # does record i beat record j? higher exact mean, then
+            # smaller (kmer, strand)
+            mi = ci * lj
+            mj = cj * li
+            return (mi > mj) | ((mi == mj) &
+                               ((ki < kj) | ((ki == kj) & (si < sj))))
+
+        beaten = jnp.zeros((Q,), bool)
+        for off in range(1, W):
+            # neighbour at +off and -off within the same group
+            # (group sizes are capped at max_branches, so a static
+            # rotation window covers every pair)
+            for sh in (off, -off):
+                cj = jnp.concatenate([cvs[sh:], cvs[:sh]])
+                lj = jnp.concatenate([lvs[sh:], lvs[:sh]])
+                kj = jnp.concatenate([kvs[sh:], kvs[:sh]])
+                sj = jnp.concatenate([svs[sh:], svs[:sh]])
+                pj = jnp.concatenate([pos[sh:], pos[:sh]])
+                in_seg = (pj >= start_pos) & (pj <= end_pos) & \
+                    (pj != pos)
+                beaten = beaten | (in_seg & beats(
+                    cj, lj, kj, sj, cvs, lvs, kvs, svs))
+        kill = group_ok & beaten
+        # route kill verdicts back to head owners
+        return kill[None], hvs[None]
+
+    kill_rec, kill_h = winners(ra, rb, rcov, rln, rh, rk)
+
+    # scatter verdicts to head owners
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax)), out_specs=(P(ax), P(ax)))
+    def kill_dest(kill2, h2):
+        killl = kill2[0]
+        hv = h2[0]
+        valid = killl & (hv >= 0)
+        dst = jnp.where(valid, hv // (2 * S), 0).astype(jnp.int32)
+        return dst[None], valid[None]
+
+    kdst, kvalid = kill_dest(kill_rec, kill_h)
+    (routed_h,) = _route_records(mesh, kdst, (kill_h,), kvalid, Q,
+                                 (jnp.int64(-1),))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax)), out_specs=P(ax))
+    def to_flags(rh2, _d):
+        rhv = rh2[0]
+        slot = jnp.where(rhv >= 0, rhv % (2 * S), 2 * S)
+        return jnp.zeros((2 * S,), bool).at[slot].set(
+            True, mode="drop")[None]
+
+    kill_head = to_flags(routed_h, t.alive)
+    npopped = int(np.asarray(jax.jit(jnp.sum)(kill_head)))
+    if npopped == 0:
+        return []
+    # emit popped branches BEFORE applying kills (ranking is current)
+    popped = [s for s, _ in _emit_sharded(
+        t, Pm, dist, endpack, covsum, kill_head, canonical=False)]
+    g_kill = RoutedGather(mesh, 2 * S, 2 * S, jnp.bool_)
+    kill_ov = g_kill(kill_head, Pm)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax)), out_specs=P(ax))
+    def apply(kill2, alive2):
+        kill = kill2[0].reshape(S, 2)
+        alive = alive2[0]
+        return (alive & ~(kill[:, 0] | kill[:, 1]))[None]
+
+    t.alive = apply(kill_ov, t.alive)
+    return popped
+
+
+_ASCII = np.frombuffer(b"ACGT", np.uint8)
+_RC_TABLE = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def _emit_sharded(t: ShardedKmerTable, Pm, dist, endpack, covsum,
+                  sel_head, canonical: bool = True):
+    """Distributed contig emission: every member k-mer scatters its one
+    walk-orientation base (and each head its k-1 prefix bases) into a
+    POSITION-SHARDED output buffer via routed (position, base) pairs —
+    the only arrays that reach the host are the contig bases plus
+    per-chain metadata, the reference's rank-0 contract
+    (parallelAbyss.cpp:29-68).  Returns [(sequence, covsum)] ordered by
+    (head k-mer, strand) — the same global order the single-device
+    engine's sorted table yields."""
+    mesh, k = t.mesh, t.k
+    ax = table_axes(mesh)
+    S = t.shard_size
+    n_dev = t.n_dev
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax)),
+             out_specs=(P(ax), P(ax), P(ax)))
+    def meta(ep2, sel2):
+        ep = ep2[0]
+        sel = sel2[0]
+        has = sel & (ep > 0)
+        length = jnp.where(has, ((ep - 1) >> jnp.int64(_OV_BITS)) + 1, 0)
+        outlen = jnp.where(has, length + (k - 1), 0)
+        csum = jnp.cumsum(outlen)
+        loc_off = csum - outlen
+        total = csum[-1]
+        return loc_off[None], outlen[None], total.reshape(1)
+
+    loc_off, outlen, totals = meta(endpack, sel_head)
+    totals_np = np.asarray(totals)
+    T = int(totals_np.sum())
+    if T == 0:
+        return []
+    bases_np = np.concatenate([[0], np.cumsum(totals_np)[:-1]])
+    base_dev = jax.device_put(
+        bases_np.reshape(n_dev, 1),
+        jax.sharding.NamedSharding(mesh, P(ax, None)))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax)), out_specs=P(ax))
+    def add_base(lo2, b2):
+        return (lo2[0] + b2[0, 0])[None]
+
+    off = add_base(loc_off, base_dev)
+
+    g_sel = RoutedGather(mesh, 2 * S, 2 * S, jnp.bool_)
+    g_off = RoutedGather(mesh, 2 * S, 2 * S, jnp.int64)
+    selm = g_sel(sel_head, Pm)
+    offm = g_off(off, Pm)
+
+    chunk = -(-T // n_dev)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax),) * 7,
+             out_specs=(P(ax), P(ax), P(ax)))
+    def entries(selm2, offm2, dist2, alive2, keys2, ep2, offh2):
+        sel_m = selm2[0]
+        off_m = offm2[0]
+        dl = dist2[0]
+        alive = alive2[0]
+        keys = keys2[0]
+        ep = ep2[0]
+        off_h = offh2[0]
+        slot = jnp.arange(2 * S)
+        r = slot >> 1
+        s = (slot & 1).astype(jnp.int32)
+        ok = jnp.repeat(alive & (keys != SENTINEL), 2) & sel_m
+        tgt_m = jnp.where(ok, off_m + (k - 1) + dl, -1)
+        kr = keys[r]
+        lastb = (kr & jnp.uint64(3)).astype(jnp.int32)
+        firstb = ((kr >> jnp.uint64(2 * (k - 1))) &
+                  jnp.uint64(3)).astype(jnp.int32)
+        base_m = jnp.where(s == 0, lastb, 3 - firstb)
+        # head prefixes: the k-1 leading walk-orientation bases,
+        # emitted by the (selected) chain heads themselves
+        head_sel = (ep > 0) & (off_h >= 0)
+        tgts = [tgt_m]
+        vals = [base_m]
+        for j in range(k - 1):
+            cj_f = ((kr >> jnp.uint64(2 * (k - 1 - j))) &
+                    jnp.uint64(3)).astype(jnp.int32)
+            cj_r = 3 - ((kr >> jnp.uint64(2 * j)) &
+                        jnp.uint64(3)).astype(jnp.int32)
+            tgts.append(jnp.where(head_sel, off_h + j, -1))
+            vals.append(jnp.where(s == 0, cj_f, cj_r))
+        tgt = jnp.stack(tgts, 0).reshape(-1)
+        val = jnp.stack(vals, 0).reshape(-1).astype(jnp.int32)
+        dest = jnp.where(tgt >= 0, tgt // chunk, 0).astype(jnp.int32)
+        return tgt[None], val[None], dest[None]
+
+    # off_h: the head slot's own global offset, -1 when not selected
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax), P(ax)), out_specs=P(ax))
+    def head_off(ep2, sel2, off2):
+        ep = ep2[0]
+        sel = sel2[0]
+        return jnp.where(sel & (ep > 0), off2[0], -1)[None]
+
+    offh = head_off(endpack, sel_head, off)
+    tgt, val, dest = entries(selm, offm, dist, t.alive, t.keys,
+                             endpack, offh)
+    rt, rv = _route_records(mesh, dest, (tgt, val), tgt >= 0,
+                            2 * S * k, (jnp.int64(-1), jnp.int32(0)))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax)), out_specs=P(ax))
+    def scatter_out(rt2, rv2):
+        rtl = rt2[0]
+        rvl = rv2[0]
+        me = jax.lax.axis_index(ax).astype(jnp.int64)
+        loc = jnp.where(rtl >= 0, rtl - me * chunk, chunk)
+        loc = jnp.where((loc >= 0) & (loc < chunk), loc, chunk)
+        buf = jnp.zeros((chunk,), jnp.uint8)
+        return buf.at[loc].set(rvl.astype(jnp.uint8),
+                               mode="drop")[None]
+
+    buf = scatter_out(rt, rv)
+    flat = np.asarray(buf).reshape(-1)[:T]
+
+    # per-chain metadata, compacted device-side, pulled per shard
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax),) * 5,
+             out_specs=(P(ax),) * 6)
+    def compact_meta(ep2, sel2, off2, cov2, keys2):
+        ep = ep2[0]
+        sel = sel2[0] & (ep > 0)
+        offl = off2[0]
+        cov = cov2[0]
+        keys = keys2[0]
+        slot = jnp.arange(2 * S)
+        length = jnp.where(sel, ((ep - 1) >> jnp.int64(_OV_BITS)) + 1, 0)
+        big = jnp.int64(1) << jnp.int64(62)
+        order = jnp.argsort(jnp.where(sel, slot, big))
+        cnt = jnp.sum(sel).astype(jnp.int32)
+        hk = keys[slot >> 1][order]
+        hs = (slot & 1)[order].astype(jnp.int8)
+        return (hk[None], hs[None], offl[order][None],
+                (length + (k - 1))[order][None], cov[order][None],
+                cnt.reshape(1))
+
+    hk, hs, moff, mlen, mcov, cnts = compact_meta(
+        endpack, sel_head, off, covsum, t.keys)
+    cnts_np = np.asarray(cnts)
+    recs = []
+    hk_np, hs_np = np.asarray(hk), np.asarray(hs)
+    moff_np, mlen_np, mcov_np = (np.asarray(moff), np.asarray(mlen),
+                                 np.asarray(mcov))
+    for d in range(n_dev):
+        c = int(cnts_np[d])
+        if c:
+            recs.append((hk_np[d, :c], hs_np[d, :c], moff_np[d, :c],
+                         mlen_np[d, :c], mcov_np[d, :c]))
+    if not recs:
+        return []
+    hk_a = np.concatenate([r[0] for r in recs])
+    hs_a = np.concatenate([r[1] for r in recs])
+    off_a = np.concatenate([r[2] for r in recs])
+    len_a = np.concatenate([r[3] for r in recs])
+    cov_a = np.concatenate([r[4] for r in recs])
+    order = np.lexsort((hs_a, hk_a))
+    ascii_buf = _ASCII[np.minimum(flat, 3)].tobytes()
+    out = []
+    for i in order:
+        o, ln = int(off_a[i]), int(len_a[i])
+        s = ascii_buf[o:o + ln]
+        if canonical:
+            rc = s.translate(_RC_TABLE)[::-1]
+            if rc < s:
+                s = rc
+        out.append((s.decode(), int(cov_a[i])))
+    return out
+
+
+def assemble_final_sharded(t: ShardedKmerTable) -> list[tuple[str, int]]:
+    """Distributed unitig extraction (AssembleAlgorithm.h:45-142 over
+    the mesh): rank chains, emit each kept chain's bases into the
+    position-sharded buffer, canonicalize + dedupe on host.  Output
+    order and content match the single-device engine (the kept rule
+    and tie-breaks are k-mer-keyed, not id-keyed)."""
+    Pm, dist, outdeg, _ = _rank_chains(t)
+    endpack = _chain_ends(t, Pm, dist)
+    covsum = _chain_covsums(t, Pm)
+    has, kept, length, end_ov = _kept_len_end(t, endpack)
+    contigs = _emit_sharded(t, Pm, dist, endpack, covsum, kept,
+                            canonical=True)
+    seen = set()
+    out = []
+    for s, cov in contigs:
+        if s in seen:
+            continue
+        seen.add(s)
+        out.append((s, cov))
+    return out
+
+
 def assemble_sharded(mesh: Mesh, batches, k: int, kc: int = 2,
                      erode_cov: int = 2, tip_len: int | None = None,
                      min_mean_cov: float | None = None,
-                     bubble_len: int | None = None):
-    """Full distributed stage 1: count -> kc -> adjacency -> erode ->
-    trim on the mesh; bubble popping + chain emission host-side on the
-    merged alive set (the rank-0 merge analogue).  Byte-identical to
-    the single-device engine."""
-    from ..dbg import hash_dbg
-
+                     bubble_len: int | None = None,
+                     bubbles_out: list | None = None):
+    """Full distributed stage 1: EVERY phase on the mesh — count -> kc
+    -> adjacency -> erode -> trim -> low-coverage loop -> bubbles ->
+    assemble (NetworkSequenceCollection.cpp:457-664).  The table never
+    leaves the mesh; the host receives per-chain metadata and the
+    contig bases themselves, the rank-0 contract of
+    parallelAbyss.cpp:29-68.  Identical contig sets to the
+    single-device engine."""
     t = build_sharded_table(mesh, batches, k)
     apply_kc_sharded(t, kc)
     build_adjacency_sharded(t)
     erode_sharded(t, erode_cov)
-    trim_sharded(t, tip_len if tip_len is not None else k)
-    ht = t.host_table()
-    # remaining phases on the merged table (low-cov loop, bubbles,
-    # split, assemble) — rebuild host adjacency for the final walks
-    hash_dbg.build_adjacency(ht)
+    tip = tip_len if tip_len is not None else k
+    trim_sharded(t, tip)
     if min_mean_cov:
-        while hash_dbg.remove_low_coverage_contigs(ht, min_mean_cov):
-            hash_dbg.erode(ht, erode_cov)
-            hash_dbg.trim(ht, tip_len if tip_len is not None else k)
-    hash_dbg.pop_bubbles_kmer(
-        ht, bubble_len if bubble_len is not None else 3 * k)
-    return hash_dbg.assemble(ht), t
+        while remove_low_coverage_sharded(t, min_mean_cov):
+            erode_sharded(t, erode_cov)
+            trim_sharded(t, tip)
+    popped = pop_bubbles_sharded(
+        t, bubble_len if bubble_len is not None else 3 * k)
+    if bubbles_out is not None:
+        bubbles_out.extend(popped)
+    return assemble_final_sharded(t), t
