@@ -1140,10 +1140,12 @@ def multi_k_sweep(read_batches_fn, ks: list[int], kc: int = 2,
     return contigs
 
 
-def assemble_reads(batches, k: int, kc: int = 2, erode_cov: int = 2,
-                   erode_strand: int = 0,
+def assemble_reads(batches, k: int, kc: int = 2,
+                   erode_cov: int | None = 2,
+                   erode_strand: int | None = 0,
                    tip_len: int | None = None,
                    auto_coverage: bool = False,
+                   auto_params: bool = False,
                    min_mean_cov: float | None = None,
                    bubble_len: int | None = None,
                    bubbles_out: list | None = None,
@@ -1155,18 +1157,37 @@ def assemble_reads(batches, k: int, kc: int = 2, erode_cov: int = 2,
     min_mean_cov is the `c` parameter (drop contigs with mean coverage
     below it, then re-erode/re-trim, abyss.cc:96-112); bubble_len is the
     `b` parameter in k-mers (BubbleAlgorithm); popped branch sequences
-    are appended to bubbles_out when given."""
-    t = count_kmers(batches, k, strand_counts=erode_strand > 0)
+    are appended to bubbles_out when given.  With auto_params, any of
+    e/E/c left as None defaults the reference way from the coverage
+    model (setCoverageParameters, CoverageAlgorithm.h:72-113)."""
+    strand = (erode_strand or 0) > 0 or (auto_params and
+                                         erode_strand is None)
+    t = count_kmers(batches, k, strand_counts=strand)
     return assemble_table(
         t, kc=kc, erode_cov=erode_cov, erode_strand=erode_strand,
         tip_len=tip_len,
-        auto_coverage=auto_coverage, min_mean_cov=min_mean_cov,
+        auto_coverage=auto_coverage, auto_params=auto_params,
+        min_mean_cov=min_mean_cov,
         bubble_len=bubble_len, bubbles_out=bubbles_out), t
 
 
-def assemble_table(t: KmerTable, kc: int = 2, erode_cov: int = 2,
-                   erode_strand: int = 0,
+def auto_coverage_params(h: Histogram) -> tuple[int, int, float]:
+    """The reference's automatic e/E/c from the coverage histogram
+    (setCoverageParameters, CoverageAlgorithm.h:72-113): minCov is the
+    threshold fixpoint floored at 2; e = round(minCov), E = 0 when
+    minCov <= 2 else 1, c = minCov."""
+    thr = coverage_threshold(h)
+    min_cov = max(2.0, thr) if thr > 0 else 2.0
+    e = int(round(min_cov))
+    E = 0 if min_cov <= 2 else 1
+    return e, E, min_cov
+
+
+def assemble_table(t: KmerTable, kc: int = 2,
+                   erode_cov: int | None = 2,
+                   erode_strand: int | None = 0,
                    tip_len: int | None = None, auto_coverage: bool = False,
+                   auto_params: bool = False,
                    min_mean_cov: float | None = None,
                    bubble_len: int | None = None,
                    bubbles_out: list | None = None,
@@ -1185,11 +1206,26 @@ def assemble_table(t: KmerTable, kc: int = 2, erode_cov: int = 2,
     k = t.k
     kc_eff = kc
     tt = _time.time()
-    if auto_coverage:
+    if auto_coverage or (auto_params and (erode_cov is None or
+                                          erode_strand is None or
+                                          min_mean_cov is None)):
         h = coverage_histogram(t)
-        thr = coverage_threshold(h)
-        if thr > 0:
-            kc_eff = max(kc, int(round(thr)))
+        if auto_coverage:
+            thr = coverage_threshold(h)
+            if thr > 0:
+                kc_eff = max(kc, int(round(thr)))
+        if auto_params:
+            e_auto, E_auto, c_auto = auto_coverage_params(h)
+            if erode_cov is None:
+                erode_cov = e_auto
+            if erode_strand is None:
+                erode_strand = E_auto
+            if min_mean_cov is None:
+                min_mean_cov = c_auto
+    if erode_cov is None:
+        erode_cov = 2
+    if erode_strand is None:
+        erode_strand = 0
     apply_coverage_threshold(t, kc_eff)
     compact(t)   # later phases pay full-table cost for dead rows
     tt = _ph("kc filter", tt)
@@ -1205,8 +1241,11 @@ def assemble_table(t: KmerTable, kc: int = 2, erode_cov: int = 2,
             erode(t, erode_cov, erode_strand)
             trim(t, tip)
         tt = _ph("low-cov loop", tt)
+    # default bubble bound: the reference pops bubbles shorter than
+    # 3k BASES (Assembly/Options.cc:356-358), i.e. 3k - k + 1 = 2k+1
+    # k-mers per branch (BubbleAlgorithm.h:57)
     popped = pop_bubbles_kmer(
-        t, bubble_len if bubble_len is not None else 3 * k)
+        t, bubble_len if bubble_len is not None else 2 * k + 1)
     tt = _ph("bubbles", tt)
     if bubbles_out is not None:
         bubbles_out.extend(popped)

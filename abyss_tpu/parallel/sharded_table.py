@@ -1609,7 +1609,7 @@ def assemble_sharded(mesh: Mesh, batches, k: int, kc: int = 2,
             erode_sharded(t, erode_cov)
             trim_sharded(t, tip)
     popped = pop_bubbles_sharded(
-        t, bubble_len if bubble_len is not None else 3 * k)
+        t, bubble_len if bubble_len is not None else 2 * k + 1)
     if bubbles_out is not None:
         bubbles_out.extend(popped)
     return assemble_final_sharded(t), t

@@ -92,6 +92,17 @@ class PipelineParams:
     engine: str = "bloom"
     bloom_bytes: int = 64 << 20
     kc: int = 2
+    # core assembly knobs (bin/abyss-pe:189-373), exact/paired engines:
+    # e (erode), E (per-strand erode), t (tip length), c (low-coverage
+    # contig mean), b (bubble branch length, BASES like the reference —
+    # converted to k-mers for the k-mer-level engine).  None = the
+    # reference's automatic defaults (e/E/c from the coverage model,
+    # t=k, b=3k)
+    e: int | None = None
+    E: int | None = None
+    t: int | None = None
+    c: float | None = None
+    b: int | None = None
     num_hashes: int = 4
     q: int = 3
     # graph cleaning
@@ -238,7 +249,11 @@ def stage_unitigs_1(p: PipelineParams) -> str:
                         + (f" ({p.n_hosts} hosts x {p.np_devices})"
                            if p.n_hosts > 1 else " (np=)"))
                 contigs, _ = stbl.assemble_sharded(
-                    mesh, list(batches), p.k, kc=p.kc)
+                    mesh, list(batches), p.k, kc=p.kc,
+                    erode_cov=p.e if p.e is not None else 2,
+                    tip_len=p.t,
+                    min_mean_cov=p.c,
+                    bubble_len=p.b - p.k + 1 if p.b else None)
             else:
                 # wide mode (k > 32): mesh-parallel load, host merge
                 # of the pre-reduced per-device (k-mer, count) pairs
@@ -252,15 +267,25 @@ def stage_unitigs_1(p: PipelineParams) -> str:
                                        np.ones(len(keys), bool))
                 if p.k > 32:
                     t = hash_dbg.fill_wide_side(t, batches)
-                contigs = hash_dbg.assemble_table(t, kc=p.kc)
+                contigs = hash_dbg.assemble_table(
+                    t, kc=p.kc, erode_cov=p.e, erode_strand=p.E,
+                    tip_len=p.t, auto_params=True, min_mean_cov=p.c,
+                    bubble_len=p.b - p.k + 1 if p.b else None)
         else:
-            contigs, _ = hash_dbg.assemble_reads(list(batches), p.k,
-                                                 kc=p.kc)
+            contigs, _ = hash_dbg.assemble_reads(
+                list(batches), p.k, kc=p.kc,
+                erode_cov=p.e, erode_strand=p.E, tip_len=p.t,
+                auto_params=True, min_mean_cov=p.c,
+                bubble_len=p.b - p.k + 1 if p.b else None)
         with open(out + ".tmp", "w") as f:
             for i, (seq, cov) in enumerate(contigs):
                 f.write(f">{i} {len(seq)} {cov}\n{seq}\n")
         os.rename(out + ".tmp", out)
         return out
+    if any(v is not None for v in (p.e, p.E, p.c, p.b)):
+        _log(p, "warning: e/E/c/b apply to the exact/paired engines "
+                "only; the bloom engine uses kc + its tip rules "
+                "(BloomDBG has no erode/bubble phases)")
     _log(p, f"stage 1: bloom-dbg assembly -> {out}")
     params = AssemblyParams(k=p.k, num_hashes=p.num_hashes, min_cov=p.kc,
                             bloom_bytes=p.bloom_bytes, q=p.q,
@@ -795,11 +820,32 @@ def _parse_range(text: str) -> tuple:
     return (int(text), int(text))
 
 
+def parse_params(argv) -> PipelineParams:
+    """Parse abyss-pe-style key=value arguments into PipelineParams
+    (bin/abyss-pe:189-373 parameter schema)."""
+    p, _ = _parse_argv(argv)
+    return p
+
+
 def main(argv=None):
     """abyss-pe-style CLI: `name=out k=25 in='r1.fq r2.fq'` or with
     libraries: `lib='pea' pea='pea_1.fq pea_2.fq' mp='mpc'
     mpc='mpc_1.fq mpc_2.fq' pea_l=50`."""
     argv = argv if argv is not None else sys.argv[1:]
+    p, want_env = _parse_argv(argv)
+    if want_env:
+        import dataclasses
+        for f_ in dataclasses.fields(p):
+            print(f"{f_.name}={getattr(p, f_.name)}")
+        return
+    if not p.in_files and not p.libs:
+        raise SystemExit("no input files: pass in='reads1.fq reads2.fq' "
+                         "or lib=/pe=/mp= libraries")
+    run(p)
+    sys.stdout.write(open(p.path("stats.tab")).read())
+
+
+def _parse_argv(argv):
     kv = {}
     want_env = False
     for a in argv:
@@ -852,6 +898,16 @@ def main(argv=None):
     )
     if "l" in kv:
         p.align_k = int(kv["l"])
+    if "e" in kv:
+        p.e = int(kv["e"])
+    if "E" in kv:
+        p.E = int(kv["E"])
+    if "t" in kv:
+        p.t = int(kv["t"])
+    if "c" in kv:
+        p.c = float(kv["c"])
+    if "b" in kv:
+        p.b = int(kv["b"])
     if "S" in kv:
         p.scaffold_s = _parse_range(kv["S"])
     if "N" in kv:
@@ -866,16 +922,7 @@ def main(argv=None):
         elif size.endswith("K"):
             mult, size = 1 << 10, size[:-1]
         p.bloom_bytes = int(float(size) * mult)
-    if want_env:
-        import dataclasses
-        for f_ in dataclasses.fields(p):
-            print(f"{f_.name}={getattr(p, f_.name)}")
-        return
-    if not p.in_files and not p.libs:
-        raise SystemExit("no input files: pass in='reads1.fq reads2.fq' "
-                         "or lib=/pe=/mp= libraries")
-    run(p)
-    sys.stdout.write(open(p.path("stats.tab")).read())
+    return p, want_env
 
 
 if __name__ == "__main__":
