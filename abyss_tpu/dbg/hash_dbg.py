@@ -182,6 +182,39 @@ def load_snapshot(path: str) -> KmerTable:
                      text=text if text.ndim == 2 else None)
 
 
+def _trim_pad_columns(codes, k: int):
+    """Drop all-padding trailing columns (host-side, numpy input only):
+    150 bp reads in a 256-wide buffer waste ~45% of every hash + sort
+    downstream.  The kept width rounds up to a multiple of 32 so batch
+    programs compile per bucket, not per file."""
+    if not isinstance(codes, np.ndarray) or codes.ndim != 2:
+        return codes
+    used = (codes < 4).any(axis=0)
+    nz = np.nonzero(used)[0]
+    L = int(nz[-1]) + 1 if len(nz) else codes.shape[1]
+    L = min(codes.shape[1], max(k + 1, -(-L // 32) * 32))
+    return codes[:, :L] if L < codes.shape[1] else codes
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _pack_canon_masked(codes, k: int, strand_key: bool):
+    """Per-batch ingest fused into one program.
+
+    strand_key=False: (masked canon, masked canon-where-forward) — two
+    streams for two counters.  strand_key=True (k <= 31): ONE stream of
+    (canon << 1 | forward-is-canonical) keys, so per-strand counting
+    costs one sort instead of two; the finalize step folds the strand
+    bit back out."""
+    SENT = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    fwd, _, canon, valid = pack_kmers(codes, k)
+    if strand_key:
+        key = (canon << jnp.uint64(1)) | (fwd == canon)
+        return jnp.where(valid, key, SENT).reshape(-1), None
+    canon_m = jnp.where(valid, canon, SENT).reshape(-1)
+    strand_m = jnp.where(valid & (fwd == canon), canon, SENT).reshape(-1)
+    return canon_m, strand_m
+
+
 def count_kmers(batches, k: int, strand_counts: bool = False) -> KmerTable:
     """Load phase (LoadAlgorithm.h:12-178): read batches -> sorted
     unique canonical k-mers with counts.
@@ -198,17 +231,41 @@ def count_kmers(batches, k: int, strand_counts: bool = False) -> KmerTable:
     from ..ops.sorted_filter import SortedKmerCounter
     if k > 32:
         return _count_kmers_wide(batches, k)
+    strand_key = strand_counts and k <= 31
     ctr = SortedKmerCounter(k, threshold=1)
-    sctr = SortedKmerCounter(k, threshold=1) if strand_counts else None
+    sctr = SortedKmerCounter(k, threshold=1) \
+        if strand_counts and not strand_key else None
     for codes in batches:
-        fwd, _, canon, valid = pack_kmers(jnp.asarray(codes), k)
-        ctr.add(canon, valid)
+        # one jitted program per batch shape: calling pack_kmers
+        # eagerly costs ~190 small dispatches per batch (~0.5 s/batch
+        # over the tunnel — measured round 3; it halved the count
+        # phase once jitted)
+        codes = _trim_pad_columns(codes, k)
+        canon, smask = _pack_canon_masked(jnp.asarray(codes), k,
+                                          strand_key)
+        ctr.add(canon)
         if sctr is not None:
-            sctr.add(canon, valid & (fwd == canon))
+            sctr.add(smask)
     f = ctr.finalize()
     if f.n == 0:
         return KmerTable(k, np.zeros(0, np.uint64), np.zeros(0, np.int32),
                          np.zeros(0, bool))
+    if strand_key:
+        # fold the strand bit out: rows with equal canon are adjacent
+        # (reverse-form row first, bit 0 < bit 1)
+        keys = np.asarray(f.kmers)
+        cnts = np.asarray(f.counts).astype(np.int64)
+        canon = keys >> np.uint64(1)
+        is_fwd = (keys & np.uint64(1)).astype(bool)
+        start = np.concatenate([[True], canon[1:] != canon[:-1]])
+        sidx = np.flatnonzero(start)
+        totals = np.add.reduceat(cnts, sidx)
+        fwd_tot = np.add.reduceat(np.where(is_fwd, cnts, 0), sidx)
+        kmers = canon[sidx]
+        counts = np.minimum(totals, COVERAGE_MAX).astype(np.int32)
+        t = KmerTable(k, kmers, counts, np.ones(len(kmers), bool))
+        t.fwd_counts = np.minimum(fwd_tot, COVERAGE_MAX).astype(np.int32)
+        return t
     kmers = np.asarray(f.kmers)
     counts = np.minimum(np.asarray(f.counts), COVERAGE_MAX).astype(np.int32)
     t = KmerTable(k, kmers, counts, np.ones(len(kmers), bool))

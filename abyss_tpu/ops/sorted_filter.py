@@ -135,6 +135,11 @@ class SortedKmerCounter:
 
     def __init__(self, k: int, threshold: int = 2,
                  reduce_every: int = 12 << 20):
+        # reduce_every measured on the 4.6 Mbp fixture (round 3, warm):
+        # 12M -> 29.1 s count, 24M -> 43.5 s, 64M -> OOM at the
+        # pow2-padded 2-operand merge sort.  Fewer/bigger merges LOSE:
+        # the pow2 padding of the merge concat lands on the same 67M
+        # bucket either way, so larger fresh chunks only add sort work.
         self.k = k
         self.threshold = threshold
         self._hash_chunks: list = []
@@ -177,7 +182,7 @@ class SortedKmerCounter:
         a tunneled device)."""
         from .scan import running_max
         ks, cs = jax.lax.sort((keys, counts.astype(jnp.int64)),
-                              num_keys=1)
+                              num_keys=1, is_stable=False)
         csum = jnp.cumsum(cs)
         last = jnp.concatenate(
             [ks[:-1] != ks[1:], jnp.ones((1,), bool)])
@@ -191,7 +196,8 @@ class SortedKmerCounter:
         outk = jnp.where(keep, ks, jnp.uint64(0xFFFFFFFFFFFFFFFF))
         outc = jnp.where(keep, totals, jnp.int64(0))
         # compact: push non-lasts/sentinels to the end, key order kept
-        outk, outc = jax.lax.sort((outk, outc), num_keys=1)
+        outk, outc = jax.lax.sort((outk, outc), num_keys=1,
+                                  is_stable=False)
         n_real = jnp.sum(keep)
         return outk, outc, n_real
 

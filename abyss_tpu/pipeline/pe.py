@@ -403,13 +403,23 @@ def _map_library(p: PipelineParams, target_fa: str, files: list,
             return fixmate.fixmate(alns)
         _log(p, f"aligner={p.aligner} not found; using the native mapper")
     contigs, _ = _read_contigs(target_fa)
+    t0 = time.time()
     al = mapper.KmerAligner(contigs, k=seed_len)
+    t_index = time.time() - t0
     all_alns = []
+    t0 = time.time()
     for batch in io_read_batches(files, p.batch_size,
                                  p.max_read_len, q=p.q):
         alns = al.align_batch(batch.codes, batch.lengths, batch.ids)
         all_alns.extend(alns)
-    return fixmate.fixmate(all_alns)
+    t_align = time.time() - t0
+    t0 = time.time()
+    out = fixmate.fixmate(all_alns)
+    if p.verbose >= 2:
+        _log(p, f"[wall] map: index {t_index:.1f}s align {t_align:.1f}s "
+                f"fixmate {time.time() - t0:.1f}s "
+                f"({len(all_alns)} reads)")
+    return out
 
 
 def stage_dist_5(p: PipelineParams) -> str:
@@ -427,9 +437,13 @@ def stage_dist_5(p: PipelineParams) -> str:
                                    p.lib_l(lib))
         with open(p.path("3.hist", lib.name), "w") as f:
             f.write(hist.to_text())
+        t0 = time.time()
         est = distance_est.estimate_distances(
             links, hist, min_pairs=p.lib_n(lib),
             min_align=p.lib_l(lib))
+        if p.verbose >= 2:
+            _log(p, f"[wall] DistanceEst: {time.time() - t0:.1f}s "
+                    f"({len(links)} linked pairs)")
         lib_dist = p.path("3.dist", lib.name)
         with open(lib_dist + ".tmp", "w") as f:
             write_dist_text(est, f)
