@@ -35,6 +35,7 @@ class KmerIndex:
     contig: jax.Array     # int32[N]
     pos: jax.Array        # int32[N]
     is_fwd: jax.Array     # bool[N] canonical == forward hash at that pos
+    first_row: jax.Array  # int32[N] first row of each equal-hash run
     names: list
     lengths: list
 
@@ -109,11 +110,17 @@ class KmerIndex:
         cid = np.concatenate([cid, np.zeros(padn, np.int32)])
         pos = np.concatenate([pos, np.zeros(padn, np.int32)])
         isf = np.concatenate([isf, np.zeros(padn, bool)])
+        # first row of each equal-hash run: the DUP probe window starts
+        # there (duplicate k-mers = repeats; probing them all is how
+        # multimapping ties are detected)
+        rows = np.arange(len(hs), dtype=np.int32)
+        runstart = np.concatenate([[True], hs[1:] != hs[:-1]])
+        first = np.maximum.accumulate(np.where(runstart, rows, 0))
         # cid indexes the >=k subset: report names/lengths of that subset
         return KmerIndex(
             k=k, hashes=jnp.asarray(hs),
             contig=jnp.asarray(cid), pos=jnp.asarray(pos),
-            is_fwd=jnp.asarray(isf),
+            is_fwd=jnp.asarray(isf), first_row=jnp.asarray(first),
             names=[n for n, s in contigs if len(s) >= k],
             lengths=[len(s) for _, s in contigs if len(s) >= k])
 
@@ -147,7 +154,7 @@ def _vote_kernel(index_arrays, batch, k: int):
     Returns per read: best key parts, seed count, runner-up count,
     qstart, qend.
     """
-    hashes, contig, pos, is_fwd = index_arrays
+    hashes, contig, pos, is_fwd, first_row = index_arrays
     codes, = batch
     f, r, canon, valid = nthash.kmer_hashes(codes, k)
     read_fwd = f == canon
@@ -157,7 +164,19 @@ def _vote_kernel(index_arrays, batch, k: int):
     # DUP axis LEADS: a [B, W, DUP] layout tile-pads the 4-wide minor
     # dimension to 128 lanes (32x HBM blowup — OOM at 8K-read batches);
     # [DUP, B, W] pads only W -> 128.
-    base = jnp.searchsorted(hashes, canon.reshape(-1)).reshape(B, W)
+    # first matching index row via the sort-merge join — searchsorted's
+    # log2(N) random-gather passes measured 661 ms/batch at 3.7M
+    # queries over an 8.4M index vs 117 ms for the join (round 3); a
+    # join miss returns -1, whose DUP probes land on rows 0..DUP-2 and
+    # fail the equality test below exactly like searchsorted's
+    # insertion point did
+    from ..ops.sort_join import join_rows
+    hit_row = join_rows(hashes, canon.reshape(-1))
+    # remap to the run's FIRST row (the join returns an arbitrary row
+    # of an equal-hash run; DUP probing needs the leftmost)
+    base = jnp.where(hit_row >= 0,
+                     first_row[jnp.clip(hit_row, 0)],
+                     -1).reshape(B, W)
     cand = base[None] + jnp.arange(DUP)[:, None, None]
     cand = jnp.minimum(cand, max(N - 1, 0))
     hit = (hashes[cand] == canon[None]) & valid[None] & (N > 0)
@@ -284,7 +303,9 @@ class KmerAligner:
         would retrace the kernel per distinct batch fill.
         """
         idx_arrays = (self.index.hashes, self.index.contig, self.index.pos,
-                      self.index.is_fwd)
+                      self.index.is_fwd, self.index.first_row)
+        from ..dbg.hash_dbg import _trim_pad_columns
+        codes = _trim_pad_columns(np.asarray(codes), self.k)
         (best_key, count, second, qstart, qend, second_key, qstart2,
          qend2) = jax.device_get(
             _vote_kernel(idx_arrays, (jnp.asarray(codes),), self.k))
