@@ -23,6 +23,10 @@ struct adjacency_graph_tag {};
 struct bidirectional_graph_tag : incidence_graph_tag {};
 struct vertex_list_graph_tag {};
 struct edge_list_graph_tag {};
+namespace detail {
+inline bool is_directed(directed_tag) { return true; }
+inline bool is_directed(undirected_tag) { return false; }
+}
 namespace gt_detail {
 template <class...> using void_t = void;
 #define STUB_GT_MEMBER(NAME) \
@@ -102,3 +106,61 @@ inline T source(std::pair<T, T> e, const G&) { return e.first; }
 template <class T, class G>
 inline T target(std::pair<T, T> e, const G&) { return e.second; }
 #endif
+// ---- appended for the stage-2..8 parity tools ----
+#ifndef STUB_BOOST_GRAPH_TRAITS_STAGE2
+#define STUB_BOOST_GRAPH_TRAITS_STAGE2 1
+#include <cstddef>
+#include <memory>
+#include <vector>
+namespace boost {
+
+/** No-op DFS/BFS visitor bases (boost protocol). */
+struct default_dfs_visitor {
+	template <class V, class G> void initialize_vertex(const V&, const G&) {}
+	template <class V, class G> void start_vertex(const V&, const G&) {}
+	template <class V, class G> void discover_vertex(const V&, const G&) {}
+	template <class E, class G> void examine_edge(const E&, const G&) {}
+	template <class E, class G> void tree_edge(const E&, const G&) {}
+	template <class E, class G> void back_edge(const E&, const G&) {}
+	template <class E, class G> void forward_or_cross_edge(const E&, const G&) {}
+	template <class E, class G> void finish_edge(const E&, const G&) {}
+	template <class V, class G> void finish_vertex(const V&, const G&) {}
+};
+typedef default_dfs_visitor default_bfs_visitor;
+
+/** Vector-backed property map addressed through an index map
+ * (shared storage, copyable — the boost vector_property_map shape). */
+template <class V, class IndexMap>
+class vector_property_map {
+  public:
+	typedef V value_type;
+	typedef V& reference;
+	typedef std::size_t key_type_fallback;
+	explicit vector_property_map(std::size_t n = 0)
+		: m_store(new std::vector<V>(n)) {}
+	template <class K>
+	V& operator[](const K& k) const {
+		std::size_t i = static_cast<std::size_t>(get(m_index, k));
+		if (i >= m_store->size())
+			m_store->resize(i + 1);
+		return (*m_store)[i];
+	}
+  private:
+	std::shared_ptr<std::vector<V> > m_store;
+	IndexMap m_index;
+};
+template <class V, class IM, class K>
+inline void put(const vector_property_map<V, IM>& pm, const K& k,
+		const V& v) { pm[k] = v; }
+template <class V, class IM, class K>
+inline V get(const vector_property_map<V, IM>& pm, const K& k) {
+	return pm[k];
+}
+template <class V, class IM>
+struct property_traits<vector_property_map<V, IM> > {
+	typedef V value_type;
+	typedef V& reference;
+};
+
+}
+#endif // STUB_BOOST_GRAPH_TRAITS_STAGE2
