@@ -300,6 +300,78 @@ def prune_tips(g: ContigGraph, max_len: int) -> list[int]:
     return removed
 
 
+def remove_shims(g: ContigGraph, max_degree: int = 1,
+                 min_overlap: int = 10, protected: set | None = None,
+                 ) -> list[int]:
+    """Remove shim (filler) contigs — the reference filtergraph's
+    DEFAULT cleaning pass (FilterGraph.cc:202-527): a shim only
+    contributes k-1 bases; once removed, each (predecessor, successor)
+    pair still overlaps by >= min_overlap, so spliced u->w edges with
+    d = d(u,v) + len(v) + d(v,w) preserve connectivity.
+
+    Faithful details: candidates are discovered ONCE (both
+    orientations, vertex-index order), sorted per pass by
+    (in*out degree, length, id); a vertex made adjacent to a removed
+    branch point is deferred to the next pass; parallel spliced edges
+    are skipped; self- or self-complement-adjacent contigs and
+    tails are never shims; min(in, out) degree must be <= max_degree."""
+    protected = protected or set()
+
+    def dist(u: int, v: int) -> int:
+        p = g.out[u].get(v)
+        return int(p["d"]) if isinstance(p, dict) and "d" in p else 0
+
+    def removable(v: int) -> bool:
+        cid = v >> 1
+        if g.removed[cid] or cid in protected:
+            return False
+        outs = g.successors(v)
+        ins = g.predecessors(v)
+        if min(len(outs), len(ins)) == 0:       # tail
+            return False
+        if min(len(outs), len(ins)) > max_degree:
+            return False
+        for w in outs:
+            if w == v or w == flip(v):          # self(-complement) adjacent
+                return False
+        maxuv = max(dist(u, v) for u in ins)
+        maxvw = max(dist(v, w) for w in outs)
+        if maxuv + g.lengths[cid] + maxvw > -min_overlap:
+            return False
+        return True
+
+    removed: list[int] = []
+    cands = [v for v in g.vertices() if removable(v)]
+    while cands:
+        cands.sort(key=lambda v: (g.out_degree(v) * g.in_degree(v),
+                                  g.lengths[v >> 1], v))
+        marked: set[int] = set()
+        deferred = []
+        for v in cands:
+            cid = v >> 1
+            if cid in marked:
+                deferred.append(v)
+                continue
+            if not removable(v):
+                continue
+            ins = list(g.predecessors(v))
+            outs = list(g.successors(v))
+            for u in ins:
+                for w in outs:
+                    if len(outs) > 1:
+                        marked.add(u >> 1)
+                    if len(ins) > 1:
+                        marked.add(w >> 1)
+                    if g.has_edge(u, w):        # parallel edge
+                        continue
+                    x = dist(u, v) + g.lengths[cid] + dist(v, w)
+                    g.add_edge(u, w, {"d": x})
+            g.remove_contig(cid)
+            removed.append(cid)
+        cands = deferred
+    return removed
+
+
 def remove_islands(g: ContigGraph, min_len: int) -> list[int]:
     """Remove contigs with no edges shorter than min_len
     (removeIslands, ContigGraphAlgorithms.h)."""

@@ -357,11 +357,17 @@ def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
                     f"edges at {stats.junctions} junctions")
             graphio.write_dot(g, p.path("1-rr.dot"), k=p.k)
 
-    # filtergraph: tips/islands, then merge chains -> -2
-    tip_len = p.tip_len if p.tip_len is not None else 2 * p.k
-    island_len = p.island_len if p.island_len is not None else 2 * p.k
-    algorithms.prune_tips(g, tip_len)
-    algorithms.remove_islands(g, island_len)
+    # filtergraph: the reference's DEFAULT pass is shim removal only
+    # (FilterGraph.cc:758-760; minTipLen/minIslandLen default 0);
+    # tips/islands run only when explicitly requested (the xtip knob,
+    # bin/abyss-pe:260-262)
+    n_shim = len(algorithms.remove_shims(g))
+    if n_shim:
+        _log(p, f"stage 2: filtergraph removed {n_shim} shim contigs")
+    if p.tip_len is not None:
+        algorithms.prune_tips(g, p.tip_len)
+    if p.island_len is not None:
+        algorithms.remove_islands(g, p.island_len)
     g2, seqs2, _ = algorithms.merge_linear_chains(g, seqs)
     two_contigs = [(n, seqs2[n]) for n in
                    (g2.names[c] for c in g2.contigs())]
@@ -479,13 +485,14 @@ def stage_contigs_6(p: PipelineParams) -> str:
 
     # Overlap (bin/abyss-pe:658-659, Overlap/Overlap.cpp): add edges
     # for blunt contigs whose negative distance estimates verify
-    from ..graph.overlap_tool import add_overlap_edges
-    added = add_overlap_edges(g, seqs, estimates)
-    _log(p, f"stage 4: Overlap added {added} verified overlap edges")
+    from ..graph.overlap_tool import overlap_stage
+    added, gap_contigs = overlap_stage(g, seqs, estimates, k=p.k)
+    _log(p, f"stage 4: Overlap added {added} overlap edges + "
+            f"{len(gap_contigs)} gap contigs")
     graphio.write_dot(g, p.path("4.dot"), k=p.k)
-    # -4.fa holds contigs created by Overlap; our edge-only
-    # implementation adds none (they are spliced at MergeContigs time)
-    _write_contigs(p.path("4.fa"), [])
+    # -4.fa holds the gap contigs Overlap created (Overlap.cpp:546-580)
+    _write_contigs(p.path("4.fa"),
+                   [(nm, sq) for nm, sq, *_ in gap_contigs])
 
     # SimpleGraph -> -4.path1 (per-seed constrained search)
     names_index = {n: g.id_of(n) for n, _ in contigs}

@@ -91,9 +91,15 @@ def constrained_search(g: ContigGraph, start: int,
     return solutions
 
 
-def allowed_error(sd: float, min_error: int = 6, n_sd: float = 3.0) -> int:
-    """Distance window half-width (SimpleGraph's allowedError)."""
-    return max(min_error, int(n_sd * sd + 0.5))
+def allowed_error(sd: float, distance_error: int = 6,
+                  n_sd: float = 3.0) -> int:
+    """Distance window half-width: ceil(NUM_SIGMA * sd +
+    distanceError) — exactly Common/Estimate.h:154-159 (the additive
+    +6 applies always, not as a floor; the old max(6, 3*sd) form lost
+    boundary paths, e.g. a -24 overlap edge against a +2 estimate at
+    sd 6.8)."""
+    import math
+    return int(math.ceil(n_sd * sd + distance_error))
 
 
 def _path_span(g: ContigGraph, path: list[int], i0: int, i1: int) -> int:
