@@ -291,25 +291,53 @@ def _trim_round_impl(nxt, outdeg_ov, indeg_ov, alive, counts, max_tip,
     return alive & ~killrow, removed
 
 
-@jax.jit
-def _erode_fixpoint_dev(nbr8, alive, weak):
-    """erode/erodeEnds fixpoint (ErodeAlgorithm.h:63-113): repeatedly
-    drop blunt-ended weak k-mers.  weak: bool[N] precomputed coverage
-    test (counts < e, or either strand < E)."""
+@partial(jax.jit, static_argnums=(3,))
+def _erode_rounds_dev(nbr8, alive, weak, max_rounds: int):
+    """Up to max_rounds erode rounds (ErodeAlgorithm.h:63-113): each
+    drops the current blunt-ended weak layer.  weak: bool[N]
+    precomputed coverage test (counts < e, or either strand < E).
+
+    The fixpoint is CHUNKED: erosion depth equals the longest weak run
+    behind a blunt end, which at a coverage-model `e` can reach
+    thousands of layers — an unbounded on-device while_loop at that
+    depth gets the worker killed by the execution watchdog (observed
+    as 'TPU worker process crashed' at genome scale).  The host loops
+    chunks until the returned changed flag clears."""
     def cond(s):
-        _, _, changed = s
-        return changed
+        i, _, _, changed = s
+        return changed & (i < max_rounds)
 
     def body(s):
-        alive, total, _ = s
+        i, alive, total, _ = s
         rd, ld = _degrees_dev(nbr8, alive)
         kill = ((rd == 0) | (ld == 0)) & weak & alive
         n = jnp.sum(kill, dtype=jnp.int32)
-        return alive & ~kill, total + n, n > 0
+        return i + 1, alive & ~kill, total + n, n > 0
 
-    alive, total, _ = jax.lax.while_loop(
-        cond, body, (alive, jnp.int32(0), jnp.bool_(True)))
-    return alive, total
+    _, alive, total, changed = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), alive, jnp.int32(0), jnp.bool_(True)))
+    return alive, total, changed
+
+
+@jax.jit
+def _erode_round_impl(nxt, indeg_ov, alive, weak):
+    """One erode round: remove every blunt-started chain of the weak
+    subgraph (see DeviceDBG.erode).  Returns (new_alive, rows_removed).
+    """
+    N = alive.shape[0]
+    weak_ov = jnp.repeat(weak, 2)
+    nxt_w = jnp.where(
+        weak_ov & (nxt >= 0) & weak_ov[jnp.clip(nxt, 0)], nxt, -1)
+    P, dist = _full_rank(nxt_w)
+    alive_ov = jnp.repeat(alive, 2) & weak_ov
+    sk, ov_s = _sorted_chain_keys(P, dist, alive_ov)
+    valid, start, start_pos, end_pos = _seg_fills(sk)
+    headv = ov_s[jnp.clip(start_pos, 0)]
+    kill = valid & (indeg_ov[headv] == 0)
+    rows = jnp.where(kill, ov_s >> 1, N)
+    killrow = jnp.zeros(N, bool).at[rows].set(True, mode="drop")
+    removed = jnp.sum(alive & killrow, dtype=jnp.int32)
+    return alive & ~killrow, removed
 
 
 @jax.jit
@@ -375,14 +403,35 @@ class DeviceDBG:
         return outdeg, indeg
 
     def erode(self, e: int, e_strand: int = 0) -> int:
+        """Erode fixpoint by WEAK-CHAIN removal: layer-by-layer peeling
+        (ErodeAlgorithm.h's observer cascade) needs one round per
+        erosion layer — thousands at a coverage-model `e` (117 s
+        measured at 4.6 Mbp, and an unbounded device loop gets the
+        worker watchdog-killed).  Instead each round ranks the chains
+        of the weak subgraph (full-graph degree conditions, so links
+        mirror the peel rule exactly) and removes every blunt-started
+        weak chain WHOLE; rounds now equal the branching depth of the
+        eroded region, not its length.  The fixpoint is identical:
+        peeling erodes a chain iff its head is blunt and every next
+        vertex has walk in-degree 1 — precisely the chain membership
+        rule — and stray cases (branch vertices exposed by a removed
+        chain, palindromes, opposite-side bluntness) become new blunt
+        heads the following round."""
         weak = self.counts_d < e
         if e_strand > 0 and self.t.fwd_counts is not None:
             fwd = jnp.asarray(self.t.fwd_counts)
             rev = self.counts_d - fwd
             weak = weak | (fwd < e_strand) | (rev < e_strand)
-        self.alive_d, total = _erode_fixpoint_dev(
-            self.nbr_d, self.alive_d, weak)
-        return int(total)
+        total = 0
+        while True:
+            nxt = self._nxt()
+            outdeg, indeg = self._deg_ov()
+            self.alive_d, removed = _erode_round_impl(
+                nxt, indeg, self.alive_d, weak)
+            removed = int(removed)
+            if removed == 0:
+                return total
+            total += removed
 
     def trim(self, max_tip: int) -> int:
         if max_tip <= 0:
