@@ -74,40 +74,46 @@ def _junction_paths(g: ContigGraph, v: int, max_branches: int):
     return [(a, v, b) for a in ins for b in outs]
 
 
-def _path_windows(g, seqs, path, k: int, r: int, min_moves: int,
-                  max_moves: int):
-    """The r-sized sliding windows across the junction of a 3-vertex
-    path (RAlgorithmsShort window logic): windows that span into both
-    neighbours of the repeat vertex."""
+MIN_MARGIN = 2  # RAlgorithmsShort.h:16
+
+
+def _path_windows(g, seqs, path, k: int, r: int, min_tests: int,
+                  max_tests: int):
+    """The margin-confined r-window battery of a 3-vertex junction
+    path (testCombination/getMargin, RAlgorithmsShort.cpp:369-416):
+    exactly ~`tests` windows centred on the repeat, each reaching
+    `margin = (r + tests - 1 - repeatSize + 1) / 2` bases into both
+    neighbours.  Returns None when the combination is UNKNOWN (window
+    not long enough, margins unavailable, one-sided junction) — the
+    reference keeps unknown paths (never cuts on missing evidence)."""
     a, v, b = path
-    pieces = [p for p in (a, v, b) if p is not None]
-    texts = [_oriented_seq(g, seqs, p) for p in pieces]
+    if a is None or b is None:
+        return None
+    texts = [_oriented_seq(g, seqs, p) for p in (a, v, b)]
     o = k - 1
-    # merged sequence with k-1 overlaps + the overlap intervals
-    merged = texts[0]
-    overlaps = []  # [ps, pe) in merged coordinates
-    for t in texts[1:]:
-        overlaps.append((len(merged) - o, len(merged)))
-        merged += t[o:]
-    if not overlaps or len(merged) < r:
+    merged = texts[0] + texts[1][o:] + texts[2][o:]
+    repeat_start = len(texts[0]) - o
+    repeat_size = len(texts[1])
+    repeat_end = repeat_start + repeat_size
+    tests = min_tests
+    # window long enough? (getMinWindowLength: tests-1 + 2m + repeat)
+    if r < tests - 1 + MIN_MARGIN + repeat_size + MIN_MARGIN:
         return None
-    # a window [s, s+r) resolves the path iff it straddles EVERY overlap:
-    # s <= ps-1 and s+r >= pe+1
-    lo = max(pe + 1 - r for ps, pe in overlaps)
-    hi = min(ps - 1 for ps, pe in overlaps)
-    lo = max(lo, 0)
-    hi = min(hi, len(merged) - r)
-    if hi < lo:
-        # repeat longer than r: cannot resolve with this read size
+    if tests > max_tests:
         return None
-    starts = list(range(lo, min(hi, lo + max_moves) + 1))
-    return [merged[s:s + r] for s in starts]
+    margin = (r + tests - 1 - repeat_size + 1) // 2
+    if repeat_start < margin or len(merged) - repeat_end < margin:
+        return None     # head/tail shorter than margin
+    sub = merged[repeat_start - margin: repeat_end + margin]
+    if len(sub) < r:
+        return None
+    return [sub[s:s + r] for s in range(len(sub) - r + 1)]
 
 
 def resolve_repeats(g: ContigGraph, seqs: dict[str, str],
                     rmer_filter: BitBloomFilter | CountingBloomFilter, k: int,
-                    support_threshold: int = 4, min_moves: int = 20,
-                    max_moves: int = 36, max_branches: int = 75,
+                    support_threshold: int = 4, min_tests: int = 18,
+                    max_tests: int = 40, max_branches: int = 75,
                     ) -> RResolverStats:
     """Cut junction-crossing edges that reads do not support.
 
@@ -134,8 +140,8 @@ def resolve_repeats(g: ContigGraph, seqs: dict[str, str],
                 continue
             stats.junctions += 1
             for path in paths:
-                wins = _path_windows(g, seqs, path, k, r, min_moves,
-                                     max_moves)
+                wins = _path_windows(g, seqs, path, k, r, min_tests,
+                                     max_tests)
                 stats.paths_tested += 1
                 if wins is None:
                     # unresolvable: treat as supported (do not cut)
@@ -156,8 +162,11 @@ def resolve_repeats(g: ContigGraph, seqs: dict[str, str],
         if nw < 0:
             supported = True
         else:
-            supported = int(hits[start:start + nw].sum()) >= min(
-                support_threshold, nw)
+            # good() = found >= threshold (RAlgorithmsShort.h:152);
+            # too-few-possible-tests paths were already returned as
+            # unknown (supported) by _path_windows
+            supported = int(hits[start:start + nw].sum()) >= \
+                support_threshold
         if supported:
             stats.paths_supported += 1
         a, vv, b = path

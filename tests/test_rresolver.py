@@ -49,32 +49,84 @@ def test_resolve_two_path_repeat():
 
 
 def test_cut_false_edge():
-    # junction created by a k-scale coincidence: contig X's end equals
-    # contig Y's start by construction, but no read supports X->Y
+    # the reference formulation tests (in, repeat, out) triples: a
+    # short repeat contig R joins X to both Y (false) and Z (true);
+    # reads only ever cross X-R-Z
     rng = np.random.default_rng(201)
     k = 21
     o = k - 1
     mk = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
-    glue = mk(o)
-    X = mk(120) + glue
-    Y = glue + mk(120)
-    Z = glue + mk(120)  # real continuation
+    R = mk(40)
+    X, Y, Z = mk(120), mk(120), mk(120)
+    genome = X + R + Z  # reads only cover X-R-Z
     r = 80
-    genome = X + Z[o:]  # reads only cover X->Z
     reads = [genome[i:i + r] for i in range(0, len(genome) - r + 1, 2)]
     codes = np.full((len(reads), r), 4, np.uint8)
     for i, s in enumerate(reads):
         codes[i, :] = alphabet.encode(s)
-    contigs = [("X", X), ("Y", Y), ("Z", Z)]
+    contigs = [("X", X + R[:o]), ("R", R), ("Y", R[-o:] + Y),
+               ("Z", R[-o:] + Z)]
     g = adjlist.build_overlap_graph(contigs, k)
     seqs = dict(contigs)
-    vX = node(g.id_of("X"), 0)
-    assert g.out_degree(vX) == 2  # X -> Y (false) and X -> Z (true)
+    vR = node(g.id_of("R"), 0)
+    assert g.out_degree(vR) == 2  # R -> Y (false) and R -> Z (true)
     f = rresolver.build_rmer_filter([codes], r=r, size=1 << 20)
     stats = rresolver.resolve_repeats(g, seqs, f, k, support_threshold=4)
     assert stats.edges_cut >= 1
-    assert not g.has_edge(vX, node(g.id_of("Y"), 0))
-    assert g.has_edge(vX, node(g.id_of("Z"), 0))
+    assert not g.has_edge(vR, node(g.id_of("Y"), 0))
+    assert g.has_edge(vR, node(g.id_of("Z"), 0))
+
+
+def test_unknown_paths_never_cut():
+    """A junction whose margins do not fit (head shorter than the
+    margin) is UNKNOWN: the reference keeps such paths
+    (Support::good() is true for unknown,  RAlgorithmsShort.h:152) —
+    cutting a true join on missing evidence is the failure mode the
+    margin rules exist to prevent."""
+    rng = np.random.default_rng(77)
+    k = 21
+    o = k - 1
+    mk = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    R = mk(40)
+    X, Y, Z = mk(10), mk(120), mk(120)   # X far too short for margins
+    r = 80
+    contigs = [("X", X + R[:o]), ("R", R), ("Y", R[-o:] + Y),
+               ("Z", R[-o:] + Z)]
+    g = adjlist.build_overlap_graph(contigs, k)
+    seqs = dict(contigs)
+    # an EMPTY filter: nothing is supported by evidence, yet nothing
+    # may be cut because every path is unknown
+    f = rresolver.build_rmer_filter([], r=r, size=1 << 20)
+    stats = rresolver.resolve_repeats(g, seqs, f, k, support_threshold=4)
+    assert stats.edges_cut == 0
+
+
+def test_window_battery_margins():
+    """_path_windows returns the margin-confined battery: ~min_tests
+    windows, each straddling the repeat by construction
+    (getMargin, RAlgorithmsShort.cpp:88-96)."""
+    rng = np.random.default_rng(5)
+    k = 21
+    o = k - 1
+    mk = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    R = mk(40)
+    X, Z = mk(120), mk(120)
+    contigs = [("X", X + R[:o]), ("R", R), ("Z", R[-o:] + Z)]
+    g = adjlist.build_overlap_graph(contigs, k)
+    seqs = dict(contigs)
+    vX, vR, vZ = (node(g.id_of(n), 0) for n in ("X", "R", "Z"))
+    r = 80
+    wins = rresolver._path_windows(g, seqs, (vX, vR, vZ), k, r,
+                                   min_tests=18, max_tests=40)
+    # possibleTests in {tests, tests+1}
+    assert len(wins) in (18, 19)
+    assert all(len(w) == r for w in wins)
+    # every window straddles the full repeat (margin construction)
+    merged = (X + R + Z)
+    for w in wins:
+        pos = merged.find(w)
+        assert pos >= 0
+        assert pos <= len(X) and pos + r >= len(X) + len(R)
 
 
 def test_read_size_batches_and_default_r():
