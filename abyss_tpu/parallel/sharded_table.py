@@ -117,7 +117,15 @@ def _unbucketize(reply, order, row, col, ok, n, fill):
 @dataclass
 class ShardedKmerTable:
     """keys/counts/alive sharded [D, S] over the mesh "data" axis;
-    row r on device d has global id d * S + r."""
+    row r on device d has global id d * S + r.
+
+    Wide mode (k > 32): keys are canonical ntHash fingerprints and two
+    side arrays ride along — `hr` (the non-canonical hash, for O(1)
+    neighbour rolls + palindrome tests) and `text` (the stored-
+    orientation bases, 2-bit-packed 32/u64 word, base 0 in the top
+    bits) — the same substitution the single-device engine makes
+    (hash_dbg module docstring); routing/ownership are unchanged
+    because the key is one u64 either way."""
     mesh: Mesh
     k: int
     keys: jax.Array     # uint64[D, S] sorted per shard, SENTINEL pad
@@ -125,6 +133,13 @@ class ShardedKmerTable:
     alive: jax.Array    # bool[D, S]
     nbr: jax.Array | None = None        # int64[D, S, 8] global ids, -1
     nbr_strand: jax.Array | None = None  # int8[D, S, 8]
+    hr: jax.Array | None = None          # uint64[D, S] (wide mode)
+    text: jax.Array | None = None        # uint64[D, S, W] (wide mode)
+    fwd_counts: jax.Array | None = None  # int32[D, S] per-strand mult
+
+    @property
+    def wide(self) -> bool:
+        return self.text is not None
 
     @property
     def n_dev(self) -> int:
@@ -152,14 +167,48 @@ def _spec(mesh):
     return P(table_axes(mesh))
 
 
+def _hash_windows(codes, k: int):
+    """(canon, hr, is_fwd, valid) per window: packed words for k <= 32,
+    ntHash fingerprints + non-canonical hash for wide k.  is_fwd marks
+    windows whose forward form IS the canonical form (the per-strand
+    multiplicity input, VertexData.h's two counters)."""
+    if k <= 32:
+        fwd, rc, canon, valid = pack_kmers(codes, k)
+        return canon, jnp.maximum(fwd, rc), fwd == canon, valid
+    from ..ops import nthash
+    fh, rh, canon, valid = nthash.kmer_hashes(codes, k)
+    return canon, jnp.maximum(fh, rh), fh == canon, valid
+
+
+def _sort_rle_strand(canon, bit):
+    """Sorted distinct keys with (total, forward-strand) counts: one
+    2-key sort + scans (no scatter), the strand-aware _sort_rle."""
+    from ..ops.scan import running_min as _rmin
+    n = canon.shape[0]
+    ks, bs = jax.lax.sort((canon, bit.astype(jnp.int32)), num_keys=2,
+                          is_stable=False)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    kstart = jnp.concatenate(
+        [jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    klast = jnp.concatenate(
+        [ks[:-1] != ks[1:], jnp.ones((1,), bool)])
+    end_pos = _rmin(jnp.where(klast, pos, jnp.int32(n)), reverse=True)
+    total = jnp.where(kstart, end_pos - pos + 1, 0)
+    cs = jnp.cumsum(bs)
+    fwd = jnp.where(kstart, cs[jnp.clip(end_pos, 0, n - 1)] - cs + bs,
+                    0)
+    keys = jnp.where(kstart, ks, SENTINEL)
+    return keys, total, fwd
+
+
 def build_sharded_table(mesh: Mesh, batches, k: int,
                         chunk_cap_slack: float = 2.0) -> ShardedKmerTable:
     """Distributed load phase: each device reduces its slice of every
     batch, routes (key, count) pairs to their owners, owners merge —
     the table never leaves the mesh (NAS_LOADING,
-    NetworkSequenceCollection.cpp:1423-1434)."""
-    if k > 32:
-        raise ValueError("sharded table is packed-mode (k <= 32)")
+    NetworkSequenceCollection.cpp:1423-1434).  Wide k routes canonical
+    ntHash fingerprints and then fills the hr/text side arrays with a
+    second routed pass (_fill_wide_sharded)."""
     from ..ops.sorted_filter import SortedKmerCounter
 
     ax = table_axes(mesh)
@@ -174,26 +223,30 @@ def build_sharded_table(mesh: Mesh, batches, k: int,
         @jax.jit
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=P(ax, None),
-                 out_specs=(P(ax), P(ax), P(ax)))
+                 out_specs=(P(ax), P(ax), P(ax), P(ax)))
         def route_step(codes):
             codes = codes[0]
-            _, _, canon, valid = pack_kmers(codes, k)
+            canon, _, is_fwd, valid = _hash_windows(codes, k)
             flat = jnp.where(valid, canon, SENTINEL).reshape(-1)
-            keys, counts = SortedKmerCounter._sort_rle(flat)
+            keys, counts, fwds = _sort_rle_strand(
+                flat, (is_fwd & valid).reshape(-1))
             good = (counts > 0) & (keys != SENTINEL)
             dest = _owner(keys, log2_d)
-            (kb, cb), ov, *_ = _bucketize(
-                dest, good, (keys, counts.astype(jnp.int32)), cap,
-                n_dev, (SENTINEL, jnp.int32(0)))
+            (kb, cb, fb), ov, *_ = _bucketize(
+                dest, good,
+                (keys, counts.astype(jnp.int32), fwds.astype(jnp.int32)),
+                cap, n_dev, (SENTINEL, jnp.int32(0), jnp.int32(0)))
             kr = jax.lax.all_to_all(kb, ax, 0, 0, tiled=False)
             cr = jax.lax.all_to_all(cb, ax, 0, 0, tiled=False)
+            fr = jax.lax.all_to_all(fb, ax, 0, 0, tiled=False)
             return (kr.reshape(1, -1), cr.reshape(1, -1),
-                    ov.reshape(1))
+                    fr.reshape(1, -1), ov.reshape(1))
 
         return route_step
 
     steps = {}
-    kchunks, cchunks = [], []
+    kchunks, cchunks, fchunks = [], [], []
+    saved_batches = []
     for codes in batches:
         codes = np.asarray(codes)
         B, L = codes.shape
@@ -208,55 +261,195 @@ def build_sharded_table(mesh: Mesh, batches, k: int,
         sharded = jax.device_put(
             codes.reshape(n_dev, -1, L),
             jax.sharding.NamedSharding(mesh, P(ax, None, None)))
-        kr, cr, ov = steps[key](sharded)
+        kr, cr, fr, ov = steps[key](sharded)
         if int(np.asarray(ov).sum()):
             raise RuntimeError("routing bucket overflow; raise "
                                "chunk_cap_slack")
         kchunks.append(kr)
         cchunks.append(cr)
+        fchunks.append(fr)
+        if k > 32:
+            saved_batches.append(sharded)
 
     # finalize: per-device merge of received chunks
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(ax), P(ax)),
-             out_specs=(P(ax), P(ax), P(ax)))
-    def finalize(kcat, ccat):
+             in_specs=(P(ax), P(ax), P(ax)),
+             out_specs=(P(ax), P(ax), P(ax), P(ax)))
+    def finalize(kcat, ccat, fcat):
         keys = kcat[0]
         counts = ccat[0]
+        fwds = fcat[0]
         order = jnp.argsort(keys)
         ks = keys[order]
         cs = counts[order].astype(jnp.int64)
+        fs = fwds[order].astype(jnp.int64)
         # per-key totals on a SORTED array: cumsum differenced at the
         # first/last index of each run (both found by searchsorted on
         # the array itself — no segment scatter needed)
-        csum = jnp.cumsum(cs)
         first = jnp.searchsorted(ks, ks, side="left")
         last = jnp.searchsorted(ks, ks, side="right") - 1
-        before = jnp.where(first > 0, csum[jnp.maximum(first - 1, 0)], 0)
-        totals = csum[last] - before
+
+        def run_totals(vals):
+            csum = jnp.cumsum(vals)
+            before = jnp.where(first > 0,
+                               csum[jnp.maximum(first - 1, 0)], 0)
+            return csum[last] - before
+
+        totals = run_totals(cs)
+        ftotals = run_totals(fs)
         start = jnp.concatenate(
             [jnp.array([True]), ks[1:] != ks[:-1]])
         keep = start & (ks != SENTINEL)
         outk = jnp.where(keep, ks, SENTINEL)
         outc = jnp.where(keep, jnp.minimum(
             totals, COVERAGE_MAX), 0).astype(jnp.int32)
-        # push dup/sentinel slots to the end, preserving key order
+        outf = jnp.where(keep, jnp.minimum(
+            ftotals, COVERAGE_MAX), 0).astype(jnp.int32)
+        # push dup/sentinel slots to the end, preserving key order;
+        # one argsort reused for both count payloads
         o2 = jnp.argsort(outk)
         n_real = jnp.sum(keep).astype(jnp.int32)
-        return (outk[o2][None], outc[o2][None], n_real.reshape(1))
+        return (outk[o2][None], outc[o2][None], outf[o2][None],
+                n_real.reshape(1))
 
     kcat = jnp.concatenate(kchunks, axis=1)
     ccat = jnp.concatenate(cchunks, axis=1)
-    keys, counts, n_real = finalize(kcat, ccat)
+    fcat = jnp.concatenate(fchunks, axis=1)
+    keys, counts, fwd_counts, n_real = finalize(kcat, ccat, fcat)
     S = int(np.asarray(n_real).max())
     S = max(S, 1)
     keys = keys[:, :S]
     counts = counts[:, :S]
+    fwd_counts = fwd_counts[:, :S]
     alive = jax.jit(
         lambda kk: kk != SENTINEL,
         out_shardings=jax.sharding.NamedSharding(mesh, P(ax, None))
     )(keys)
-    return ShardedKmerTable(mesh, k, keys, counts, alive)
+    t = ShardedKmerTable(mesh, k, keys, counts, alive,
+                         fwd_counts=fwd_counts)
+    if k > 32:
+        _fill_wide_sharded(t, saved_batches)
+    return t
+
+
+def _n_words(k: int) -> int:
+    return (k + 31) // 32
+
+
+def _pack_window_words(codes, k: int, flip):
+    """2-bit-pack every k-window of [B, L] codes into stored-orientation
+    u64 words [W][B, Wn] (base j in word j//32, top bits first —
+    hash_dbg.pack_text layout, word-sized).  flip: [B, Wn] bool —
+    revcomp windows whose reverse hash is the canonical form."""
+    L = codes.shape[-1]
+    Wn = L - k + 1
+    safe = jnp.minimum(codes, 3).astype(jnp.uint64)
+    comp = jnp.uint64(3) - safe
+    W = _n_words(k)
+    words = []
+    for w in range(W):
+        lo = 32 * w
+        hi = min(32 * w + 32, k)
+        fw = jnp.zeros(codes.shape[:-1] + (Wn,), jnp.uint64)
+        rw = jnp.zeros_like(fw)
+        for j in range(lo, hi):
+            fw = (fw << jnp.uint64(2)) | safe[..., j:j + Wn]
+            # reverse complement: base j of the rc = comp(base k-1-j)
+            jj = k - 1 - j
+            rw = (rw << jnp.uint64(2)) | comp[..., jj:jj + Wn]
+        pad = 32 - (hi - lo)
+        if pad:
+            fw = fw << jnp.uint64(2 * pad)
+            rw = rw << jnp.uint64(2 * pad)
+        words.append(jnp.where(flip, rw, fw))
+    return words
+
+
+def _fill_wide_sharded(t: ShardedKmerTable, sharded_batches) -> None:
+    """Fill the wide-mode side arrays (hr + packed text words) with a
+    second routed pass over the read batches.  hr and text are pure
+    functions of the canonical k-mer (the stored orientation is the
+    smaller-hash one), so any occurrence may win the owner-side
+    scatter — no first-occurrence bookkeeping is needed."""
+    from ..ops import nthash
+    mesh, k = t.mesh, t.k
+    ax = table_axes(mesh)
+    S = t.shard_size
+    n_dev = t.n_dev
+    log2_d = int(n_dev - 1).bit_length()
+    W = _n_words(k)
+
+    filled = jax.device_put(
+        np.zeros((n_dev, S), bool),
+        jax.sharding.NamedSharding(mesh, P(ax, None)))
+    hr = jax.device_put(
+        np.zeros((n_dev, S), np.uint64),
+        jax.sharding.NamedSharding(mesh, P(ax, None)))
+    text = jax.device_put(
+        np.zeros((n_dev, S, W), np.uint64),
+        jax.sharding.NamedSharding(mesh, P(ax, None, None)))
+
+    fills = tuple([SENTINEL, jnp.uint64(0)] + [jnp.uint64(0)] * W)
+
+    def make_stage_a(shape):
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=P(ax, None, None),
+                 out_specs=tuple([P(ax)] * (3 + W)))
+        def stage_a(codes3):
+            codes = codes3[0]
+            fh, rh, canon, valid = nthash.kmer_hashes(codes, k)
+            flip = rh < fh
+            words = _pack_window_words(codes, k, flip)
+            hrv = jnp.maximum(fh, rh)
+            dest = _owner(canon.reshape(-1), log2_d)
+            flat = lambda x: x.reshape(-1)[None]
+            return (jnp.where(valid.reshape(-1), dest, -1)[None],
+                    flat(canon), flat(hrv),
+                    *[flat(w) for w in words])
+
+        return stage_a
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax),) * (2 + W + 4),
+             out_specs=(P(ax), P(ax), P(ax), P(ax)))
+    def stage_b(canon_r2, hr_r2, *rest):
+        words_r = [rest[i][0] for i in range(W)]
+        keys2, filled2, hr2, text3 = rest[W:]
+        canon_r = canon_r2[0]
+        hr_r = hr_r2[0]
+        keys = keys2[0]
+        filledl = filled2[0]
+        hrl = hr2[0]
+        textl = text3[0]
+        idx = jnp.searchsorted(keys, canon_r)
+        idx = jnp.minimum(idx, S - 1)
+        hit = (keys[idx] == canon_r) & (canon_r != SENTINEL)
+        slot = jnp.where(hit, idx, S)
+        hrl = hrl.at[slot].set(hr_r, mode="drop")
+        for w in range(W):
+            textl = textl.at[slot, w].set(words_r[w], mode="drop")
+        filledl = filledl.at[slot].set(True, mode="drop")
+        unfilled = jax.lax.psum(
+            jnp.sum(~filledl & (keys != SENTINEL)), ax)
+        return filledl[None], hrl[None], textl[None], unfilled.reshape(1)
+
+    stages = {}
+    for sharded in sharded_batches:
+        shape = sharded.shape
+        if shape not in stages:
+            stages[shape] = make_stage_a(shape)
+        dest, canon, hrv, *words = stages[shape](sharded)
+        routed = _route_records(mesh, dest, tuple([canon, hrv] + words),
+                                dest >= 0, canon.shape[-1], fills)
+        filled, hr, text, unfilled = stage_b(
+            routed[0], routed[1], *routed[2:], t.keys, filled, hr, text)
+        if int(np.asarray(unfilled)[0]) == 0:
+            break
+    t.hr = hr
+    t.text = text
 
 
 def _rc_packed_j(x, k: int):
@@ -292,25 +485,53 @@ def build_adjacency_sharded(t: ShardedKmerTable,
     cap = max(64, int(slack * S * 8 / n_dev))
 
     mask = jnp.uint64((1 << (2 * k)) - 1) if 2 * k < 64 else SENTINEL
-    shift_top = jnp.uint64(2 * (k - 1))
+    shift_top = jnp.uint64(2 * (min(k, 32) - 1))
+    wide = t.wide
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(ax), P(ax)),
+             in_specs=(P(ax), P(ax), P(ax)),
              out_specs=(P(ax), P(ax), P(ax)))
-    def adj_step(keys2, _dummy):
+    def adj_step(keys2, hr2, text2):
         keys = keys2[0]
-        x = keys
-        cands = []
-        for c in range(4):
-            y = ((x << jnp.uint64(2)) | jnp.uint64(c)) & mask
-            cands.append(y)
-        for c in range(4):
-            y = (x >> jnp.uint64(2)) | (jnp.uint64(c) << shift_top)
-            cands.append(y)
-        ys = jnp.stack(cands, 1).reshape(-1)          # [S*8] walk form
-        ycan = jnp.minimum(ys, _rc_packed_j(ys, k))
-        same = (ys == ycan)
+        if wide:
+            # candidate fingerprints from O(1) ntHash rolls of the
+            # stored (fwd=canonical, rev=hr) state — the wide-mode
+            # probe of hash_dbg._neighbor_probe_wide, distributed
+            from ..ops import nthash
+            hrl = hr2[0]
+            textl = text2[0]
+            firstb = ((textl[:, 0] >> jnp.uint64(62)) &
+                      jnp.uint64(3)).astype(jnp.uint8)
+            j = k - 1
+            lastb = ((textl[:, j // 32] >>
+                      jnp.uint64(62 - 2 * (j % 32))) &
+                     jnp.uint64(3)).astype(jnp.uint8)
+            ys_l, same_l = [], []
+            for c in range(4):
+                f2, r2 = nthash.roll_right(keys, hrl, k, firstb,
+                                           jnp.uint8(c))
+                ys_l.append(jnp.minimum(f2, r2))
+                same_l.append(f2 == jnp.minimum(f2, r2))
+            for c in range(4):
+                f2, r2 = nthash.roll_left(keys, hrl, k, lastb,
+                                          jnp.uint8(c))
+                ys_l.append(jnp.minimum(f2, r2))
+                same_l.append(f2 == jnp.minimum(f2, r2))
+            ycan = jnp.stack(ys_l, 1).reshape(-1)     # [S*8]
+            same = jnp.stack(same_l, 1).reshape(-1)
+        else:
+            x = keys
+            cands = []
+            for c in range(4):
+                y = ((x << jnp.uint64(2)) | jnp.uint64(c)) & mask
+                cands.append(y)
+            for c in range(4):
+                y = (x >> jnp.uint64(2)) | (jnp.uint64(c) << shift_top)
+                cands.append(y)
+            ys = jnp.stack(cands, 1).reshape(-1)      # [S*8] walk form
+            ycan = jnp.minimum(ys, _rc_packed_j(ys, k))
+            same = (ys == ycan)
         valid = jnp.repeat(keys != SENTINEL, 8)
         dest = _owner(ycan, log2_d)
         (qb,), ov, order, row, col, ok = _bucketize(
@@ -340,10 +561,11 @@ def build_adjacency_sharded(t: ShardedKmerTable,
         strand = jnp.where(walk_same, 0, 1).astype(jnp.int8)
         return (nbr[None], strand[None], ov.reshape(1))
 
-    dummy = jax.device_put(
-        np.zeros((n_dev, 1), np.int32),
-        jax.sharding.NamedSharding(mesh, P(ax, None)))
-    nbr, strand, ov = adj_step(t.keys, dummy)
+    hr_in = t.hr if t.hr is not None else t.keys
+    text_in = t.text if t.text is not None else \
+        jax.device_put(np.zeros((n_dev, S, 1), np.uint64),
+                       jax.sharding.NamedSharding(mesh, P(ax, None, None)))
+    nbr, strand, ov = adj_step(t.keys, hr_in, text_in)
     if int(np.asarray(ov).sum()):
         raise RuntimeError("adjacency routing overflow; raise slack")
     t.nbr = nbr
@@ -442,20 +664,51 @@ class RoutedGather:
             self.slack = slack
 
 
-def erode_sharded(t: ShardedKmerTable, e: int) -> int:
+def coverage_histogram_sharded(t: ShardedKmerTable):
+    """Distributed k-mer coverage histogram: per-shard bincount,
+    host-summed — the CommLayer-reduce histogram merge
+    (NetworkSequenceCollection.cpp:485-496)."""
+    from ..core.histogram import Histogram
+    mesh = t.mesh
+    ax = table_axes(mesh)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(ax), P(ax), P(ax)), out_specs=P(ax))
+    def hist(keys2, counts2, alive2):
+        keys = keys2[0]
+        counts = counts2[0]
+        alive = alive2[0]
+        sel = alive & (keys != SENTINEL)
+        vals = jnp.where(sel, counts, 0)
+        return jnp.bincount(vals, length=COVERAGE_MAX + 1)[None]
+
+    per_dev = np.asarray(hist(t.keys, t.counts, t.alive))
+    total = per_dev.sum(axis=0)
+    h = Histogram()
+    for v in np.nonzero(total)[0]:
+        if v > 0:
+            h.insert(int(v), int(total[v]))
+    return h
+
+
+def erode_sharded(t: ShardedKmerTable, e: int, e_strand: int = 0) -> int:
     """Distributed erode (NAS_ERODE): blunt + weak k-mers die; the
     neighbour-aliveness reads are routed gathers; the per-round count
-    is a psum."""
+    is a psum.  e_strand is the per-strand E threshold (needs the
+    fwd_counts the distributed load now tracks)."""
     mesh = t.mesh
     ax = table_axes(mesh)
     S = t.shard_size
     gather = RoutedGather(mesh, S, S * 8, jnp.bool_)
+    use_strand = e_strand > 0 and t.fwd_counts is not None
+    fwd_in = t.fwd_counts if t.fwd_counts is not None else t.counts
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(ax), P(ax), P(ax), P(ax)),
+             in_specs=(P(ax),) * 5,
              out_specs=(P(ax), P(ax)))
-    def round_(alive2, nbr2, counts2, nbr_alive2):
+    def round_(alive2, nbr2, counts2, fwd2, nbr_alive2):
         alive = alive2[0]
         nbr = nbr2[0]
         counts = counts2[0]
@@ -464,7 +717,12 @@ def erode_sharded(t: ShardedKmerTable, e: int) -> int:
         rd = ok[:, :4].sum(1)
         ld = ok[:, 4:].sum(1)
         blunt = ((rd == 0) | (ld == 0)) & alive
-        kill = blunt & (counts < e)
+        weak = counts < e
+        if use_strand:
+            fwd = fwd2[0]
+            rev = counts - fwd
+            weak = weak | (fwd < e_strand) | (rev < e_strand)
+        kill = blunt & weak
         n = jax.lax.psum(jnp.sum(kill), ax)
         return (alive & ~kill)[None], n.reshape(1)
 
@@ -472,7 +730,7 @@ def erode_sharded(t: ShardedKmerTable, e: int) -> int:
     while True:
         nbr_alive = gather(t.alive, t.nbr.reshape(
             t.nbr.shape[0], -1))
-        alive, n = round_(t.alive, t.nbr, t.counts, nbr_alive)
+        alive, n = round_(t.alive, t.nbr, t.counts, fwd_in, nbr_alive)
         n = int(np.asarray(n)[0])
         t.alive = alive
         if n == 0:
@@ -520,11 +778,13 @@ def _oriented_next_sharded(t: ShardedKmerTable):
     nbr_alive = gather_b(t.alive,
                          t.nbr.reshape(t.nbr.shape[0], -1))
 
+    wide = t.wide
+
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(ax),) * 4,
+             in_specs=(P(ax),) * 5,
              out_specs=(P(ax), P(ax), P(ax)))
-    def degrees(keys2, nbr2, strand2, nbr_alive2):
+    def degrees(keys2, hr2, nbr2, strand2, nbr_alive2):
         keys = keys2[0]
         nbr = nbr2[0]
         nbr_alive = nbr_alive2[0].reshape(S, 8)
@@ -532,10 +792,12 @@ def _oriented_next_sharded(t: ShardedKmerTable):
         rd = ok[:, :4].sum(1).astype(jnp.int32)
         ld = ok[:, 4:].sum(1).astype(jnp.int32)
         outdeg = jnp.stack([rd, ld], 1).reshape(-1)  # [2S] ov-order
-        palin = keys == _rc_packed_j(keys, k)
+        palin = (keys == hr2[0]) if wide else             (keys == _rc_packed_j(keys, k))
         return outdeg[None], palin[None], ok[None]
 
-    outdeg, palin, ok = degrees(t.keys, t.nbr, t.nbr_strand, nbr_alive)
+    hr_in = t.hr if t.hr is not None else t.keys
+    outdeg, palin, ok = degrees(t.keys, hr_in, t.nbr, t.nbr_strand,
+                                nbr_alive)
 
     # target in-degree in walk orientation: outdeg of the target's
     # OPPOSITE oriented vertex = outdeg[2*gid + (1 - walk_strand)]...
@@ -1439,11 +1701,13 @@ def _emit_sharded(t: ShardedKmerTable, Pm, dist, endpack, covsum,
 
     chunk = -(-T // n_dev)
 
+    wide = t.wide
+
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(ax),) * 7,
+             in_specs=(P(ax),) * 8,
              out_specs=(P(ax), P(ax), P(ax)))
-    def entries(selm2, offm2, dist2, alive2, keys2, ep2, offh2):
+    def entries(selm2, offm2, dist2, alive2, keys2, text2, ep2, offh2):
         sel_m = selm2[0]
         off_m = offm2[0]
         dl = dist2[0]
@@ -1456,10 +1720,19 @@ def _emit_sharded(t: ShardedKmerTable, Pm, dist, endpack, covsum,
         s = (slot & 1).astype(jnp.int32)
         ok = jnp.repeat(alive & (keys != SENTINEL), 2) & sel_m
         tgt_m = jnp.where(ok, off_m + (k - 1) + dl, -1)
-        kr = keys[r]
-        lastb = (kr & jnp.uint64(3)).astype(jnp.int32)
-        firstb = ((kr >> jnp.uint64(2 * (k - 1))) &
-                  jnp.uint64(3)).astype(jnp.int32)
+
+        def base_at(j):
+            """Base j (stored orientation) of each slot's row."""
+            if wide:
+                tw = text2[0]
+                return ((tw[r, j // 32] >>
+                         jnp.uint64(62 - 2 * (j % 32))) &
+                        jnp.uint64(3)).astype(jnp.int32)
+            return ((keys[r] >> jnp.uint64(2 * (k - 1 - j))) &
+                    jnp.uint64(3)).astype(jnp.int32)
+
+        lastb = base_at(k - 1)
+        firstb = base_at(0)
         base_m = jnp.where(s == 0, lastb, 3 - firstb)
         # head prefixes: the k-1 leading walk-orientation bases,
         # emitted by the (selected) chain heads themselves
@@ -1467,10 +1740,8 @@ def _emit_sharded(t: ShardedKmerTable, Pm, dist, endpack, covsum,
         tgts = [tgt_m]
         vals = [base_m]
         for j in range(k - 1):
-            cj_f = ((kr >> jnp.uint64(2 * (k - 1 - j))) &
-                    jnp.uint64(3)).astype(jnp.int32)
-            cj_r = 3 - ((kr >> jnp.uint64(2 * j)) &
-                        jnp.uint64(3)).astype(jnp.int32)
+            cj_f = base_at(j)
+            cj_r = 3 - base_at(k - 1 - j)
             tgts.append(jnp.where(head_sel, off_h + j, -1))
             vals.append(jnp.where(s == 0, cj_f, cj_r))
         tgt = jnp.stack(tgts, 0).reshape(-1)
@@ -1488,8 +1759,12 @@ def _emit_sharded(t: ShardedKmerTable, Pm, dist, endpack, covsum,
         return jnp.where(sel & (ep > 0), off2[0], -1)[None]
 
     offh = head_off(endpack, sel_head, off)
+    text_in = t.text if t.text is not None else \
+        jax.device_put(np.zeros((n_dev, S, 1), np.uint64),
+                       jax.sharding.NamedSharding(mesh,
+                                                  P(ax, None, None)))
     tgt, val, dest = entries(selm, offm, dist, t.alive, t.keys,
-                             endpack, offh)
+                             text_in, endpack, offh)
     rt, rv = _route_records(mesh, dest, (tgt, val), tgt >= 0,
                             2 * S * k, (jnp.int64(-1), jnp.int32(0)))
 
@@ -1587,7 +1862,10 @@ def assemble_final_sharded(t: ShardedKmerTable) -> list[tuple[str, int]]:
 
 
 def assemble_sharded(mesh: Mesh, batches, k: int, kc: int = 2,
-                     erode_cov: int = 2, tip_len: int | None = None,
+                     erode_cov: int | None = 2,
+                     erode_strand: int | None = 0,
+                     tip_len: int | None = None,
+                     auto_params: bool = False,
                      min_mean_cov: float | None = None,
                      bubble_len: int | None = None,
                      bubbles_out: list | None = None):
@@ -1599,14 +1877,29 @@ def assemble_sharded(mesh: Mesh, batches, k: int, kc: int = 2,
     parallelAbyss.cpp:29-68.  Identical contig sets to the
     single-device engine."""
     t = build_sharded_table(mesh, batches, k)
+    if auto_params and (erode_cov is None or erode_strand is None
+                        or min_mean_cov is None):
+        from ..dbg.hash_dbg import auto_coverage_params
+        e_a, E_a, c_a = auto_coverage_params(
+            coverage_histogram_sharded(t))
+        if erode_cov is None:
+            erode_cov = e_a
+        if erode_strand is None:
+            erode_strand = E_a
+        if min_mean_cov is None:
+            min_mean_cov = c_a
+    if erode_cov is None:
+        erode_cov = 2
+    if erode_strand is None:
+        erode_strand = 0
     apply_kc_sharded(t, kc)
     build_adjacency_sharded(t)
-    erode_sharded(t, erode_cov)
+    erode_sharded(t, erode_cov, erode_strand)
     tip = tip_len if tip_len is not None else k
     trim_sharded(t, tip)
     if min_mean_cov:
         while remove_low_coverage_sharded(t, min_mean_cov):
-            erode_sharded(t, erode_cov)
+            erode_sharded(t, erode_cov, erode_strand)
             trim_sharded(t, tip)
     popped = pop_bubbles_sharded(
         t, bubble_len if bubble_len is not None else 2 * k + 1)

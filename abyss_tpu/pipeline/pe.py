@@ -239,10 +239,12 @@ def stage_unitigs_1(p: PipelineParams) -> str:
             from ..parallel import distributed as dist
             mesh = (dist.make_host_mesh(p.n_hosts, p.np_devices)
                     if p.n_hosts > 1 else dist.make_mesh(p.np_devices, 1))
-            if p.k <= 32 and (total_dev & (total_dev - 1)) == 0:
+            if (total_dev & (total_dev - 1)) == 0:
                 # np= (ABYSS-P): the ENTIRE stage-1 phase machine on
                 # the mesh — owner-sharded resident table, routed
-                # adjacency/erode/trim, host rank-0-style finish
+                # adjacency/erode/trim, distributed finish.  Wide k
+                # keys the shards on ntHash fingerprints with routed
+                # hr/text side arrays (round-3: the k<=32 gate lifted)
                 from ..parallel import sharded_table as stbl
                 _log(p, f"stage 1: mesh-sharded table over "
                         f"{total_dev} devices"
@@ -250,14 +252,13 @@ def stage_unitigs_1(p: PipelineParams) -> str:
                            if p.n_hosts > 1 else " (np=)"))
                 contigs, _ = stbl.assemble_sharded(
                     mesh, list(batches), p.k, kc=p.kc,
-                    erode_cov=p.e if p.e is not None else 2,
-                    tip_len=p.t,
+                    erode_cov=p.e, erode_strand=p.E,
+                    tip_len=p.t, auto_params=True,
                     min_mean_cov=p.c,
                     bubble_len=p.b - p.k + 1 if p.b else None)
             else:
-                # wide mode (k > 32): mesh-parallel load, host merge
-                # of the pre-reduced per-device (k-mer, count) pairs
-                # (1D data mesh: the wide path is not host-sharded)
+                # non-pow2 device counts: mesh-parallel load, host
+                # merge of the pre-reduced per-device pairs
                 _log(p, f"stage 1: mesh k-mer count over "
                         f"{total_dev} devices (np=)")
                 batches = list(batches)

@@ -157,10 +157,13 @@ def test_np_pipeline_exact_engine_matches_single(tmp_path):
     for tag, np_dev in (("single", 1), ("mesh", 8)):
         d = tmp_path / tag
         d.mkdir()
+        # pin e/E/c: the reference-style auto coverage model at 20x
+        # erodes the linear genome's low-coverage ends (both engines
+        # agree, but the 0.9-genome assertion below needs gentle ends)
         p = pe.PipelineParams(
             name="ex", k=25, in_files=[p1, p2], outdir=str(d),
             engine="exact", verbose=0, np_devices=np_dev, min_pairs=3,
-            batch_size=512, max_read_len=128)
+            batch_size=512, max_read_len=128, e=2, E=0, c=0)
         art = pe.run(p)
         outs[tag] = sorted(r.seq for r in fastx.read_fastx(art["scaffolds"]))
     assert outs["single"] == outs["mesh"]
