@@ -298,15 +298,24 @@ def stage_unitigs_1(p: PipelineParams) -> str:
         import jax
         from ..parallel import distributed as dist
         if len(jax.devices()) >= p.np_devices:
+            # np >= 4: split the mesh (data x shard) so the filter is
+            # SHARDED across devices and pass 2's extension probes ride
+            # the mesh (psum'd shard-local lookups) — a filter larger
+            # than one device's memory now works end to end
+            if p.np_devices >= 4:
+                n_data, n_shard = p.np_devices // 2, 2
+            else:
+                n_data, n_shard = p.np_devices, 1
             _log(p, f"stage 1: mesh filter build over {p.np_devices} "
-                    "devices (np=)")
-            mesh = dist.make_mesh(p.np_devices, 1)
+                    f"devices (np=, {n_data} data x {n_shard} shard"
+                    + (", shard-probed pass 2)" if n_shard > 1 else ")"))
+            mesh = dist.make_mesh(n_data, n_shard)
             size = 1 << (max(p.bloom_bytes, 2).bit_length() - 1)
             prebuilt = dist.distributed_filter_build(
                 mesh, (b.codes for b in io_read_batches(
                     in_files, p.batch_size, p.max_read_len, q=p.q)),
                 p.k, num_hashes=p.num_hashes, threshold=p.kc,
-                size=size)
+                size=size, sharded=n_shard > 1)
             params = AssemblyParams(
                 k=p.k, num_hashes=p.num_hashes, min_cov=p.kc,
                 bloom_bytes=p.bloom_bytes, q=p.q,

@@ -52,6 +52,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert not checkpoint.exists(d)
 
 
+@pytest.mark.slow
 def test_assembly_resume_matches_fresh(tmp_path):
     genome = sim.random_genome(6000, seed=71)
     pr = sim.simulate_paired_reads(genome, coverage=25, read_len=100,

@@ -41,6 +41,7 @@ def check_contigs_match_genome(contigs, genome, min_len=0):
             f"contig {cid} (len {len(seq)}) not a genome substring"
 
 
+@pytest.mark.slow
 def test_single_unitig_genome(tmp_path):
     # a clean genome with no repeats of length >= k assembles into
     # contigs that exactly tile the genome
@@ -53,6 +54,7 @@ def test_single_unitig_genome(tmp_path):
     assert longest > 0.95 * len(genome), longest
 
 
+@pytest.mark.slow
 def test_genome_with_repeat_breaks_contigs(tmp_path):
     genome = sim.genome_with_repeats(12000, seed=7, n_repeats=3,
                                      repeat_len=400)
@@ -64,6 +66,7 @@ def test_genome_with_repeat_breaks_contigs(tmp_path):
     assert counters.contig_id >= 3  # repeats break the assembly
 
 
+@pytest.mark.slow
 def test_errors_are_suppressed(tmp_path):
     genome = sim.random_genome(8000, seed=13)
     contigs, counters = assemble_sim(genome, k=25, error_rate=0.01,
@@ -87,6 +90,7 @@ def test_errors_are_suppressed(tmp_path):
     assert longest > 400
 
 
+@pytest.mark.slow
 def test_deterministic_across_batch_sizes(tmp_path):
     genome = sim.random_genome(6000, seed=21)
     pr = sim.simulate_paired_reads(genome, coverage=30, read_len=100, seed=2)

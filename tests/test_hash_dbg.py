@@ -1,6 +1,7 @@
 """Exact hash-DBG engine tests (the ABYSS-classic engine)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from abyss_tpu import sim
@@ -339,6 +340,7 @@ def test_erode_strand_threshold():
     assert n == t2.n  # the whole single-strand path erodes away
 
 
+@pytest.mark.slow
 def test_trim_fixpoint_equals_ladder_schedule():
     """The direct t-fixpoint trim reaches the same alive set as the
     reference's 1,2,4..t ladder (TrimAlgorithm.h:15-34) on random

@@ -1,6 +1,7 @@
 """Tests: mergepairs, Overlap tool, overlap graph + layout, paired DBG."""
 
 import numpy as np
+import pytest
 
 from abyss_tpu import sim
 from abyss_tpu.align import mergepairs
@@ -103,6 +104,7 @@ def test_pack_pairs_roundtrip():
     assert ar == win_rc[:k] and br == win_rc[K - k:K]
 
 
+@pytest.mark.slow
 def test_multi_k_sweep():
     from abyss_tpu.dbg import hash_dbg
     genome = sim.random_genome(3000, seed=98)

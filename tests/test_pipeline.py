@@ -60,6 +60,7 @@ def test_merge_paths_opposite_orientation():
     assert got == [2, 4, 6, 8] or flipped == [2, 4, 6, 8]
 
 
+@pytest.mark.slow
 def test_full_pipeline_on_simulated_genome(tmp_path):
     # repeats shorter than the fragment length, so mate pairs can bridge
     # them and scaffolding has real work to do
@@ -170,6 +171,7 @@ def test_path_consensus_resolves_bubble():
     assert "N" not in seq
 
 
+@pytest.mark.slow
 def test_pipeline_exact_engine_wide_k(tmp_path):
     """Exact engine above the one-word limit (wide fingerprint mode,
     k=40): full pipeline, scaffolds must cover the genome."""
