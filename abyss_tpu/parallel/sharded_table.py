@@ -15,21 +15,29 @@ mesh axis:
                    uniform hashing concentrates bucket sizes near the
                    mean, so 2x-mean capacity + overflow detection
                    replaces variable-size sends);
-  * phases         count -> adjacency -> erode -> trim run with the
-                   table RESIDENT in per-device shards; remote reads
-                   (neighbour aliveness, pointer-doubling hops) are a
-                   generic routed gather (`_dist_gather`), the
-                   SeqDataRequest/Response analogue;
+  * phases         EVERY phase runs with the table RESIDENT in
+                   per-device shards: count -> kc -> adjacency ->
+                   erode -> trim -> low-coverage loop -> bubbles ->
+                   assemble.  Remote reads (neighbour aliveness,
+                   pointer-doubling hops, verdict broadcasts) are
+                   dedup-routed gathers (RoutedGather), the
+                   SeqDataRequest/Response analogue; per-chain stats
+                   reduce to each chain head's owner (RoutedReduce);
+                   emission scatters (position, base) pairs into a
+                   position-sharded buffer so the host receives only
+                   per-chain metadata + contig bases — the rank-0
+                   contract of Parallel/parallelAbyss.cpp:29-68;
   * reductions     `psum` over "data" (CommLayer::reduce parity).
 
-Memory high-point (counting + adjacency + trim) is O(N/D) per device.
-The final phases (bubble popping + chain emission) run host-side on
-the merged alive set — the analogue of the reference's rank-0
-per-rank-contig merge (Parallel/parallelAbyss.cpp:29-68); they touch
-the table after erosion/trimming has shrunk it.
+Memory stays O(N/D) per device throughout — no phase materializes the
+table (or worst-case routing buffers) on one device.
 
-Packed mode only (k <= 32): one uint64 word per key, like the
-single-device fast path.
+Packed mode (k <= 32) keys shards on one uint64 word; wide mode keys
+on canonical ntHash fingerprints with routed hr/text side arrays, so
+any k runs the same phase machine (Assembly/DBG.h:106-121's k=144
+sizing story).  Known limits: a single chain longer than 2^22 k-mers
+saturates the (dist, ov) pack (such chains are never trim-killed and
+rank correctly, but their end-vertex stats truncate).
 """
 
 from __future__ import annotations
