@@ -166,3 +166,73 @@ def test_stage_4_6_parity(chain, refbin, dist3):
                            outdir=ours, verbose=0, rresolve=False)
     pe.stage_contigs_6(po)
     assert _canon_counts(f"{ours}/t-6.fa") == _canon_counts(f"{D}/ref-6.fa")
+
+
+def test_stage_8_scaffold_parity(chain, refbin):
+    """abyss-scaffold parity: a long-fragment mate-pair library bridges
+    the repeats; our scaffolder's path (contigs, orientations AND
+    estimated gap sizes) must equal the reference's abyss-scaffold
+    output on identical (-6 graph, -6 dist) inputs."""
+    from abyss_tpu import sim
+    from abyss_tpu.align import distance_est
+    from abyss_tpu.graph.contig_graph import ContigGraph, node
+    from abyss_tpu.pipeline import pe
+    from abyss_tpu.scaffold import path_algebra as pa, scaffolder
+    D = chain
+    # the reference -6 chain artifacts (built by test_stage_4_6_parity's
+    # commands; rebuild here so this test is order-independent)
+    if not os.path.exists(f"{D}/t-5r.dot"):
+        pytest.skip("stage 4-6 chain artifacts missing")
+    _run(D, [f"{refbin}/PathOverlap", "--overlap", f"-k{K}", "--dot",
+             "t-5r.dot", "t-5r.path"], out=f"{D}/t-6r.dot")
+
+    genome = sim.genome_with_repeats(60000, seed=5, n_repeats=6,
+                                     repeat_len=400)
+    mp = sim.simulate_paired_reads(genome, coverage=25, read_len=100,
+                                   fragment_mean=1200, fragment_sd=100,
+                                   error_rate=0.002, seed=9)
+    m1, m2 = f"{D}/m1.fq", f"{D}/m2.fq"
+    mp.write_fastq(m1, m2)
+
+    p = pe.PipelineParams(name="t", k=K, in_files=[m1, m2], outdir=D,
+                          verbose=0)
+    contigs, _ = pe._read_contigs(f"{D}/ref-6.fa")
+    hist, links = pe._map_library(p, f"{D}/ref-6.fa", [m1, m2], 32)
+    est = distance_est.estimate_distances(links, hist, min_pairs=10,
+                                          min_align=32, mode="median")
+    distance_est.write_dist_dot(est, {n: len(s) for n, s in contigs},
+                                f"{D}/t-6mp.dist.dot", k=K)
+    _run(D, [f"{refbin}/abyss-scaffold", f"-k{K}", "-s200", "-n10",
+             "t-6r.dot", "t-6mp.dist.dot"], out=f"{D}/t-6r.path")
+    ref_paths = sorted(l.split("\t", 1)[1].strip()
+                       for l in open(f"{D}/t-6r.path") if "\t" in l)
+
+    dg = ContigGraph()
+    for name, seq in contigs:
+        dg.add_contig(name, len(seq))
+    for (un, su, vn, sv), e in est.items():
+        dg.add_edge(node(dg.id_of(un), su), node(dg.id_of(vn), sv),
+                    {"d": e.distance, "n": e.num_pairs,
+                     "sd": e.std_dev})
+    res = scaffolder.search_scaffold_params(dg, (10, 10), (200, 200),
+                                            k=K)
+
+    def fmt(v):
+        if pa.is_amb(v):
+            return f"{pa.amb_len(v)}N"
+        return f"{dg.names[v >> 1]}{'+-'[v & 1]}"
+
+    def canon_path(tokens):
+        # a path equals its reverse complement
+        rev = []
+        for t in reversed(tokens):
+            if t.endswith("N"):
+                rev.append(t)
+            else:
+                rev.append(t[:-1] + ("+" if t[-1] == "-" else "-"))
+        return min(" ".join(tokens), " ".join(rev))
+
+    ours = sorted(canon_path([fmt(v) for v in pth])
+                  for pth in res.paths)
+    ref = sorted(canon_path(rp.split()) for rp in ref_paths)
+    assert ours == ref
