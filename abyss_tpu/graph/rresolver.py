@@ -33,6 +33,7 @@ class RResolverStats:
     paths_tested: int = 0
     paths_supported: int = 0
     edges_cut: int = 0
+    repeats_split: int = 0
 
 
 def build_rmer_filter(batches, r: int, size: int, num_hashes: int = 4,
@@ -158,6 +159,8 @@ def resolve_repeats(g: ContigGraph, seqs: dict[str, str],
         _, _, canon, valid = nthash.kmer_hashes(jnp.asarray(arr), r)
         hits = np.asarray(rmer_filter.contains(canon, valid))[:, 0]
 
+    # per-repeat supported (in -> outs) map for instance splitting
+    by_repeat: dict[int, dict[int, set]] = {}
     for path, start, nw in path_infos:
         if nw < 0:
             supported = True
@@ -170,6 +173,11 @@ def resolve_repeats(g: ContigGraph, seqs: dict[str, str],
         if supported:
             stats.paths_supported += 1
         a, vv, b = path
+        if a is not None and b is not None and (vv & 1) == 0:
+            ins = by_repeat.setdefault(vv, {})
+            ins.setdefault(a, set())
+            if supported:
+                ins[a].add(b)
         edges = []
         if a is not None:
             edges.append((a, vv))
@@ -178,7 +186,62 @@ def resolve_repeats(g: ContigGraph, seqs: dict[str, str],
         for e in edges:
             edge_support[e] = edge_support.get(e, False) | supported
 
+    # resolved-repeat duplication (RAlgorithmsShort.cpp:1002-1060):
+    # group a repeat's in-contigs by their SET of supported out-contigs;
+    # each distinct set beyond the first becomes an instance COPY of the
+    # repeat (same sequence, fresh name) wired intigs -> copy -> outigs.
+    # The copies land in -1-rr.fa and let downstream merges thread each
+    # context through its own repeat copy.
+    handled: set[int] = set()
+    for vv in sorted(by_repeat):
+        ins = by_repeat[vv]
+        instances: list[tuple[frozenset, list[int]]] = []
+        cut_ins = []
+        for a in sorted(ins):
+            S = frozenset(ins[a])
+            if not S:
+                cut_ins.append(a)
+                continue
+            for outset, members in instances:
+                if outset == S:
+                    members.append(a)
+                    break
+            else:
+                instances.append((S, [a]))
+        if len(instances) <= 1:
+            continue        # the plain edge-cut pass suffices
+        vprop = {b: g.out[vv].get(b) for b in g.successors(vv)}
+        # instance 0 keeps the original vertex: prune its outs to S0
+        S0, members0 = instances[0]
+        for b in list(g.successors(vv)):
+            if b not in S0:
+                g.remove_edge(vv, b)
+                stats.edges_cut += 1
+        for outset, members in instances[1:]:
+            name = f"{g.names[vv >> 1]}r{stats.repeats_split}"
+            stats.repeats_split += 1
+            cid = g.add_contig(name, g.lengths[vv >> 1],
+                               g.coverages[vv >> 1])
+            seqs[name] = _oriented_seq(g, seqs, vv)
+            copy_v = node(cid, 0)
+            for a in members:
+                prop = g.out[a].get(vv)
+                g.remove_edge(a, vv)
+                g.add_edge(a, copy_v, prop)
+            for b in outset:
+                g.add_edge(copy_v, b, vprop.get(b))
+        for a in cut_ins:
+            if g.has_edge(a, vv):
+                g.remove_edge(a, vv)
+                stats.edges_cut += 1
+        # this vertex's edges are fully decided; skip the generic cuts
+        handled.add(vv)
+        handled.add(flip(vv))
+
     for (u, v), sup in sorted(edge_support.items()):
+        if u in handled or v in handled or flip(u) in handled \
+                or flip(v) in handled:
+            continue
         if not sup and g.has_edge(u, v):
             g.remove_edge(u, v)
             stats.edges_cut += 1

@@ -367,13 +367,15 @@ def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
                     f"edges at {stats.junctions} junctions")
             graphio.write_dot(g, p.path("1-rr.dot"), k=p.k)
             # the stage artifact the next stage consumes
-            # (bin/abyss-pe:581-585 feeds %-1-rr.fa to filtergraph);
-            # our cuts modify edges only, so the contig set is the
-            # stage-1 set (resolved-repeat duplication is a documented
-            # divergence, PARITY.md)
+            # (bin/abyss-pe:581-585 feeds %-1-rr.fa to filtergraph):
+            # the live contig set INCLUDING resolved-repeat instance
+            # copies rresolver created
+            live = [g.names[c] for c in g.contigs()]
             _write_contigs(p.path("1-rr.fa"),
-                           [(n, seqs[n]) for n, _ in contigs],
-                           covs)
+                           [(n, seqs[n]) for n in live])
+            if stats.repeats_split:
+                _log(p, f"stage 1-rr: split {stats.repeats_split} "
+                        "repeat instances")
 
     # filtergraph: the reference's DEFAULT pass is shim removal only
     # (FilterGraph.cc:758-760; minTipLen/minIslandLen default 0);

@@ -39,13 +39,21 @@ def test_resolve_two_path_repeat():
     f = rresolver.build_rmer_filter([codes], r=r, size=1 << 20)
     stats = rresolver.resolve_repeats(g, seqs, f, k,
                                       support_threshold=4)
-    # no edge should be cut: all 4 edges participate in supported paths
-    # (the repeat is a real shared vertex); but the unsupported paths
-    # are known internally
     # both orientations of the junction are tested (R+ and R-)
     assert stats.paths_tested == 8
     assert stats.paths_supported == 4
-    assert stats.edges_cut == 0
+    # the tangle RESOLVES: the repeat splits into one instance per
+    # supported context (A->R->B keeps R, C->D threads a copy) —
+    # RAlgorithmsShort.cpp's RepeatInstance machinery
+    assert stats.repeats_split == 1
+    vA, vC = node(g.id_of("A"), 0), node(g.id_of("C"), 0)
+    vB, vD = node(g.id_of("B"), 0), node(g.id_of("D"), 0)
+    mids_a = g.successors(vA)
+    mids_c = g.successors(vC)
+    assert len(mids_a) == 1 and len(mids_c) == 1
+    assert mids_a != mids_c
+    assert g.successors(mids_a[0]) == [vB]
+    assert g.successors(mids_c[0]) == [vD]
 
 
 def test_cut_false_edge():
@@ -172,3 +180,48 @@ def test_resolve_repeats_multi_subiterations():
     assert not g.has_edge(vR, vD)
     assert g.has_edge(node(g.id_of("A"), 0), vR)
     assert g.has_edge(vR, node(g.id_of("B"), 0))
+
+
+def test_resolved_repeat_duplication():
+    """A repeat in two read-supported contexts (A-R-B and C-R-D) is
+    SPLIT into instance copies (RAlgorithmsShort.cpp:1002-1060): the
+    original keeps one context, a copy takes the other, and the cross
+    pairings disappear."""
+    rng = np.random.default_rng(7)
+    k = 21
+    o = k - 1
+    mk = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    R = mk(40)
+    A, B, C, D = (mk(120) for _ in range(4))
+    gen1 = A + R + B
+    gen2 = C + R + D
+    r = 80
+    reads = []
+    for gen in (gen1, gen2):
+        reads += [gen[i:i + r] for i in range(0, len(gen) - r + 1, 2)]
+    codes = np.full((len(reads), r), 4, np.uint8)
+    for i, s in enumerate(reads):
+        codes[i, :] = alphabet.encode(s)
+    contigs = [("A", A + R[:o]), ("C", C + R[:o]), ("R", R),
+               ("B", R[-o:] + B), ("D", R[-o:] + D)]
+    g = adjlist.build_overlap_graph(contigs, k)
+    seqs = dict(contigs)
+    f = rresolver.build_rmer_filter([codes], r=r, size=1 << 20)
+    stats = rresolver.resolve_repeats(g, seqs, f, k, support_threshold=4)
+    assert stats.repeats_split == 1
+    vA, vC = node(g.id_of("A"), 0), node(g.id_of("C"), 0)
+    vB, vD = node(g.id_of("B"), 0), node(g.id_of("D"), 0)
+    vR = node(g.id_of("R"), 0)
+    copy_name = [g.names[c] for c in g.contigs()
+                 if g.names[c].startswith("Rr")]
+    assert len(copy_name) == 1
+    vRc = node(g.id_of(copy_name[0]), 0)
+    assert seqs[copy_name[0]] == R
+    # each context threads its own repeat copy, no cross wiring
+    succ_of = {}
+    for vin, vout in ((vA, vB), (vC, vD)):
+        mids = [m for m in g.successors(vin) if m in (vR, vRc)]
+        assert len(mids) == 1
+        assert g.successors(mids[0]) == [vout]
+        succ_of[vin] = mids[0]
+    assert succ_of[vA] != succ_of[vC]
