@@ -122,12 +122,10 @@ def dist3(chain):
     return f"{D}/t-3.dist"
 
 
-def test_stage_4_6_parity(chain, refbin, dist3):
-    """Overlap -> SimpleGraph -> MergePaths -> PathOverlap ->
-    PathConsensus -> MergeContigs: our -6.fa contig set matches the
-    reference chain run on identical (-3.fa, -3.dist) inputs."""
+@pytest.fixture(scope="module")
+def chain46(chain, refbin, dist3):
+    """Reference stages 4-6 chain artifacts (ref-6.fa, t-5r.*)."""
     from abyss_tpu.io import fastx
-    from abyss_tpu.pipeline import pe
     D = chain
     # reference chain (bin/abyss-pe:658-706 default flags)
     shutil.copy(f"{D}/ref-3.fa", f"{D}/t-3r.fa")
@@ -156,7 +154,15 @@ def test_stage_4_6_parity(chain, refbin, dist3):
             f.write(open(f"{D}/{fa}").read())
     _run(D, [f"{refbin}/MergeContigs", f"-k{K}", "-o", "ref-6.fa", "-",
              "t-5r.dot", "t-5r.path"], inp=f"{D}/cat345.fa")
+    return D
 
+
+def test_stage_4_6_parity(chain46):
+    """Overlap -> SimpleGraph -> MergePaths -> PathOverlap ->
+    PathConsensus -> MergeContigs: our -6.fa contig set matches the
+    reference chain run on identical (-3.fa, -3.dist) inputs."""
+    from abyss_tpu.pipeline import pe
+    D = chain46
     ours = f"{D}/ours46"
     os.makedirs(ours, exist_ok=True)
     shutil.copy(f"{D}/ref-3.fa", f"{ours}/t-3.fa")
@@ -168,7 +174,7 @@ def test_stage_4_6_parity(chain, refbin, dist3):
     assert _canon_counts(f"{ours}/t-6.fa") == _canon_counts(f"{D}/ref-6.fa")
 
 
-def test_stage_8_scaffold_parity(chain, refbin):
+def test_stage_8_scaffold_parity(chain46, refbin):
     """abyss-scaffold parity: a long-fragment mate-pair library bridges
     the repeats; our scaffolder's path (contigs, orientations AND
     estimated gap sizes) must equal the reference's abyss-scaffold
@@ -178,11 +184,7 @@ def test_stage_8_scaffold_parity(chain, refbin):
     from abyss_tpu.graph.contig_graph import ContigGraph, node
     from abyss_tpu.pipeline import pe
     from abyss_tpu.scaffold import path_algebra as pa, scaffolder
-    D = chain
-    # the reference -6 chain artifacts (built by test_stage_4_6_parity's
-    # commands; rebuild here so this test is order-independent)
-    if not os.path.exists(f"{D}/t-5r.dot"):
-        pytest.skip("stage 4-6 chain artifacts missing")
+    D = chain46
     _run(D, [f"{refbin}/PathOverlap", "--overlap", f"-k{K}", "--dot",
              "t-5r.dot", "t-5r.path"], out=f"{D}/t-6r.dot")
 
