@@ -1301,8 +1301,10 @@ def assemble_table(t: KmerTable, kc: int = 2,
     # default bubble bound: the reference pops bubbles shorter than
     # 3k BASES (Assembly/Options.cc:356-358), i.e. 3k - k + 1 = 2k+1
     # k-mers per branch (BubbleAlgorithm.h:57)
-    popped = pop_bubbles_kmer(
-        t, bubble_len if bubble_len is not None else 2 * k + 1)
+    # -b0 / --no-bubbles disables popping (Assembly/Options.cc:62,177):
+    # a non-positive bubble_len means "off", only None means "default".
+    blen = bubble_len if bubble_len is not None else 2 * k + 1
+    popped = pop_bubbles_kmer(t, blen) if blen > 0 else []
     tt = _ph("bubbles", tt)
     if bubbles_out is not None:
         bubbles_out.extend(popped)

@@ -58,24 +58,31 @@ def assemble_chains(g: ContigGraph) -> list[list[int]]:
 
 def assemble_stranded(g: ContigGraph) -> list[list[int]]:
     """Strand-specific chain assembly (assemble_stranded,
-    ContigGraphAlgorithms.h:250, the ss= mode): chains are kept in
-    their own orientation — no canonicalization against the reverse
-    complement, so sense/antisense transcripts stay separate."""
+    ContigGraphAlgorithms.h:250-253, the ss= mode): merge only along
+    edges whose BOTH endpoints are forward-sense (the IsPositive
+    predicate, :228-244), so sense/antisense transcripts stay separate
+    and mixed-orientation joins are never made.  Chains are emitted in
+    their own (forward) orientation — no canonicalization."""
+    def fwd_out(u: int):
+        v = contiguous_out(g, u)
+        return v if (v is not None and (u & 1) == 0 and (v & 1) == 0) \
+            else None
+
     chains = []
     seen = set()
     for u in g.vertices():
-        if u in seen:
+        if u in seen or (u & 1):
             continue
-        v = contiguous_out(g, u)
+        v = fwd_out(u)
         if v is None:
             continue
         prev = g.predecessors(u)
-        if len(prev) == 1 and contiguous_out(g, prev[0]) == u:
+        if len(prev) == 1 and fwd_out(prev[0]) == u:
             continue
         path = [u]
         while v is not None and v not in seen and v != u:
             path.append(v)
-            v = contiguous_out(g, v)
+            v = fwd_out(v)
         if len(path) >= 2:
             chains.append(path)
             seen.update(path)
@@ -105,11 +112,12 @@ def merge_chain(g: ContigGraph, path: list[int],
 
 
 def merge_linear_chains(g: ContigGraph, seqs: dict[str, str],
-                        next_name: int | None = None,
+                        next_name: int | None = None, ss: bool = False,
                         ) -> tuple[ContigGraph, dict[str, str], list[list[int]]]:
     """Merge all unambiguous chains into new contigs, producing a new
-    graph (the core of abyss-filtergraph --assemble / MergeContigs)."""
-    chains = assemble_chains(g)
+    graph (the core of abyss-filtergraph --assemble / MergeContigs).
+    ss=True uses the strand-specific predicate (--SS, the pe ss= knob)."""
+    chains = assemble_stranded(g) if ss else assemble_chains(g)
     merged_of = {}  # vertex -> (new_cid, position)
     new_contigs: list[tuple[str, str, int]] = []
     if next_name is None:

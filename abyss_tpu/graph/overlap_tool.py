@@ -81,10 +81,14 @@ def overlap_stage(g: ContigGraph, seqs: dict[str, str], estimates: dict,
                                      _oriented_seq(g, seqs, h))
         else:
             o, masked = 0, False
+        # findOverlap returns 0 with mask=false when the best overlap is
+        # below minimum_overlap (Overlap.cpp:181-184 — the too-short
+        # path precedes the homopolymer/motif check), so such a pair
+        # stays a scaffold candidate rather than being mask-dropped.
+        if o and o < min_overlap:
+            o, masked = 0, False    # insignificant
         if masked and not mask_repeat:
             continue
-        if o and o < min_overlap:
-            o = 0           # insignificant
         if o > 0 or scaffold:
             cand[(t, h)] = (e, o)
             cand[(flip(h), flip(t))] = (e, o)
@@ -103,7 +107,12 @@ def overlap_stage(g: ContigGraph, seqs: dict[str, str], estimates: dict,
         e, o = cand[(t, h)]
         if o == 0:
             continue
-        if len(overlap_out.get(t, ())) != 1:
+        # contiguous_out (ContigGraphAlgorithms.h) requires BOTH
+        # out_degree(t)==1 and in_degree(h)==1 in the candidate graph
+        # (Overlap.cpp:532); cand stores both orientations, so h's
+        # in-candidates are flip(h)'s out-candidates.
+        if (len(overlap_out.get(t, ())) != 1
+                or len(overlap_out.get(flip(h), ())) != 1):
             continue        # ambiguous
         g.add_edge(t, h, {"d": -o})   # complement edge added implicitly
         added += 1
@@ -128,7 +137,9 @@ def overlap_stage(g: ContigGraph, seqs: dict[str, str], estimates: dict,
             e, o = cand[(t, h)]
             if o > 0:
                 continue    # was an (ambiguous) overlap, not a scaffold
-            if len(scaffold_out.get(t, ())) != 1:
+            # both sides must be unambiguous (Overlap.cpp:561)
+            if (len(scaffold_out.get(t, ())) != 1
+                    or len(scaffold_out.get(flip(h), ())) != 1):
                 continue    # ambiguous
             distance = int(e.distance)
             gap = "n" if distance <= 0 else "N" * distance

@@ -167,8 +167,23 @@ class ShardedKmerTable:
         real = keys != np.uint64(0xFFFFFFFFFFFFFFFF)
         keys, counts, alive = keys[real], counts[real], alive[real]
         order = np.argsort(keys)
+        hr = text = fwd = None
+        if self.wide:
+            # convert the device u64-word text (32 bases/word, base 0
+            # in the top bits) to the host uint8[N, ceil(k/4)] layout
+            # (4 bases/byte, big-endian) so host phases stay correct —
+            # a wide table merged without this would be misread as
+            # 2-bit-packed k<=32 keys (ADVICE round 3 #4).
+            hr = np.asarray(self.hr).reshape(-1)[real][order]
+            tw = np.asarray(self.text).reshape(-1, self.text.shape[-1])
+            tw = tw[real][order]
+            text = tw.astype(">u8").view(np.uint8).reshape(len(tw), -1)
+            text = np.ascontiguousarray(text[:, : (self.k + 3) // 4])
+        if self.fwd_counts is not None:
+            fwd = np.asarray(self.fwd_counts).reshape(-1)[real][order]
         return KmerTable(self.k, keys[order], counts[order],
-                         alive[order])
+                         alive[order], hr=hr, text=text,
+                         fwd_counts=fwd)
 
 
 def _spec(mesh):
@@ -1909,8 +1924,9 @@ def assemble_sharded(mesh: Mesh, batches, k: int, kc: int = 2,
         while remove_low_coverage_sharded(t, min_mean_cov):
             erode_sharded(t, erode_cov, erode_strand)
             trim_sharded(t, tip)
-    popped = pop_bubbles_sharded(
-        t, bubble_len if bubble_len is not None else 2 * k + 1)
+    # -b0 disables popping (Assembly/Options.cc:62,177); None = default
+    blen = bubble_len if bubble_len is not None else 2 * k + 1
+    popped = pop_bubbles_sharded(t, blen) if blen > 0 else []
     if bubbles_out is not None:
         bubbles_out.extend(popped)
     return assemble_final_sharded(t), t

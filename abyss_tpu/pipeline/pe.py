@@ -140,6 +140,10 @@ class PipelineParams:
     np_devices: int = 1
     n_hosts: int = 1
     aligner: str = "map"
+    # ss=1: strand-specific assembly (bin/abyss-pe:217-218 sets --SS on
+    # PopBubbles/FilterGraph/PathOverlap/abyss-scaffold); graph-stage
+    # merges use assemble_stranded (ContigGraphAlgorithms.h:250)
+    ss: bool = False
 
     def path(self, suffix: str, lib: str | None = None) -> str:
         base = lib if lib else self.name
@@ -255,7 +259,8 @@ def stage_unitigs_1(p: PipelineParams) -> str:
                     erode_cov=p.e, erode_strand=p.E,
                     tip_len=p.t, auto_params=True,
                     min_mean_cov=p.c,
-                    bubble_len=p.b - p.k + 1 if p.b else None)
+                    bubble_len=(p.b - p.k + 1 if p.b is not None
+                                else None))
             else:
                 # non-pow2 device counts: mesh-parallel load, host
                 # merge of the pre-reduced per-device pairs
@@ -271,13 +276,15 @@ def stage_unitigs_1(p: PipelineParams) -> str:
                 contigs = hash_dbg.assemble_table(
                     t, kc=p.kc, erode_cov=p.e, erode_strand=p.E,
                     tip_len=p.t, auto_params=True, min_mean_cov=p.c,
-                    bubble_len=p.b - p.k + 1 if p.b else None)
+                    bubble_len=(p.b - p.k + 1 if p.b is not None
+                                else None))
         else:
             contigs, _ = hash_dbg.assemble_reads(
                 list(batches), p.k, kc=p.kc,
                 erode_cov=p.e, erode_strand=p.E, tip_len=p.t,
                 auto_params=True, min_mean_cov=p.c,
-                bubble_len=p.b - p.k + 1 if p.b else None)
+                bubble_len=(p.b - p.k + 1 if p.b is not None
+                                else None))
         with open(out + ".tmp", "w") as f:
             for i, (seq, cov) in enumerate(contigs):
                 f.write(f">{i} {len(seq)} {cov}\n{seq}\n")
@@ -388,7 +395,7 @@ def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
         algorithms.prune_tips(g, p.tip_len)
     if p.island_len is not None:
         algorithms.remove_islands(g, p.island_len)
-    g2, seqs2, _ = algorithms.merge_linear_chains(g, seqs)
+    g2, seqs2, _ = algorithms.merge_linear_chains(g, seqs, ss=p.ss)
     two_contigs = [(n, seqs2[n]) for n in
                    (g2.names[c] for c in g2.contigs())]
     two_covs = [g2.coverages[c] for c in g2.contigs()]
@@ -399,7 +406,7 @@ def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
     check = nw.identity_check_factory(seqs2, g2.names, p.bubble_identity)
     popped = algorithms.pop_bubbles(g2, identity_check=check)
     _log(p, f"stage 3: popped {len(popped)} bubbles")
-    g3, seqs3, _ = algorithms.merge_linear_chains(g2, seqs2)
+    g3, seqs3, _ = algorithms.merge_linear_chains(g2, seqs2, ss=p.ss)
     out_contigs = [(n, seqs3[n]) for n in
                    (g3.names[c] for c in g3.contigs())]
     out_covs = [g3.coverages[c] for c in g3.contigs()]
@@ -551,7 +558,7 @@ def stage_contigs_6(p: PipelineParams) -> str:
             f"{len(merged)} merged")
 
     # PathOverlap --assemble -> -4.path3
-    assembled = path_overlap.assemble_overlapping_paths(merged)
+    assembled = path_overlap.assemble_overlapping_paths(merged, ss=p.ss)
     pathtools.write_paths(assembled, g, p.path("4.path3"), start_id=0)
 
     # PathConsensus -> -5.{path,fa,dot} (resolve ambiguous N entries)
@@ -644,7 +651,8 @@ def stage_scaffolds_8(p: PipelineParams) -> str:
     n_range = p.scaffold_n or (p.min_pairs, p.min_pairs)
     s_range = p.scaffold_s or (p.min_len, p.min_len)
     result = scaffolder.search_scaffold_params(
-        dg, n_range, s_range, k=p.k, verbose=max(0, p.verbose - 1))
+        dg, n_range, s_range, k=p.k, verbose=max(0, p.verbose - 1),
+        ss=p.ss)
     _log(p, f"stage 8: scaffold n={result.n} s={result.s} "
             f"N50={result.n50} ({len(result.paths)} scaffolds)")
     pathtools.write_paths(result.paths, dg, p.path("6.path"), start_id=0)
@@ -760,7 +768,7 @@ def stage_linked_10(p: PipelineParams) -> str | None:
                         {"d": e.distance, "n": e.num_pairs,
                          "sd": e.std_dev})
         r = scaffolder.build_scaffold_paths(
-            dg, max(1, p.min_pairs // 2), p.min_len, k=p.k)
+            dg, max(1, p.min_pairs // 2), p.min_len, k=p.k, ss=p.ss)
         used = set()
         scaffolds = []
         for i, pth in enumerate(r.paths):
@@ -937,6 +945,8 @@ def _parse_argv(argv):
         aligner=kv.get("aligner", "map"),
         G=int(float(kv.get("G", 0))),
     )
+    if "ss" in kv:
+        p.ss = bool(int(kv["ss"]))
     if "l" in kv:
         p.align_k = int(kv["l"])
     if "e" in kv:

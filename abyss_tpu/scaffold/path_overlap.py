@@ -70,9 +70,11 @@ def find_overlaps(paths: list[list[int]], lengths=None) -> list[Overlap]:
     return overlaps
 
 
-def assemble_overlapping_paths(paths: list[list[int]]) -> list[list[int]]:
+def assemble_overlapping_paths(paths: list[list[int]],
+                               ss: bool = False) -> list[list[int]]:
     """Merge paths along unambiguous overlap edges
-    (PathOverlap.cpp assembleOverlappingPaths + assemble_if).
+    (PathOverlap.cpp assembleOverlappingPaths + assemble_if; ss=True
+    applies the IsPositive strand-specific predicate, :517-521).
     Returns the new path list (merged + untouched)."""
     overlaps = find_overlaps(paths)
     # overlap relation as a skew-symmetric graph over path indices
@@ -91,8 +93,9 @@ def assemble_overlapping_paths(paths: list[list[int]]) -> list[list[int]]:
         g.add_edge(u, v)
         omap[(u, v)] = o.count
         omap[(flip(v), flip(u))] = o.count
-    from ..graph.algorithms import assemble_chains
-    chains = [c for c in assemble_chains(g) if len(c) >= 2]
+    from ..graph.algorithms import assemble_chains, assemble_stranded
+    chains = [c for c in (assemble_stranded(g) if ss
+                          else assemble_chains(g)) if len(c) >= 2]
     used = set()
     out = []
     for chain in chains:

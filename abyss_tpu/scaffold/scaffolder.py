@@ -165,8 +165,10 @@ class ScaffoldResult:
 
 def build_scaffold_paths(g0: ContigGraph, min_pairs: int, min_len: int,
                          k: int = 0, min_gap: int = 50,
-                         max_gap: int | None = None) -> ScaffoldResult:
-    """One (n, s) scaffolding pass (scaffold.cc scaffold())."""
+                         max_gap: int | None = None,
+                         ss: bool = False) -> ScaffoldResult:
+    """One (n, s) scaffolding pass (scaffold.cc scaffold()); ss=True
+    assembles strand-specifically (assembleDFS ss, scaffold.cc:795)."""
     g = g0.copy()
     _filter_graph(g, min_pairs, min_len)
     _remove_cycles(g)
@@ -182,8 +184,8 @@ def build_scaffold_paths(g0: ContigGraph, min_pairs: int, min_len: int,
             for v, prop in g.out_edges(u):
                 if ((prop or {}).get("d", 0)) > max_gap:
                     g.remove_edge(u, v)
-    from ..graph.algorithms import assemble_chains
-    chains = assemble_chains(g)
+    from ..graph.algorithms import assemble_chains, assemble_stranded
+    chains = assemble_stranded(g) if ss else assemble_chains(g)
     # insert N entries sized d + k - 1 (addDistEst convention)
     paths = []
     lengths = []
@@ -233,7 +235,8 @@ def _s_steps(lo: int, hi: int) -> list[int]:
 def search_scaffold_params(g0: ContigGraph, n_range, s_range,
                            k: int = 0, min_gap: int = 50,
                            strategy: str = "grid", n_step: int = 1,
-                           verbose: int = 0) -> ScaffoldResult:
+                           verbose: int = 0,
+                           ss: bool = False) -> ScaffoldResult:
     """Find (n, s) maximizing scaffold N50 (scaffold.cc
     optimize_grid_search / optimize_line_search, memoized)."""
     n_lo, n_hi = n_range if isinstance(n_range, tuple) else \
@@ -245,7 +248,7 @@ def search_scaffold_params(g0: ContigGraph, n_range, s_range,
     def run(n, s):
         if (n, s) not in memo:
             memo[(n, s)] = build_scaffold_paths(g0, n, s, k=k,
-                                                min_gap=min_gap)
+                                                min_gap=min_gap, ss=ss)
             if verbose:
                 print(f"[scaffold] n={n} s={s} "
                       f"N50={memo[(n, s)].n50}", file=sys.stderr)
