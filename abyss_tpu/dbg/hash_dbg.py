@@ -112,6 +112,9 @@ class KmerTable:
     # per-strand multiplicity (VertexData.h's 2x counters); filled by
     # count_kmers(strand_counts=True) for the erode E threshold
     fwd_counts: np.ndarray | None = None  # int32[N]
+    # wide mode: independent text checksum (kmer_hashes_alt) of the
+    # stored orientation — collision detection (round-3 verdict #3)
+    cs: np.ndarray | None = None          # uint64[N]
 
     @property
     def n(self) -> int:
@@ -306,14 +309,25 @@ def _count_kmers_wide(batches, k: int) -> KmerTable:
     return fill_wide_side(t, batches)
 
 
-def fill_wide_side(t: KmerTable, batches) -> KmerTable:
+def fill_wide_side(t: KmerTable, batches,
+                   verify: bool = True) -> KmerTable:
     """Fill wide-mode side arrays (hr + packed text) for a table whose
     `kmers` are sorted canonical ntHash fingerprints, from the first
     occurrence of each fingerprint in the read batches.  Also used by
-    the mesh load phase (pe np= with k > 32)."""
+    the mesh load phase (pe np= with k > 32).
+
+    verify=True (default) additionally checks EVERY occurrence's
+    independent text checksum (nthash.kmer_hashes_alt) against the
+    stored one and raises on mismatch — fingerprint collisions (two
+    distinct k-mer texts sharing a canonical 64-bit ntHash; expected
+    ~n^2/2^65, i.e. ~11 at the reference's 20.3e9 human-scale k-mers,
+    Assembly/DBG.h:106-121) are DETECTED rather than silently merging
+    k-mers; an undetected collision needs a simultaneous 128-bit
+    coincidence (round-3 verdict #3)."""
     from ..ops import nthash
     k, kmers, N = t.k, t.kmers, t.n
     hr = np.zeros(N, np.uint64)
+    cs = np.zeros(N, np.uint64)
     text = np.zeros((N, (k + 3) // 4), np.uint8)
     if N == 0:
         t.hr, t.text = hr, text
@@ -335,35 +349,62 @@ def fill_wide_side(t: KmerTable, batches) -> KmerTable:
         rows = jnp.minimum(rows, N - 1)
         hit = valid & (kmers_dev[rows] == canon)
         need = hit & ~filled_dev[rows]
-        return need, rows, fh, rh
+        if not verify:
+            return need, rows, fh, rh, fh, hit
+        f2, r2 = nthash.kmer_hashes_alt(codes, k)
+        # checksum of the STORED orientation (flip iff rh < fh)
+        cso = jnp.where(rh < fh, r2.reshape(-1),
+                        f2.reshape(-1))
+        return need, rows, fh, rh, cso, hit
 
+    @jax.jit
+    def count_mismatch(rows, cso, hit, filled_dev, cs_dev):
+        bad = hit & filled_dev[rows] & (cs_dev[rows] != cso)
+        return jnp.sum(bad)
+
+    collisions = 0
     for codes in batches:
         codes_np = np.asarray(codes, np.uint8)
-        need_d, rows_d, fh_d, rh_d = batch_rows(
+        need_d, rows_d, fh_d, rh_d, cs_d, hit_d = batch_rows(
             jnp.asarray(codes_np), jnp.asarray(filled))
         need = np.asarray(need_d)          # [BW] bool: the only bulk pull
-        if not need.any():
-            if filled.all():
-                break
-            continue
-        occ = np.nonzero(need)[0]
-        rows_occ = np.asarray(rows_d[jnp.asarray(occ)])
-        first = occ[np.unique(rows_occ, return_index=True)[1]]
-        first_d = jnp.asarray(first)
-        fh = np.asarray(fh_d[first_d])
-        rh = np.asarray(rh_d[first_d])
-        r = np.asarray(rows_d[first_d])
-        win = np.lib.stride_tricks.sliding_window_view(
-            codes_np, k, axis=1).reshape(-1, k)[first]
-        flip = rh < fh
-        win = np.where(flip[:, None], 3 - win[:, ::-1], win)
-        text[r] = pack_text(win.astype(np.uint8), k)
-        hr[r] = np.where(flip, fh, rh)
-        filled[r] = True
-        if filled.all():
+        if need.any():
+            occ = np.nonzero(need)[0]
+            rows_occ = np.asarray(rows_d[jnp.asarray(occ)])
+            first = occ[np.unique(rows_occ, return_index=True)[1]]
+            first_d = jnp.asarray(first)
+            fh = np.asarray(fh_d[first_d])
+            rh = np.asarray(rh_d[first_d])
+            r = np.asarray(rows_d[first_d])
+            win = np.lib.stride_tricks.sliding_window_view(
+                codes_np, k, axis=1).reshape(-1, k)[first]
+            flip = rh < fh
+            win = np.where(flip[:, None], 3 - win[:, ::-1], win)
+            text[r] = pack_text(win.astype(np.uint8), k)
+            hr[r] = np.where(flip, fh, rh)
+            if verify:
+                cs[r] = np.asarray(cs_d[first_d])
+            filled[r] = True
+        if verify:
+            # every occurrence must match the stored checksum (the
+            # fill above ran first, so same-batch occurrences verify
+            # against the chosen first occurrence too)
+            collisions += int(count_mismatch(
+                rows_d, cs_d, hit_d, jnp.asarray(filled),
+                jnp.asarray(cs)))
+        elif filled.all():
             break
+    if collisions:
+        raise RuntimeError(
+            f"wide-mode fingerprint collision detected: {collisions} "
+            f"occurrence(s) disagree with the stored k-mer text "
+            f"checksum at k={k}; two distinct k-mers share a 64-bit "
+            f"canonical ntHash. Re-run with a different k (or the "
+            f"packed k<=32 engine) — silent merging would corrupt the "
+            f"assembly.")
     t.hr = hr
     t.text = text
+    t.cs = cs
     return t
 
 
@@ -393,6 +434,8 @@ def compact(t: KmerTable) -> KmerTable:
         t.hr = t.hr[keep]
     if t.text is not None:
         t.text = t.text[keep]
+    if t.cs is not None:
+        t.cs = t.cs[keep]
     t.alive = np.ones(len(t.kmers), bool)
     for cache in ("_end_bases", "_dev"):
         if hasattr(t, cache):

@@ -136,6 +136,55 @@ def kmer_hashes(codes, k: int):
     return fwd, rev, canon, valid
 
 
+# Independent second seed set for wide-mode collision DETECTION
+# (round-3 verdict #3): the checksum hash must not be derivable from
+# the primary hash (NTE64-style extra hashes are functions of the seed
+# hash, so a primary collision propagates to them).  These are
+# splitmix64 mixes of the primary seeds — fixed, published-constant
+# style, with the complement-pairing R2[c] = F2[3-c] preserved so
+# rev2(seq) == fwd2(rc(seq)) exactly like NTR64/NTF64.
+ALT_A = 0x9E2C61E1E2B1A3D7
+ALT_C = 0x6F1D7D3E85A97C15
+ALT_G = 0xB46E2D9C0F53A681
+ALT_T = 0x1C84F3B6D92E074A
+_ALT_FWD_TAB = np.array([ALT_A, ALT_C, ALT_G, ALT_T, 0], dtype=np.uint64)
+_ALT_REV_TAB = np.array([ALT_T, ALT_G, ALT_C, ALT_A, 0], dtype=np.uint64)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def kmer_hashes_alt(codes, k: int):
+    """Window hashes under the INDEPENDENT alternate seed table — the
+    wide-mode text checksum.  Same closed-form scan as kmer_hashes;
+    returns (fwd2, rev2) only (validity comes from the primary call).
+    Two distinct k-mer texts colliding in BOTH the primary fingerprint
+    and this checksum needs a simultaneous 128-bit coincidence
+    (~n^2/2^129 — ~1e-20 at the reference's 20.3e9 human-scale k-mers,
+    Assembly/DBG.h:114-120)."""
+    codes = jnp.asarray(codes)
+    L = codes.shape[-1]
+    W = L - k + 1
+    safe = jnp.minimum(codes, 4).astype(jnp.int32)
+    p = jnp.arange(L)
+    y = srol(jnp.take(jnp.asarray(_ALT_FWD_TAB), safe, axis=0),
+             (-p) % SROL_PERIOD)
+    z = srol(jnp.take(jnp.asarray(_ALT_REV_TAB), safe, axis=0),
+             p % SROL_PERIOD)
+
+    def pxor(a):
+        s = jax.lax.associative_scan(jnp.bitwise_xor, a, axis=-1)
+        zerocol = jnp.zeros(a.shape[:-1] + (1,), a.dtype)
+        return jnp.concatenate([zerocol, s], axis=-1)
+
+    Py = pxor(y)
+    Pz = pxor(z)
+    i = jnp.arange(W)
+    wy = Py[..., k:] ^ Py[..., :W]
+    wz = Pz[..., k:] ^ Pz[..., :W]
+    fwd = srol(wy, (k - 1 + i) % SROL_PERIOD)
+    rev = srol(wz, (SROL_PERIOD - i % SROL_PERIOD) % SROL_PERIOD)
+    return fwd, rev
+
+
 def mask_runs(mask: str) -> tuple[tuple[int, int], ...]:
     """[start, end) runs of masked ('0') positions of a spaced seed."""
     runs = []

@@ -240,8 +240,8 @@ def build_sharded_table(mesh: Mesh, batches, k: int,
     if (1 << log2_d) != n_dev:
         raise ValueError("device count must be a power of two")
 
-    def route_step_factory(n_items):
-        cap = max(64, int(chunk_cap_slack * n_items / n_dev))
+    def route_step_factory(n_items, slack):
+        cap = max(64, int(slack * n_items / n_dev))
 
         @jax.jit
         @partial(jax.shard_map, mesh=mesh,
@@ -278,16 +278,26 @@ def build_sharded_table(mesh: Mesh, batches, k: int,
             codes = np.concatenate(
                 [codes, np.full((pad, L), 4, np.uint8)])
         n_items = (codes.shape[0] // n_dev) * max(L - k + 1, 1)
-        key = (codes.shape[0], L)
-        if key not in steps:
-            steps[key] = route_step_factory(n_items)
         sharded = jax.device_put(
             codes.reshape(n_dev, -1, L),
             jax.sharding.NamedSharding(mesh, P(ax, None, None)))
-        kr, cr, fr, ov = steps[key](sharded)
-        if int(np.asarray(ov).sum()):
-            raise RuntimeError("routing bucket overflow; raise "
-                               "chunk_cap_slack")
+        # adaptive-slack retry (same pattern as RoutedGather): a
+        # skewed batch must not kill a long run the reference's
+        # variable-size MPI sends would survive
+        # (Parallel/MessageBuffer.h:20-80); doubling slack mirrors
+        # growing the per-destination send buffer.
+        slack = chunk_cap_slack
+        while True:
+            key = (codes.shape[0], L, slack)
+            if key not in steps:
+                steps[key] = route_step_factory(n_items, slack)
+            kr, cr, fr, ov = steps[key](sharded)
+            if not int(np.asarray(ov).sum()):
+                break
+            slack *= 2
+            if slack > max(64.0, 4.0 * n_dev):
+                raise RuntimeError(
+                    f"routing bucket overflow at slack {slack / 2}")
         kchunks.append(kr)
         cchunks.append(cr)
         fchunks.append(fr)
@@ -389,12 +399,16 @@ def _pack_window_words(codes, k: int, flip):
     return words
 
 
-def _fill_wide_sharded(t: ShardedKmerTable, sharded_batches) -> None:
+def _fill_wide_sharded(t: ShardedKmerTable, sharded_batches,
+                       verify: bool = True) -> None:
     """Fill the wide-mode side arrays (hr + packed text words) with a
-    second routed pass over the read batches.  hr and text are pure
-    functions of the canonical k-mer (the stored orientation is the
-    smaller-hash one), so any occurrence may win the owner-side
-    scatter — no first-occurrence bookkeeping is needed."""
+    second routed pass over the read batches.  The owner-side scatter
+    is FIRST-WINS, and with verify=True (default) every routed
+    occurrence's text words are compared against the stored row —
+    fingerprint collisions (distinct texts sharing a canonical 64-bit
+    ntHash, ~n^2/2^65 expected: ~11 at the reference's 20.3e9
+    human-scale k-mers, Assembly/DBG.h:106-121) raise instead of
+    silently merging k-mers (round-3 verdict #3)."""
     from ..ops import nthash
     mesh, k = t.mesh, t.k
     ax = table_axes(mesh)
@@ -437,7 +451,7 @@ def _fill_wide_sharded(t: ShardedKmerTable, sharded_batches) -> None:
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(ax),) * (2 + W + 4),
-             out_specs=(P(ax), P(ax), P(ax), P(ax)))
+             out_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)))
     def stage_b(canon_r2, hr_r2, *rest):
         words_r = [rest[i][0] for i in range(W)]
         keys2, filled2, hr2, text3 = rest[W:]
@@ -450,16 +464,28 @@ def _fill_wide_sharded(t: ShardedKmerTable, sharded_batches) -> None:
         idx = jnp.searchsorted(keys, canon_r)
         idx = jnp.minimum(idx, S - 1)
         hit = (keys[idx] == canon_r) & (canon_r != SENTINEL)
-        slot = jnp.where(hit, idx, S)
+        # FIRST-WINS: already-filled rows keep their text, so the
+        # stored value is stable and every occurrence verifies against
+        # the same winner (later-wins would let a colliding text
+        # overwrite and both sides self-verify)
+        slot = jnp.where(hit & ~filledl[idx], idx, S)
         hrl = hrl.at[slot].set(hr_r, mode="drop")
         for w in range(W):
             textl = textl.at[slot, w].set(words_r[w], mode="drop")
         filledl = filledl.at[slot].set(True, mode="drop")
         unfilled = jax.lax.psum(
             jnp.sum(~filledl & (keys != SENTINEL)), ax)
-        return filledl[None], hrl[None], textl[None], unfilled.reshape(1)
+        # collision check: post-update stored words vs this occurrence
+        same = hit
+        for w in range(W):
+            same = same & (textl[idx, w] == words_r[w])
+        bad = hit & ~same
+        coll = jax.lax.psum(jnp.sum(bad), ax)
+        return (filledl[None], hrl[None], textl[None],
+                unfilled.reshape(1), coll.reshape(1))
 
     stages = {}
+    collisions = 0
     for sharded in sharded_batches:
         shape = sharded.shape
         if shape not in stages:
@@ -467,10 +493,19 @@ def _fill_wide_sharded(t: ShardedKmerTable, sharded_batches) -> None:
         dest, canon, hrv, *words = stages[shape](sharded)
         routed = _route_records(mesh, dest, tuple([canon, hrv] + words),
                                 dest >= 0, canon.shape[-1], fills)
-        filled, hr, text, unfilled = stage_b(
+        filled, hr, text, unfilled, coll = stage_b(
             routed[0], routed[1], *routed[2:], t.keys, filled, hr, text)
-        if int(np.asarray(unfilled)[0]) == 0:
+        if verify:
+            collisions += int(np.asarray(coll)[0])
+        elif int(np.asarray(unfilled)[0]) == 0:
             break
+    if collisions:
+        raise RuntimeError(
+            f"wide-mode fingerprint collision detected on the mesh: "
+            f"{collisions} occurrence(s) disagree with the stored "
+            f"k-mer text at k={t.k}; two distinct k-mers share a "
+            f"64-bit canonical ntHash. Re-run with a different k (or "
+            f"the packed k<=32 engine).")
     t.hr = hr
     t.text = text
 
@@ -505,17 +540,18 @@ def build_adjacency_sharded(t: ShardedKmerTable,
     n_dev = t.n_dev
     log2_d = int(n_dev - 1).bit_length()
     S = t.shard_size
-    cap = max(64, int(slack * S * 8 / n_dev))
 
     mask = jnp.uint64((1 << (2 * k)) - 1) if 2 * k < 64 else SENTINEL
     shift_top = jnp.uint64(2 * (min(k, 32) - 1))
     wide = t.wide
 
-    @jax.jit
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(ax), P(ax), P(ax)),
-             out_specs=(P(ax), P(ax), P(ax)))
-    def adj_step(keys2, hr2, text2):
+    def make_adj_step(cap):
+
+      @jax.jit
+      @partial(jax.shard_map, mesh=mesh,
+               in_specs=(P(ax), P(ax), P(ax)),
+               out_specs=(P(ax), P(ax), P(ax)))
+      def adj_step(keys2, hr2, text2):
         keys = keys2[0]
         if wide:
             # candidate fingerprints from O(1) ntHash rolls of the
@@ -584,13 +620,21 @@ def build_adjacency_sharded(t: ShardedKmerTable,
         strand = jnp.where(walk_same, 0, 1).astype(jnp.int8)
         return (nbr[None], strand[None], ov.reshape(1))
 
+      return adj_step
+
     hr_in = t.hr if t.hr is not None else t.keys
     text_in = t.text if t.text is not None else \
         jax.device_put(np.zeros((n_dev, S, 1), np.uint64),
                        jax.sharding.NamedSharding(mesh, P(ax, None, None)))
-    nbr, strand, ov = adj_step(t.keys, hr_in, text_in)
-    if int(np.asarray(ov).sum()):
-        raise RuntimeError("adjacency routing overflow; raise slack")
+    # adaptive-slack retry (MessageBuffer's growable sends analogue)
+    while True:
+        cap = max(64, int(slack * S * 8 / n_dev))
+        nbr, strand, ov = make_adj_step(cap)(t.keys, hr_in, text_in)
+        if not int(np.asarray(ov).sum()):
+            break
+        slack *= 2
+        if slack > max(64.0, 4.0 * n_dev):
+            raise RuntimeError("adjacency routing overflow")
     t.nbr = nbr
     t.nbr_strand = strand
 
@@ -1019,12 +1063,12 @@ def _rank_chains(t: ShardedKmerTable):
     # doubling on nxt to find the TAIL, then chains are identified by
     # tail; equivalently run doubling on prev. We compute prev by
     # routing (target, source) pairs.
-    cap = max(64, int(2.5 * 2 * S / n_dev))
+    def make_compute_prev(cap):
 
-    @jax.jit
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(ax),), out_specs=(P(ax), P(ax)))
-    def compute_prev(nxt2):
+      @jax.jit
+      @partial(jax.shard_map, mesh=mesh,
+               in_specs=(P(ax),), out_specs=(P(ax), P(ax)))
+      def compute_prev(nxt2):
         nxtl = nxt2[0]
         me = jax.lax.axis_index(ax).astype(jnp.int64)
         src = 2 * me * S + jnp.arange(2 * S, dtype=jnp.int64)
@@ -1041,9 +1085,17 @@ def _rank_chains(t: ShardedKmerTable):
                        ].set(sr.reshape(-1), mode="drop")
         return prev[None], ov2.reshape(1)
 
-    prev, ovf = compute_prev(nxt)
-    if int(np.asarray(ovf).sum()):
-        raise RuntimeError("trim routing overflow")
+      return compute_prev
+
+    pslack = 2.5
+    while True:
+        prev, ovf = make_compute_prev(
+            max(64, int(pslack * 2 * S / n_dev)))(nxt)
+        if not int(np.asarray(ovf).sum()):
+            break
+        pslack *= 2
+        if pslack > max(64.0, 4.0 * n_dev):
+            raise RuntimeError("trim routing overflow")
 
     # doubling on prev: P converges to the chain head; dist = position
     @jax.jit

@@ -215,3 +215,59 @@ def test_sharded_wide_k_byte_identical(mesh8):
         sorted(canon(s) for s, _ in ref)
     assert sorted((canon(s), c) for s, c in contigs) == \
         sorted((canon(s), c) for s, c in ref)
+
+
+def test_build_overflow_autoretry(mesh8, monkeypatch):
+    """Round-3 verdict #7: a batch whose routing buckets overflow must
+    retry with doubled slack instead of dying (the MessageBuffer
+    growable-send analogue, Parallel/MessageBuffer.h:20-80).  A tiny
+    initial slack forces overflow on a normal batch."""
+    genome = sim.random_genome(3000, seed=71)
+    codes = _read_codes(genome, 512)
+    k = 25
+    t = st.build_sharded_table(mesh8, [codes], k, chunk_cap_slack=0.05)
+    ref = hash_dbg.count_kmers([codes], k)
+    ht = t.host_table()
+    np.testing.assert_array_equal(ht.kmers, ref.kmers)
+    np.testing.assert_array_equal(ht.counts, ref.counts)
+
+
+def test_per_device_buffer_bound(mesh8, monkeypatch):
+    """Round-3 verdict #7 (memory receipts): every routed buffer the
+    phase machine allocates is bucketized with capacity O(N/D) —
+    recorded at trace time across ALL phases of a full sharded
+    assembly and asserted against the bound, locking the O(N/D)
+    per-device memory contract (sharded_table.py module docstring)."""
+    recorded = []
+    real_bucketize = st._bucketize
+
+    def spy(dest, good, payloads, cap, n_dev, fills):
+        # per-device routed buffer = n_dev buckets x cap slots/bucket
+        recorded.append(int(cap) * int(n_dev))
+        return real_bucketize(dest, good, payloads, cap, n_dev, fills)
+
+    monkeypatch.setattr(st, "_bucketize", spy)
+
+    genome = sim.genome_with_repeats(7000, seed=72, n_repeats=2,
+                                     repeat_len=200)
+    # unique shapes (517 reads, 97 bp) force fresh traces so the spy
+    # sees every phase's routing program
+    codes = _read_codes(genome, 517, read_len=97, seed=73)
+    k = 25
+    contigs, t = st.assemble_sharded(mesh8, [codes], k, kc=2,
+                                     erode_cov=2)
+    assert contigs, "assembly produced no contigs"
+    assert recorded, "no routed buffers traced"
+
+    n_dev = 8
+    # N = routable items upper bound: every k-mer window of the input
+    # (the table itself is smaller after dedup/kc)
+    N = codes.shape[0] * (codes.shape[1] - k + 1)
+    # the phase machine's buffers are capped at slack * (items / D)
+    # with slack <= 4 plus a 64-slot floor per bucket; 8 neighbour
+    # probes per row is the widest per-row fanout (adjacency)
+    bound = 8 * 4.0 * N / n_dev + 64 * n_dev
+    worst = max(recorded)
+    assert worst <= bound, (worst, bound)
+    # and the persistent table shards are N/D-sized
+    assert t.shard_size <= N // n_dev + 1
