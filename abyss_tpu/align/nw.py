@@ -37,6 +37,48 @@ def nw_score_np(a: np.ndarray, b: np.ndarray, match: int = 1,
     return int(prev[lb])
 
 
+def align_global(sa: str, sb: str, match: int = 1, mismatch: int = -1,
+                 gap: int = -2) -> tuple[str, str, int]:
+    """Host NW with traceback (alignGlobal.h's NWAlignment): returns
+    the two gapped alignment strings and the score.  For short
+    sequences (konnector alternate-path consensus, PathConsensus)."""
+    la, lb = len(sa), len(sb)
+    D = np.zeros((la + 1, lb + 1), np.int32)
+    D[:, 0] = np.arange(la + 1) * gap
+    D[0, :] = np.arange(lb + 1) * gap
+    a = np.frombuffer(sa.encode(), np.uint8)
+    b = np.frombuffer(sb.encode(), np.uint8)
+    for i in range(1, la + 1):
+        sub = D[i - 1, :-1] + np.where(b == a[i - 1], match, mismatch)
+        up = D[i - 1, 1:] + gap
+        best = np.maximum(sub, up)
+        # left moves resolved by a max-prefix scan (cf. nw_score_np)
+        off = np.arange(lb + 1) * (-gap)
+        row = np.empty(lb + 1, np.int32)
+        row[0] = i * gap
+        row[1:] = best
+        D[i] = np.maximum.accumulate(row + off) - off
+    # traceback
+    i, j = la, lb
+    oa, ob = [], []
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and D[i, j] == D[i - 1, j - 1] + (
+                match if sa[i - 1] == sb[j - 1] else mismatch):
+            oa.append(sa[i - 1])
+            ob.append(sb[j - 1])
+            i -= 1
+            j -= 1
+        elif i > 0 and D[i, j] == D[i - 1, j] + gap:
+            oa.append(sa[i - 1])
+            ob.append("-")
+            i -= 1
+        else:
+            oa.append("-")
+            ob.append(sb[j - 1])
+            j -= 1
+    return "".join(reversed(oa)), "".join(reversed(ob)), int(D[la, lb])
+
+
 def nw_identity_np(sa: str, sb: str) -> float:
     """Fraction of matched positions in a global alignment — the
     PopBubbles identity criterion (PopBubbles.cpp, p >= 0.9 default).

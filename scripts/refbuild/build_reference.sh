@@ -17,7 +17,9 @@ HERE=$(cd "$(dirname "$0")" && pwd)
 OUT=${1:-/tmp/refbuild}
 mkdir -p "$OUT"
 
-if [ -x "$OUT/abyss-bloom-dbg" ] && [ -x "$OUT/ABYSS" ]; then
+if [ -x "$OUT/abyss-bloom-dbg" ] && [ -x "$OUT/ABYSS" ] \
+   && [ -x "$OUT/konnector" ] && [ -x "$OUT/abyss-map" ] \
+   && [ -x "$OUT/DistanceEst" ] && [ -x "$OUT/abyss-paired-dbg" ]; then
     echo "reference binaries already built in $OUT"
     exit 0
 fi
@@ -88,10 +90,33 @@ build_tool PathOverlap      "$REF"/PathOverlap/PathOverlap.cpp lib_*.o
 build_tool abyss-scaffold   "$REF"/Scaffold/scaffold.cc       $LIBS_NOOPT opt_noverbose.o
 build_tool PathConsensus    "$REF"/MergePaths/PathConsensus.cpp align_*.o dialign_*.o lib_*.o
 
+# ---- alignment stack (round-3 verdict #2: stages 4-5 parity + the
+# full-pipeline head-to-head need abyss-map/fixmate/DistanceEst) ----
+CXXFLAGS="$CXXFLAGS -I$REF/FMIndex"
+[ -f fm_bit_array.o ] || g++ $CXXFLAGS -c "$REF"/FMIndex/bit_array.cc -o fm_bit_array.o
+build_tool abyss-map        "$REF"/Map/map.cc                 fm_bit_array.o lib_*.o
+build_tool abyss-fixmate    "$REF"/ParseAligns/abyss-fixmate.cc lib_*.o
+[ -f tool_MLE.o ] || g++ $CXXFLAGS -c "$REF"/DistanceEst/MLE.cpp -o tool_MLE.o
+build_tool DistanceEst      "$REF"/DistanceEst/DistanceEst.cpp tool_MLE.o lib_*.o
+
+# ---- konnector (round-3 verdict #4: engine parity) ----
+build_tool konnector        "$REF"/Konnector/konnector.cc     align_alignGlobal.o align_smith_waterman.o lib_*.o
+
+# ---- paired DBG (round-3 verdict #5: BASELINE config #4) ----
+if [ ! -x abyss-paired-dbg ]; then
+    for f in "$REF"/ABYSS/abyss.cc "$REF"/Assembly/AssemblyAlgorithms.cc \
+             "$REF"/Assembly/Options.cc; do
+        o="pdbg_$(basename "$f" | sed 's/\.[^.]*$/.o/')"
+        [ -f "$o" ] || g++ $CXXFLAGS -DPAIRED_DBG -c "$f" -o "$o"
+    done
+    g++ $CXXFLAGS -DPAIRED_DBG -o abyss-paired-dbg pdbg_*.o abyss_DB.o lib_*.o -lz
+fi
+
 ./abyss-bloom-dbg --version | head -1
 ./ABYSS --version | head -1
 for b in AdjList abyss-filtergraph MergeContigs PopBubbles Overlap \
-         SimpleGraph MergePaths PathOverlap abyss-scaffold PathConsensus; do
+         SimpleGraph MergePaths PathOverlap abyss-scaffold PathConsensus \
+         abyss-map abyss-fixmate DistanceEst konnector abyss-paired-dbg; do
     ./$b --version | head -1
 done
 echo "built into $OUT"
