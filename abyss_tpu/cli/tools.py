@@ -257,14 +257,32 @@ def gc_main(argv=None):
 
 def konnector_main(argv=None):
     """konnector equivalent (Konnector/konnector.cc): merge read pairs
-    through the Bloom DBG into pseudo-long reads."""
+    through the Bloom DBG into pseudo-long reads.  Round-4: drives the
+    full bidirectional engine (gap/konnector.connect_pairs_full) with
+    the reference's option surface and per-outcome stats block."""
     ap = argparse.ArgumentParser(prog="abyss-tpu konnector")
     ap.add_argument("reads1")
     ap.add_argument("reads2")
     ap.add_argument("-k", "--kmer", type=int, required=True)
     ap.add_argument("-b", "--bloom-size", default="64M")
-    ap.add_argument("-F", "--max-frag", type=int, default=800)
+    ap.add_argument("-f", "--min-frag", type=int, default=0)
+    ap.add_argument("-F", "--max-frag", type=int, default=1000)
     ap.add_argument("-P", "--max-paths", type=int, default=2)
+    ap.add_argument("-B", "--max-branches", type=int, default=0,
+                    help="frontier cap; 0 = nolimit (deprecated)")
+    ap.add_argument("-C", "--max-cost", type=int, default=25000)
+    ap.add_argument("-M", "--max-mismatches", type=int, default=2)
+    ap.add_argument("-m", "--read-mismatches", type=int, default=0,
+                    help="max read/path mismatches; 0 = nolimit")
+    ap.add_argument("-x", "--read-identity", type=float, default=0.0)
+    ap.add_argument("-X", "--path-identity", type=float, default=0.0)
+    ap.add_argument("--mask", action="store_true",
+                    help="lowercase new/changed bases")
+    ap.add_argument("--preserve-reads", action="store_true")
+    ap.add_argument("-D", "--dup-bloom-size", default="0",
+                    help="dup-avoidance Bloom size (with --extend)")
+    ap.add_argument("-q", "--trim-quality", type=int, default=0)
+    ap.add_argument("-t", "--trace-file", default=None)
     ap.add_argument("--extend", action="store_true",
                     help="extend connected reads outward through the DBG")
     ap.add_argument("--cascade", type=int, default=0, metavar="L",
@@ -300,31 +318,70 @@ def konnector_main(argv=None):
             io_read_batches([args.reads1, args.reads2], 4096, 512), params)
     r1 = list(fastx.read_fastx(args.reads1))
     r2 = list(fastx.read_fastx(args.reads2))
+    if args.trim_quality > 0:
+        for rec in list(r1) + list(r2):
+            if rec.qual:
+                s, q = fastx.trim_quality(rec.seq, rec.qual,
+                                          args.trim_quality)
+                rec.seq, rec.qual = s, q
     pairs = [(a.seq, b.seq) for a, b in zip(r1, r2)]
-    results = konnector.connect_pairs(
-        cbf, pairs, args.kmer, max_gap=args.max_frag,
-        max_paths=args.max_paths)
+    NL = konnector.NO_LIMIT
+    kp = konnector.ConnectPairsParams(
+        max_paths=args.max_paths, min_frag=args.min_frag,
+        max_frag=args.max_frag,
+        max_branches=args.max_branches or NL,
+        max_cost=args.max_cost,
+        max_path_mismatches=args.max_mismatches,
+        min_path_identity=args.path_identity,
+        max_read_mismatches=args.read_mismatches or NL,
+        min_read_identity=args.read_identity,
+        mask=args.mask, preserve_reads=args.preserve_reads)
+    stats = konnector.ConnectStats()
+    results = konnector.connect_pairs_full(cbf, pairs, args.kmer, kp,
+                                           stats=stats)
+    if args.trace_file:
+        # per-pair search stats (ConnectPairsResult::printHeaders)
+        with open(args.trace_file, "w") as tf:
+            tf.write("k\tread_id\tsearch_result\tnum_paths\t"
+                     "start_kmer_pos\tend_kmer_pos\n")
+            for a, res in zip(r1, results):
+                label = {"NO_KMER": "NO_PATH",
+                         "MISMATCH": "FOUND_PATH",
+                         "READ_MISMATCH": "FOUND_PATH"}.get(
+                             res.reason, res.reason)
+                prefix = a.id.rsplit("/", 1)[0]
+                tf.write(f"{args.kmer}\t{prefix}\t{label}\t"
+                         f"{res.num_paths}\t{res.start_pos}\t"
+                         f"{res.goal_pos}\n")
+    merged_ok = [res.reason == "FOUND_PATH" for res in results]
     if args.extend:
-        merged_seqs = [res.seq if res.reason == "CONNECTED" else None
-                       for res in results]
+        dup = None
+        if parse_size(args.dup_bloom_size):
+            dup = konnector.DupFilter(parse_size(args.dup_bloom_size) * 8,
+                                      args.kmer)
+        merged_seqs = [res.seq if ok else None
+                       for ok, res in zip(merged_ok, results)]
         extended = konnector.extend_outward(cbf, merged_seqs, args.kmer)
-        for res, seq in zip(results, extended):
-            if res.reason == "CONNECTED":
-                res.seq = seq
+        for j, (res, seq) in enumerate(zip(results, extended)):
+            if merged_ok[j]:
+                if dup is not None and dup.redundant_or_add(cbf, seq):
+                    merged_ok[j] = False   # assembled already; skip
+                else:
+                    res.seq = seq
     n_merged = 0
     with open(args.output_prefix + "_merged.fa", "w") as fm, \
             open(args.output_prefix + "_reads_1.fq", "w") as f1, \
             open(args.output_prefix + "_reads_2.fq", "w") as f2:
-        for a, b, res in zip(r1, r2, results):
-            if res.reason == "CONNECTED":
-                fm.write(f">{a.id} {res.reason}\n{res.seq}\n")
+        for a, b, res, ok in zip(r1, r2, results, merged_ok):
+            if ok:
+                fm.write(f">{a.id.rsplit('/', 1)[0]}\n{res.seq}\n")
                 n_merged += 1
             else:
                 q1 = a.qual or "I" * len(a.seq)
                 q2 = b.qual or "I" * len(b.seq)
                 f1.write(f"@{a.id}\n{a.seq}\n+\n{q1}\n")
                 f2.write(f"@{b.id}\n{b.seq}\n+\n{q2}\n")
-    print(f"merged {n_merged} of {len(pairs)} pairs", file=sys.stderr)
+    print(stats.summary(), file=sys.stderr)
 
 
 def sealer_main(argv=None):

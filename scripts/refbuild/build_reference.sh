@@ -104,10 +104,13 @@ build_tool konnector        "$REF"/Konnector/konnector.cc     align_alignGlobal.
 
 # ---- paired DBG (round-3 verdict #5: BASELINE config #4) ----
 if [ ! -x abyss-paired-dbg ]; then
+    # -include iterator: PairedDBG/BranchRecord.h uses
+    # std::ostream_iterator without including <iterator>
     for f in "$REF"/ABYSS/abyss.cc "$REF"/Assembly/AssemblyAlgorithms.cc \
-             "$REF"/Assembly/Options.cc; do
+             "$REF"/Assembly/Options.cc "$REF"/PairedDBG/KmerPair.cc; do
         o="pdbg_$(basename "$f" | sed 's/\.[^.]*$/.o/')"
-        [ -f "$o" ] || g++ $CXXFLAGS -DPAIRED_DBG -c "$f" -o "$o"
+        [ -f "$o" ] || g++ $CXXFLAGS -DPAIRED_DBG -include iterator \
+            -c "$f" -o "$o"
     done
     g++ $CXXFLAGS -DPAIRED_DBG -o abyss-paired-dbg pdbg_*.o abyss_DB.o lib_*.o -lz
 fi

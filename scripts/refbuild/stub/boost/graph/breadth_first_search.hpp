@@ -6,6 +6,9 @@
 #include <deque>
 namespace boost {
 template <class T> inline void function_requires() {}
+// no-op concept-check tags (BidirectionalBFS.h uses them)
+template <class G> struct BidirectionalGraphConcept {};
+template <class M, class K> struct ReadWritePropertyMapConcept {};
 template <class T>
 class queue : public std::deque<T> {
   public:

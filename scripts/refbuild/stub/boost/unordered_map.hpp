@@ -3,13 +3,29 @@
 #ifndef STUB_BOOST_UNORDERED_MAP
 #define STUB_BOOST_UNORDERED_MAP 1
 #include <cstddef>
+#include <functional>
+#include <string>
+#include <type_traits>
 #include <unordered_map>
 namespace boost {
-/** boost::hash: defers to the type's ADL hash_value(). */
+namespace stub_detail {
+// prefer the type's ADL hash_value(); fall back to std::hash for
+// standard types (string keys in abyss-fixmate)
+template <class K>
+auto hash_impl(const K& k, int) -> decltype(hash_value(k)) {
+	return hash_value(k);
+}
+template <class K>
+std::size_t hash_impl(const K& k, long) {
+	return std::hash<K>()(k);
+}
+}
+/** boost::hash: ADL hash_value() if available, else std::hash. */
 template <class K>
 struct hash {
 	std::size_t operator()(const K& k) const {
-		return static_cast<std::size_t>(hash_value(k));
+		return static_cast<std::size_t>(
+			stub_detail::hash_impl(k, 0));
 	}
 };
 template <class K, class V>

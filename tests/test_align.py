@@ -163,3 +163,35 @@ def test_mapper_chains_indel_read():
     q = sum(int(n) for n, op in re.findall(r"(\d+)([MIDSH=X])", a.cigar)
             if op in "MIS=X")
     assert q == len(read)
+
+
+def test_device_mle_matches_host_path():
+    """Round-3 verdict #6: the batched device theta scan
+    (estimate_distances_device) returns exactly the host
+    maximum_likelihood_estimate's (d, n) per group."""
+    import numpy as np
+    from abyss_tpu.align import distance_est as de
+    from abyss_tpu.core.histogram import Histogram
+
+    rng = np.random.default_rng(42)
+    frags = rng.normal(420, 45, 4000).astype(int)
+    h = Histogram.of(int(x) for x in frags if x > 0)
+    pmf = de.PMF.from_histogram(h)
+    first, last = -(len(pmf.probs) - 1), len(pmf.probs) - 1
+
+    groups = []
+    for g in range(25):
+        n = int(rng.integers(10, 200))
+        true_d = int(rng.integers(-80, 400))
+        spans = (rng.normal(420, 45, n).astype(int) - true_d)
+        len0 = int(rng.integers(300, 3000))
+        len1 = int(rng.integers(300, 3000))
+        groups.append((("u%d" % g, 0, "v%d" % g, 0),
+                       [int(s) for s in spans], len0, len1))
+
+    dev = de.estimate_distances_device(groups, pmf, first, last)
+    for key, samples, len0, len1 in groups:
+        d_h, n_h = de.maximum_likelihood_estimate(
+            samples, pmf, len0, len1, first, last)
+        d_d, n_d = dev[key]
+        assert (d_d, n_d) == (d_h, n_h), (key, (d_d, n_d), (d_h, n_h))
