@@ -338,7 +338,11 @@ def _member_and_lookup(qp, qk, vp, vk, vidx):
 
 @dataclass
 class _Side:
-    """Per-side node store, flat across all pairs."""
+    """Per-side node store, flat across all pairs.  A surrogate-key
+    sorted index (skey = canon ^ splitmix64(pair)) gives O(log V)
+    membership without re-sorting the visited set every level; matches
+    are always VERIFIED on exact (pair, canon), so skey collisions
+    cost a probe, never correctness."""
     pair: np.ndarray
     canon: np.ndarray
     fh: np.ndarray
@@ -350,6 +354,14 @@ class _Side:
     e_parent: np.ndarray = field(
         default_factory=lambda: np.zeros(0, np.int64))
 
+    def __post_init__(self):
+        sk = self.canon ^ _mix_pair(self.pair)
+        order = np.argsort(sk)
+        self.sk = sk[order]
+        self.sk_pair = self.pair[order]
+        self.sk_canon = self.canon[order]
+        self.sk_idx = order.astype(np.int64)
+
     def append_nodes(self, pair, canon, fh, rh, words, depth):
         base = len(self.pair)
         self.pair = np.concatenate([self.pair, pair])
@@ -358,7 +370,49 @@ class _Side:
         self.rh = np.concatenate([self.rh, rh])
         self.words = np.concatenate([self.words, words])
         self.depth = np.concatenate([self.depth, depth])
-        return np.arange(base, base + len(pair), dtype=np.int64)
+        ids = np.arange(base, base + len(pair), dtype=np.int64)
+        # merge the new rows into the sorted surrogate index
+        sk_new = canon ^ _mix_pair(pair)
+        o = np.argsort(sk_new)
+        pos = np.searchsorted(self.sk, sk_new[o])
+        self.sk = np.insert(self.sk, pos, sk_new[o])
+        self.sk_pair = np.insert(self.sk_pair, pos, pair[o])
+        self.sk_canon = np.insert(self.sk_canon, pos, canon[o])
+        self.sk_idx = np.insert(self.sk_idx, pos, ids[o])
+        return ids
+
+    def lookup(self, qp, qk):
+        """Node index for each (pair, canon) query, or -1."""
+        nq = len(qp)
+        if nq == 0 or len(self.sk) == 0:
+            return np.full(nq, -1, np.int64)
+        qsk = qk ^ _mix_pair(qp)
+        pos = np.searchsorted(self.sk, qsk, side="left")
+        out = np.full(nq, -1, np.int64)
+        n = len(self.sk)
+        unresolved = None
+        for probe in range(3):
+            p = pos + probe
+            ok = (p < n)
+            pc = np.minimum(p, n - 1)
+            same_sk = ok & (self.sk[pc] == qsk)
+            hit = same_sk & (self.sk_pair[pc] == qp) & \
+                (self.sk_canon[pc] == qk) & (out < 0)
+            out[hit] = self.sk_idx[pc[hit]]
+            if probe == 2:
+                unresolved = same_sk & (out < 0)
+        # skey runs longer than 3 are ~impossible (needs >=3 XOR
+        # collisions); resolve the stragglers exactly anyway
+        if unresolved is not None and unresolved.any():
+            for qi in np.nonzero(unresolved)[0]:
+                p = int(pos[qi]) + 3
+                while p < n and self.sk[p] == qsk[qi]:
+                    if self.sk_pair[p] == qp[qi] and \
+                            self.sk_canon[p] == qk[qi]:
+                        out[qi] = self.sk_idx[p]
+                        break
+                    p += 1
+        return out
 
     def append_edges(self, child, parent):
         self.e_child = np.concatenate([self.e_child, child])
@@ -569,9 +623,7 @@ def _connect_chunk(filt, pairs, k, params) -> list[ConnectResult]:
                   else _shift_left(side.words[cparent], k, c_in_k))
 
             # meet detection: candidate in OTHER side's visited
-            om = _member_and_lookup(cpair, canon, other.pair,
-                                    other.canon, np.arange(
-                                        len(other.pair), dtype=np.int64))
+            om = other.lookup(cpair, canon)
             # common edge requires parent depth < this side's cap
             pd_ok = (par_depth[rep][idx] <
                      (mdepth[cpair] if isinstance(mdepth, np.ndarray)
@@ -594,9 +646,7 @@ def _connect_chunk(filt, pairs, k, params) -> list[ConnectResult]:
                     fail[i] = 1
 
             # visited lookup on own side (non-tree edges)
-            sm = _member_and_lookup(cpair, canon, side.pair, side.canon,
-                                    np.arange(len(side.pair),
-                                              dtype=np.int64))
+            sm = side.lookup(cpair, canon)
             is_old = (sm >= 0) & ~is_meet
             # record non-tree parent edges (traversal-DAG alternates)
             side.append_edges(sm[is_old], cparent[is_old])
@@ -621,14 +671,13 @@ def _connect_chunk(filt, pairs, k, params) -> list[ConnectResult]:
                     r2[winners], cw[winners], cdepth[winners])
                 side.append_edges(new_ids, cparent[winners])
                 # duplicate in-level discoveries are non-tree edges to
-                # the winner node
+                # the winner node: forward-fill winner ids over runs
                 if len(losers):
-                    lm = _member_and_lookup(
-                        cpair[losers], canon[losers], side.pair,
-                        side.canon,
-                        np.arange(len(side.pair), dtype=np.int64))
-                    okl = lm >= 0
-                    side.append_edges(lm[okl], cparent[losers][okl])
+                    run = np.cumsum(first) - 1
+                    winner_of = new_ids[run]      # aligned to `order`
+                    loser_winner = winner_of[~first]
+                    side.append_edges(loser_winner,
+                                      cparent[fi[order][~first]])
                 new_frontier = new_ids
             else:
                 new_frontier = np.zeros(0, np.int64)
@@ -646,16 +695,29 @@ def _connect_chunk(filt, pairs, k, params) -> list[ConnectResult]:
                 frontier_r = new_frontier
 
     # ---- per-pair classification + path building -----------------------
+    # group each side's edge list by pair once (not per pair)
+    def _edge_groups(side):
+        ep = side.pair[side.e_child] if len(side.e_child) else \
+            np.zeros(0, np.int64)
+        order = np.argsort(ep, kind="stable")
+        return ep[order], side.e_child[order], side.e_parent[order]
+
+    F_ep, F_ec, F_epar = _edge_groups(F)
+    R_ep, R_ec, R_epar = _edge_groups(R)
+
     def build_side_paths(side, node, cap, budget):
         """All parent-paths node -> seed in the traversal DAG (the
         allPathsSearch over m_traversalGraph); returns (paths, cyclic)
         where each path is a list of node ids starting at `node` and
         ending at the seed."""
-        # parent adjacency for this pair only
-        parents: dict[int, list[int]] = {}
+        # parent adjacency for this pair only (pre-grouped edge list)
+        ep, ec, epar = (F_ep, F_ec, F_epar) if side is F else \
+            (R_ep, R_ec, R_epar)
         pr = side.pair[node]
-        sel = np.nonzero(side.pair[side.e_child] == pr)[0]
-        for c, p in zip(side.e_child[sel], side.e_parent[sel]):
+        a = np.searchsorted(ep, pr, side="left")
+        b = np.searchsorted(ep, pr, side="right")
+        parents: dict[int, list[int]] = {}
+        for c, p in zip(ec[a:b], epar[a:b]):
             parents.setdefault(int(c), []).append(int(p))
         paths, stack = [], [(int(node), [int(node)])]
         cyclic = False

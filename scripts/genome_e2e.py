@@ -55,6 +55,8 @@ def main():
                 os.remove(os.path.join(outdir, stale))
         genome = sim.genome_with_repeats(genome_bp, seed=7, n_repeats=12,
                                          repeat_len=700)
+        with open(os.path.join(outdir, "truth.fa"), "w") as f:
+            f.write(f">truth\n{genome}\n")
         reads = sim.simulate_paired_reads(genome, coverage=coverage,
                                           read_len=150, fragment_mean=500,
                                           fragment_sd=50, error_rate=0.005,

@@ -1,0 +1,94 @@
+#!/bin/sh
+# Run the REFERENCE's complete default stage chain (hash-DBG mode,
+# one paired-end library) with the binaries from scripts/refbuild —
+# the full-pipeline head-to-head denominator (round-3 verdict #1).
+#
+# Mirrors bin/abyss-pe:553-749 recipes with the default parameters:
+#   q=3 kc=2 m=0(k<=50) p=0.9 l=40 s=1000 n=10 S=100-5000 N=15-20
+# (bin/abyss-pe:190,240-244,264,314-319,349-356).  Per-stage wall
+# times are printed as "STAGE <label> <seconds>".
+#
+# Usage: scripts/ref_pipeline.sh <workdir> <k> <reads1> <reads2> [j]
+set -e
+BIN=${BIN:-/tmp/refbuild}
+WORK=$1; k=$2; R1=$3; R2=$4; j=${5:-2}
+name=ref
+q=3; kc=2; p=0.9; l=40; s=1000; n=10; S=100-5000; N=15-20
+if [ "$k" -le 50 ]; then m=0; else m=50; fi
+mkdir -p "$WORK"
+cd "$WORK"
+
+stamp() { date +%s.%N; }
+lap() {  # lap <label> <t0>
+    end=$(stamp)
+    echo "STAGE $1 $(echo "$end $2" | awk '{printf "%.1f", $1-$2}')"
+}
+
+T0=$(stamp)
+t=$(stamp)
+$BIN/ABYSS -k$k -q$q --kc=$kc --coverage-hist=coverage.hist \
+    -s $name-bubbles.fa -o $name-1.fa "$R1" "$R2" 2> $name-1.log
+lap "1-unitigs(ABYSS)" $t
+
+t=$(stamp)
+$BIN/AdjList -k$k -m$m --dot $name-1.fa > $name-1.dot
+ln -sf $name-1.fa $name-1-rr.fa
+ln -sf $name-1.dot $name-1-rr.dot
+$BIN/abyss-filtergraph --dot -k$k -g $name-2.dot1 \
+    $name-1-rr.dot $name-1-rr.fa > $name-1-rr.path
+$BIN/MergeContigs --dot -k$k -g $name-2.dot -o $name-2.fa \
+    $name-1-rr.fa $name-2.dot1 $name-1-rr.path
+$BIN/PopBubbles --dot -j$j -k$k -p$p -g $name-3.dot \
+    $name-2.fa $name-2.dot > $name-2.path
+$BIN/MergeContigs -k$k -o $name-3.fa \
+    $name-2.fa $name-2.dot $name-2.path
+lap "2-3-graph" $t
+
+t=$(stamp)
+$BIN/abyss-map -j$j -l$l "$R1" "$R2" $name-3.fa 2> $name-map.log \
+    | $BIN/abyss-fixmate -l$l -h $name-3.hist 2> $name-fm.log \
+    | sort -snk3 -k4 \
+    | $BIN/DistanceEst -j$j -k$k -l$l -s$s -n$n \
+        -o $name-3.dist $name-3.hist
+lap "4-5-map-dist" $t
+
+t=$(stamp)
+$BIN/Overlap --dot -k$k -g $name-4.dot -o $name-4.fa \
+    $name-3.fa $name-3.dot $name-3.dist
+$BIN/SimpleGraph -j$j -k$k -s$s -n$n -o $name-4.path1 \
+    $name-4.dot $name-3.dist
+$BIN/abyss-index --fai $name-3.fa
+$BIN/abyss-index --fai $name-4.fa
+cat $name-3.fa.fai $name-4.fa.fai \
+    | $BIN/MergePaths -j$j -k$k -s$s -o $name-4.path2 - $name-4.path1
+$BIN/PathOverlap --assemble -k$k $name-4.dot $name-4.path2 \
+    > $name-4.path3
+cat $name-3.fa $name-4.fa \
+    | $BIN/PathConsensus --dot -k$k -p$p -o $name-5.path \
+        -s $name-5.fa -g $name-5.dot - $name-4.dot $name-4.path3
+cat $name-3.fa $name-4.fa $name-5.fa \
+    | $BIN/MergeContigs -k$k -o $name-6.fa - $name-5.dot $name-5.path
+$BIN/PathOverlap --overlap -k$k --dot $name-5.dot $name-5.path \
+    > $name-6.dot
+lap "6-contigs" $t
+
+t=$(stamp)
+SDS=$(echo $S | sed 's/-.*//')
+SDN=$(echo $N | sed 's/-.*//')
+$BIN/abyss-map -j$j -l$l "$R1" "$R2" $name-6.fa 2> $name-map6.log \
+    | $BIN/abyss-fixmate -l$l -h $name-6.hist 2> $name-fm6.log \
+    | sort -snk3 -k4 \
+    | $BIN/DistanceEst --dot --median -j$j -k$k -l$l -s$SDS -n$SDN \
+        -o $name-6.dist.dot $name-6.hist
+lap "7-mp-dist" $t
+
+t=$(stamp)
+$BIN/abyss-scaffold -k$k -s$S -n$N -g $name-6.path.dot \
+    $name-6.dot $name-6.dist.dot > $name-6.path 2> $name-sc.log
+$BIN/PathConsensus --dot -k$k -p$p -s $name-7.fa -g $name-7.dot \
+    -o $name-7.path $name-6.fa $name-6.dot $name-6.path
+cat $name-6.fa $name-7.fa \
+    | $BIN/MergeContigs -k$k -o $name-8.fa - $name-7.dot $name-7.path
+lap "8-scaffolds" $t
+lap "TOTAL" $T0
+echo "DONE $WORK/$name-8.fa"

@@ -95,6 +95,7 @@ build_tool PathConsensus    "$REF"/MergePaths/PathConsensus.cpp align_*.o dialig
 CXXFLAGS="$CXXFLAGS -I$REF/FMIndex"
 [ -f fm_bit_array.o ] || g++ $CXXFLAGS -c "$REF"/FMIndex/bit_array.cc -o fm_bit_array.o
 build_tool abyss-map        "$REF"/Map/map.cc                 fm_bit_array.o lib_*.o
+build_tool abyss-index      "$REF"/Map/index.cc               fm_bit_array.o lib_*.o
 build_tool abyss-fixmate    "$REF"/ParseAligns/abyss-fixmate.cc lib_*.o
 [ -f tool_MLE.o ] || g++ $CXXFLAGS -c "$REF"/DistanceEst/MLE.cpp -o tool_MLE.o
 build_tool DistanceEst      "$REF"/DistanceEst/DistanceEst.cpp tool_MLE.o lib_*.o
