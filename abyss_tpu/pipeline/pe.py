@@ -110,7 +110,9 @@ class PipelineParams:
     island_len: int | None = None   # default 2k
     bubble_identity: float = 0.9    # p
     max_branches: int = 4           # a (PathConsensus candidate cap)
-    rresolve: bool = True           # run RResolver before filtergraph
+    # RResolver before filtergraph; None = auto (Bloom mode only,
+    # matching bin/abyss-pe:581-589 `ifdef B` — other engines ln -s)
+    rresolve: bool | None = None
     rresolve_threshold: int = 4     # t (RResolver/README.md)
     # distance estimation / paths
     align_k: int = 32               # l default (seed length analogue)
@@ -354,7 +356,9 @@ def stage_graph_2_3(p: PipelineParams) -> tuple[str, str]:
     graphio.write_dot(g, p.path("1.dot"), k=p.k)
     seqs = dict(contigs)
 
-    if p.rresolve:
+    run_rr = p.rresolve if p.rresolve is not None \
+        else p.engine == "bloom"
+    if run_rr:
         # RResolver (abyss-rresolver-short, bin/abyss-pe:581-585):
         # one r per read-size batch + subiterations
         # (RAlgorithmsShort.cpp resolveShort)

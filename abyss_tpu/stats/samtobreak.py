@@ -53,32 +53,32 @@ def contig_breakpoints(genome: str | list[tuple[str, str]],
         canon_np = np.asarray(canon)[:W]
         read_fwd = np.asarray(f == canon)[:W]
         valid_np = np.asarray(valid)[:W]
-        N = index.hashes.shape[0]
-        base = np.asarray(jnp.searchsorted(index.hashes,
-                                           jnp.asarray(canon_np)))
-        keys = np.full(len(canon_np), -1, np.int64)
-        for w in range(len(canon_np)):
-            if not valid_np[w]:
-                continue
-            i = int(base[w])
-            while i < N and int(np.asarray(index.hashes[i])) == \
-                    int(canon_np[w]):
-                strand = int(np.asarray(index.is_fwd[i])) != bool(
-                    read_fwd[w])
-                pos = int(np.asarray(index.pos[i]))
-                contig = int(np.asarray(index.contig[i]))
-                diag = pos - w if not strand else pos + w
-                keys[w] = ((contig * 2 + strand) << 24) + diag + (1 << 22)
-                break
-            else:
-                i += 1
+        # one bulk pull of the index (round-4: the old per-window
+        # device indexing paid a tunnel round trip per base and never
+        # finished at genome scale)
+        idx_h = np.asarray(index.hashes)
+        idx_fwd = np.asarray(index.is_fwd)
+        idx_pos = np.asarray(index.pos)
+        idx_contig = np.asarray(index.contig)
+        N = len(idx_h)
+        base = np.searchsorted(idx_h, canon_np)
+        bc = np.minimum(base, max(N - 1, 0))
+        hit = valid_np & (base < N) & (idx_h[bc] == canon_np) if N \
+            else np.zeros(W, bool)
+        strand = (idx_fwd[bc].astype(bool) != read_fwd)
+        wv = np.arange(W)
+        diag = np.where(strand, idx_pos[bc] + wv, idx_pos[bc] - wv)
+        keys = np.where(
+            hit,
+            ((idx_contig[bc].astype(np.int64) * 2 +
+              strand.astype(np.int64)) << 24) + diag + (1 << 22),
+            -1)
         # group consecutive matching windows into blocks (allow small
         # diagonal jitter from indels: treat keys within +-2 as same)
         blocks = []
         cur_key, cur_start, cur_len = None, 0, 0
-        for w, key in enumerate(keys):
-            if key < 0:
-                continue
+        for w in np.nonzero(keys >= 0)[0]:
+            key = int(keys[w])
             if cur_key is not None and abs(key - cur_key) <= 2:
                 cur_len = w - cur_start + k
             else:

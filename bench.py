@@ -183,6 +183,61 @@ def main():
         except Exception as e:  # kernel may reject this Mosaic build
             hash_rates[impl] = f"failed: {type(e).__name__}"
 
+    # ---- wide mode (k=96, the README.md:259-263 E. coli config):
+    # canonical ntHash fingerprints through the same sort/RLE + packed
+    # probe machinery (round-3 verdict #10)
+    wide_rates = {}
+    if not os.environ.get("BENCH_SKIP_WIDE"):
+        WK = int(os.environ.get("BENCH_WIDE_K", 96))
+        WLEN = 150
+        wcodes = jax.device_put(rng.integers(
+            0, 4, size=(BATCH, WLEN), dtype=np.uint8))
+        wkmers = BATCH * (WLEN - WK + 1)
+        wskf = SortedKmerCounter(WK, 1)
+        _, _, wcanon_t, wvalid_t = nthash.kmer_hashes(
+            jax.device_put(rng.integers(
+                0, 4, size=(TABLE_READS, WLEN), dtype=np.uint8)), WK)
+        wskf.add(wcanon_t, wvalid_t)
+        wtable = wskf.finalize()
+        wpacked = pack_table(wtable.kmers, wtable.counts)
+
+        def mk_wcount_loop(n):
+            @jax.jit
+            def f(c):
+                def body(i, acc):
+                    cc = jnp.bitwise_and(c + i.astype(jnp.uint8),
+                                         jnp.uint8(3))
+                    _, _, canon, valid = nthash.kmer_hashes(cc, WK)
+                    keys, counts = SortedKmerCounter._sort_rle(
+                        jnp.where(valid, canon,
+                                  jnp.uint64(0xFFFFFFFFFFFFFFFF)
+                                  ).reshape(-1))
+                    return acc ^ keys[0] ^ jnp.uint64(counts[1])
+                return jax.lax.fori_loop(0, n, body, jnp.uint64(0))
+            return lambda: f(wcodes)
+
+        def mk_wprobe_loop(n):
+            @jax.jit
+            def f(tbl_p, c):
+                def body(i, acc):
+                    cc = jnp.bitwise_and(c + i.astype(jnp.uint8),
+                                         jnp.uint8(3))
+                    _, _, canon, valid = nthash.kmer_hashes(cc, WK)
+                    solid = join_solid_packed(tbl_p, canon.reshape(-1), 1)
+                    return acc + jnp.where(valid.reshape(-1), solid,
+                                           False).sum(dtype=jnp.int64)
+                return jax.lax.fori_loop(0, n, body, jnp.int64(0))
+            return lambda: f(wpacked, wcodes)
+
+        t_wc = _loop_rate(mk_wcount_loop)
+        t_wp = _loop_rate(mk_wprobe_loop)
+        wide_rates = {
+            "k": WK,
+            "count_kmers_per_s": round(wkmers / t_wc),
+            "probe_kmers_per_s": round(wkmers / t_wp),
+            "combined_kmers_per_s": round(wkmers / (t_wc + t_wp)),
+        }
+
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "BASELINE_MEASURED.json")
     try:
@@ -201,6 +256,7 @@ def main():
             "sorted_count_kmers_per_s": round(count_rate),
             "sorted_probe_kmers_per_s": round(probe_rate),
             "bloom_insert_kmers_per_s": bloom_rates,
+            "wide_mode": wide_rates,
             "hash_kmers_per_s": hash_rates,
             "hash_impl_engine_paths": nthash.resolved_impl(),
             "k": K, "batch": BATCH,

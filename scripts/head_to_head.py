@@ -99,26 +99,45 @@ def main():
         with open(os.path.join(refdir, "stages.json")) as f:
             ref_stages = json.load(f)
 
-    # ---- our pipeline ----
-    oursdir = os.path.join(outdir, "ours")
-    os.makedirs(oursdir, exist_ok=True)
+    # ---- our pipeline: cold (fresh-process compile) + steady-state
+    # (2nd run in the same process; the axon tunnel pays a large
+    # per-process warmup and its compile cache does not engage, so
+    # both framings are reported — BENCH_NOTES measurement discipline)
     from abyss_tpu.pipeline import pe
-    t0 = time.time()
-    params = pe.PipelineParams(name="ecoli", k=k, in_files=[r1, r2],
-                               outdir=oursdir, verbose=2,
-                               engine="exact")
-    artifacts = pe.run(params)
-    ours_wall = round(time.time() - t0, 1)
-    ours8 = artifacts["scaffolds"]
+    walls = {}
+    ours8 = None
+    runs = int(os.environ.get("H2H_OURS_RUNS", "2"))
+    for tag in ["cold", "steady"][:runs]:
+        oursdir = os.path.join(outdir, f"ours_{tag}")
+        os.makedirs(oursdir, exist_ok=True)
+        t0 = time.time()
+        params = pe.PipelineParams(name="ecoli", k=k,
+                                   in_files=[r1, r2],
+                                   outdir=oursdir, verbose=2,
+                                   engine="exact")
+        artifacts = pe.run(params)
+        walls[tag] = round(time.time() - t0, 1)
+        ours8 = artifacts["scaffolds"]
+        print(f"[ours:{tag}] {walls[tag]}s", flush=True)
+
+    def cached_breaks(label, path):
+        cpath = os.path.join(outdir, f"breaks_{label}.json")
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                return json.load(f)
+        b = breaks(truth, path)
+        with open(cpath, "w") as f:
+            json.dump(b, f)
+        return b
 
     out = {
         "genome_bp": genome_bp, "k": k,
         "ref_wall_s": ref_stages.get("TOTAL"),
         "ref_stages": ref_stages,
-        "ours_wall_s": ours_wall,
+        "ours_wall_s": walls,
         "ref_fac": fac(ref8), "ours_fac": fac(ours8),
-        "ref_breaks": breaks(truth, ref8),
-        "ours_breaks": breaks(truth, ours8),
+        "ref_breaks": cached_breaks("ref", ref8),
+        "ours_breaks": cached_breaks("ours", ours8),
     }
     print("HEADTOHEAD " + json.dumps(out), flush=True)
 
