@@ -128,61 +128,139 @@ def build_pair_adjacency(t: KmerTable, k: int) -> np.ndarray:
     return np.asarray(jnp.where(hit, idx.astype(jnp.int32), -1))
 
 
+def _filter_inconsistent_zero_gap(nbr: np.ndarray, b_first: np.ndarray,
+                                  a_last: np.ndarray) -> np.ndarray:
+    """removePairedDBGInconsistentEdges (PairedDBG/
+    PairedDBGAlgorithms.h:10-41): when the pair gap is exactly zero
+    (span K == 2k) the junction base is covered by BOTH tracks, so a
+    right edge with Dinuc (c1, c2) is consistent only if c1 equals the
+    source b-kmer's first base, and a left edge only if c2 equals the
+    source a-kmer's last base (the predicate is orientation-invariant,
+    so filtering candidates in stored orientation removes the edge
+    from both sides)."""
+    cols = np.arange(16)
+    c1 = cols >> 2
+    c2 = cols & 3
+    out = nbr.copy()
+    out[:, :16] = np.where(c1[None, :] == b_first[:, None],
+                           out[:, :16], -1)
+    out[:, 16:] = np.where(c2[None, :] == a_last[:, None],
+                           out[:, 16:], -1)
+    return out
+
+
+def _chain_trim_round(alive: np.ndarray, nxt: np.ndarray,
+                      right_deg: np.ndarray, left_deg: np.ndarray,
+                      max_tip: int) -> int:
+    """One trimSequences pass over the pair graph's chain
+    decomposition — the same batched reformulation as
+    hash_dbg._trim_round (TrimAlgorithm.h:38-99): a chain whose head
+    is blunt, whose length is <= max_tip PAIR-vertices, and whose walk
+    ended for a removing reason (dead end BS_NOEXT, or a cut link into
+    an ambiguous merge BS_AMBI_OPP) dies; islands (singletons with no
+    edges) die unconditionally like SC_ISLAND."""
+    N = len(alive)
+    outdeg = np.empty(2 * N, np.int64)
+    outdeg[0::2] = right_deg
+    outdeg[1::2] = left_deg
+    indeg = outdeg[np.arange(2 * N) ^ 1]
+    head, pos = hash_dbg._pointer_double(nxt)
+    alive_ov = np.repeat(alive, 2)
+    order = np.argsort((head.astype(np.uint64) << np.uint64(32))
+                       | pos.astype(np.uint64), kind="stable")
+    order = order[alive_ov[order]]
+    if not len(order):
+        return 0
+    heads = head[order]
+    b = np.nonzero(np.concatenate([[True], heads[1:] != heads[:-1]]))[0]
+    e = np.concatenate([b[1:], [len(order)]])
+    headv = order[b]
+    endv = order[e - 1]
+    length = e - b
+    kill = (indeg[headv] == 0) & (length <= max_tip) & \
+        (outdeg[endv] <= 1)
+    if not kill.any():
+        return 0
+    rows = np.unique(order[np.repeat(kill, length)] >> 1)
+    alive[rows] = False
+    return len(rows)
+
+
 def assemble_pairs(batches, k: int, K: int, kc: int = 2,
+                   tip_len: int | None = None,
                    ) -> list[tuple[str, int]]:
-    """Count pairs, build adjacency, link unique successors, emit
-    contigs (with 'N' for undetermined interior positions).
+    """Count pairs, build adjacency, TRIM TIPS (performTrim with the
+    reference's default t = span, straight to the t-fixpoint like
+    hash_dbg.trim), link unique successors, emit contigs (with 'N' for
+    undetermined interior positions).  tip_len=0 disables trimming.
 
     k <= 16 packs both k-mers into one uint64; larger k dispatches to
     the fingerprint-keyed wide mode (assemble_pairs_wide), lifting the
     round-1 cap to any k (KmerPair.h:14 spans k up to MAXK/2)."""
     if k > 16:
-        return assemble_pairs_wide(batches, k, K, kc=kc)
+        return assemble_pairs_wide(batches, k, K, kc=kc,
+                                   tip_len=tip_len)
     t = count_pairs(batches, k, K)
     t.alive &= t.counts >= kc
     nbr = build_pair_adjacency(t, k)
+    if K == 2 * k:
+        b_first = ((t.kmers >> np.uint64(2 * (k - 1))) &
+                   np.uint64(3)).astype(np.uint8)
+        a_last = ((t.kmers >> np.uint64(2 * k)) &
+                  np.uint64(3)).astype(np.uint8)
+        nbr = _filter_inconsistent_zero_gap(nbr, b_first, a_last)
     N = t.n
     alive = t.alive
-    ok = (nbr >= 0) & np.where(nbr >= 0, alive[np.maximum(nbr, 0)], False)
-    right_deg = ok[:, :16].sum(axis=1)
-    left_deg = ok[:, 16:].sum(axis=1)
     rc = np.asarray(_rc_pair(jnp.asarray(t.kmers), k))
     palin = rc == t.kmers
-
-    nxt = np.full(2 * N, -1, np.int64)
-    maskp = (1 << (4 * k)) - 1
     maskk = (1 << (2 * k)) - 1
-    for strand in (0, 1):
-        deg = right_deg if strand == 0 else left_deg
-        cols = slice(0, 16) if strand == 0 else slice(16, 32)
-        rows = np.nonzero(alive & (deg == 1) & ~palin)[0]
-        if not len(rows):
-            continue
-        sub = np.where(ok[rows, cols], nbr[rows, cols], -1)
-        tgt = sub.max(axis=1)
-        din = np.argmax(sub, axis=1)  # dinuc index c1*4+c2
-        c1, c2 = din >> 2, din & 3
-        x = t.kmers[rows]
-        a = (x >> np.uint64(2 * k)).astype(np.uint64)
-        b = (x & np.uint64(maskk)).astype(np.uint64)
-        if strand == 0:
-            na = ((a << np.uint64(2)) | c1.astype(np.uint64)) & np.uint64(maskk)
-            nb = ((b << np.uint64(2)) | c2.astype(np.uint64)) & np.uint64(maskk)
-        else:
-            xr = np.asarray(_rc_pair(jnp.asarray(x), k))
-            a = (xr >> np.uint64(2 * k)).astype(np.uint64)
-            b = (xr & np.uint64(maskk)).astype(np.uint64)
-            # a LEFT Dinuc (c1, c2) maps to the rc walk orientation as a
-            # right Dinuc with components swapped and complemented
-            na = ((a << np.uint64(2)) | (3 - c2).astype(np.uint64)) & np.uint64(maskk)
-            nb = ((b << np.uint64(2)) | (3 - c1).astype(np.uint64)) & np.uint64(maskk)
-        y = ((na << np.uint64(2 * k)) | nb).astype(np.uint64)
-        same = t.kmers[tgt] == y
-        tstrand = np.where(same, 0, 1)
-        t_in = np.where(tstrand == 0, left_deg[tgt], right_deg[tgt])
-        good = (t_in == 1) & ~palin[tgt]
-        src = 2 * rows + strand
-        nxt[src[good]] = (2 * tgt + tstrand)[good]
+
+    def build_links():
+        ok = (nbr >= 0) & np.where(nbr >= 0,
+                                   alive[np.maximum(nbr, 0)], False)
+        ok &= alive[:, None]
+        right_deg = ok[:, :16].sum(axis=1)
+        left_deg = ok[:, 16:].sum(axis=1)
+        nxt = np.full(2 * N, -1, np.int64)
+        for strand in (0, 1):
+            deg = right_deg if strand == 0 else left_deg
+            cols = slice(0, 16) if strand == 0 else slice(16, 32)
+            rows = np.nonzero(alive & (deg == 1) & ~palin)[0]
+            if not len(rows):
+                continue
+            sub = np.where(ok[rows, cols], nbr[rows, cols], -1)
+            tgt = sub.max(axis=1)
+            din = np.argmax(sub, axis=1)  # dinuc index c1*4+c2
+            c1, c2 = din >> 2, din & 3
+            x = t.kmers[rows]
+            a = (x >> np.uint64(2 * k)).astype(np.uint64)
+            b = (x & np.uint64(maskk)).astype(np.uint64)
+            if strand == 0:
+                na = ((a << np.uint64(2)) | c1.astype(np.uint64)) & np.uint64(maskk)
+                nb = ((b << np.uint64(2)) | c2.astype(np.uint64)) & np.uint64(maskk)
+            else:
+                xr = np.asarray(_rc_pair(jnp.asarray(x), k))
+                a = (xr >> np.uint64(2 * k)).astype(np.uint64)
+                b = (xr & np.uint64(maskk)).astype(np.uint64)
+                # a LEFT Dinuc (c1, c2) maps to the rc walk orientation
+                # as a right Dinuc, components swapped and complemented
+                na = ((a << np.uint64(2)) | (3 - c2).astype(np.uint64)) & np.uint64(maskk)
+                nb = ((b << np.uint64(2)) | (3 - c1).astype(np.uint64)) & np.uint64(maskk)
+            y = ((na << np.uint64(2 * k)) | nb).astype(np.uint64)
+            same = t.kmers[tgt] == y
+            tstrand = np.where(same, 0, 1)
+            t_in = np.where(tstrand == 0, left_deg[tgt], right_deg[tgt])
+            good = (t_in == 1) & ~palin[tgt]
+            src = 2 * rows + strand
+            nxt[src[good]] = (2 * tgt + tstrand)[good]
+        return right_deg, left_deg, nxt
+
+    max_tip = K if tip_len is None else tip_len
+    while max_tip > 0:
+        rd, ld, nxt = build_links()
+        if not _chain_trim_round(alive, nxt, rd, ld, max_tip):
+            break
+    right_deg, left_deg, nxt = build_links()
 
     head, pos = hash_dbg._pointer_double(nxt)
     alive_ov = np.repeat(alive, 2)
@@ -401,63 +479,80 @@ def _pair_probe_wide(t: PairTable):
 
 
 def assemble_pairs_wide(batches, k: int, K: int, kc: int = 2,
+                        tip_len: int | None = None,
                         ) -> list[tuple[str, int]]:
     """Wide-mode paired assembly: same chain machinery as the packed
-    path, driven by rolled fingerprints."""
+    path, driven by rolled fingerprints; trims tips like the packed
+    path (performTrim, default t = span)."""
     from ..ops import nthash
 
     t = count_pairs_wide(batches, k, K)
     t.alive &= t.counts >= kc
     nbr = _pair_probe_wide(t)
+    if K == 2 * k:
+        _af, _al, _bf, _bl = _pair_end_bases(t)
+        nbr = _filter_inconsistent_zero_gap(nbr, _bf, _al)
     N = t.n
     alive = t.alive
-    ok = (nbr >= 0) & np.where(nbr >= 0, alive[np.maximum(nbr, 0)], False)
-    right_deg = ok[:, :16].sum(axis=1)
-    left_deg = ok[:, 16:].sum(axis=1)
     # palindromic pair: fwd fingerprint equals rc fingerprint
     F = np.asarray(_mix_pair(jnp.asarray(t.fa), jnp.asarray(t.fb)))
     R = np.asarray(_mix_pair(jnp.asarray(t.rb), jnp.asarray(t.ra)))
     palin = F == R
 
     a_first, a_last, b_first, b_last = _pair_end_bases(t)
-    nxt = np.full(2 * N, -1, np.int64)
-    for strand in (0, 1):
-        deg = right_deg if strand == 0 else left_deg
-        cols = slice(0, 16) if strand == 0 else slice(16, 32)
-        rows = np.nonzero(alive & (deg == 1) & ~palin)[0]
-        if not len(rows):
-            continue
-        sub = np.where(ok[rows, cols], nbr[rows, cols], -1)
-        tgt = sub.max(axis=1)
-        din = np.argmax(sub, axis=1)
-        c1, c2 = (din >> 2).astype(np.uint8), (din & 3).astype(np.uint8)
-        if strand == 0:
-            fa2, ra2 = nthash.roll_right(
-                jnp.asarray(t.fa[rows]), jnp.asarray(t.ra[rows]), k,
-                jnp.asarray(a_first[rows]), jnp.asarray(c1))
-            fb2, rb2 = nthash.roll_right(
-                jnp.asarray(t.fb[rows]), jnp.asarray(t.rb[rows]), k,
-                jnp.asarray(b_first[rows]), jnp.asarray(c2))
-        else:
-            # rc walk: pair becomes (rc(b), rc(a)); a LEFT Dinuc
-            # (c1, c2) is a right Dinuc (3-c2, 3-c1) on the rc, where
-            # rc(a)'s hash state is (ra, fa) and its first base is the
-            # complement of a's last base
-            fa2, ra2 = nthash.roll_right(
-                jnp.asarray(t.rb[rows]), jnp.asarray(t.fb[rows]), k,
-                jnp.asarray((3 - b_last[rows]).astype(np.uint8)),
-                jnp.asarray((3 - c2).astype(np.uint8)))
-            fb2, rb2 = nthash.roll_right(
-                jnp.asarray(t.ra[rows]), jnp.asarray(t.fa[rows]), k,
-                jnp.asarray((3 - a_last[rows]).astype(np.uint8)),
-                jnp.asarray((3 - c1).astype(np.uint8)))
-        Fw = np.asarray(_mix_pair(fa2, fb2))
-        same = t.keys[tgt] == Fw
-        tstrand = np.where(same, 0, 1)
-        t_in = np.where(tstrand == 0, left_deg[tgt], right_deg[tgt])
-        good = (t_in == 1) & ~palin[tgt]
-        src = 2 * rows + strand
-        nxt[src[good]] = (2 * tgt + tstrand)[good]
+
+    def build_links():
+        ok = (nbr >= 0) & np.where(nbr >= 0,
+                                   alive[np.maximum(nbr, 0)], False)
+        ok &= alive[:, None]
+        right_deg = ok[:, :16].sum(axis=1)
+        left_deg = ok[:, 16:].sum(axis=1)
+        nxt = np.full(2 * N, -1, np.int64)
+        for strand in (0, 1):
+            deg = right_deg if strand == 0 else left_deg
+            cols = slice(0, 16) if strand == 0 else slice(16, 32)
+            rows = np.nonzero(alive & (deg == 1) & ~palin)[0]
+            if not len(rows):
+                continue
+            sub = np.where(ok[rows, cols], nbr[rows, cols], -1)
+            tgt = sub.max(axis=1)
+            din = np.argmax(sub, axis=1)
+            c1, c2 = (din >> 2).astype(np.uint8), (din & 3).astype(np.uint8)
+            if strand == 0:
+                fa2, ra2 = nthash.roll_right(
+                    jnp.asarray(t.fa[rows]), jnp.asarray(t.ra[rows]), k,
+                    jnp.asarray(a_first[rows]), jnp.asarray(c1))
+                fb2, rb2 = nthash.roll_right(
+                    jnp.asarray(t.fb[rows]), jnp.asarray(t.rb[rows]), k,
+                    jnp.asarray(b_first[rows]), jnp.asarray(c2))
+            else:
+                # rc walk: pair becomes (rc(b), rc(a)); a LEFT Dinuc
+                # (c1, c2) is a right Dinuc (3-c2, 3-c1) on the rc,
+                # where rc(a)'s hash state is (ra, fa) and its first
+                # base is the complement of a's last base
+                fa2, ra2 = nthash.roll_right(
+                    jnp.asarray(t.rb[rows]), jnp.asarray(t.fb[rows]), k,
+                    jnp.asarray((3 - b_last[rows]).astype(np.uint8)),
+                    jnp.asarray((3 - c2).astype(np.uint8)))
+                fb2, rb2 = nthash.roll_right(
+                    jnp.asarray(t.ra[rows]), jnp.asarray(t.fa[rows]), k,
+                    jnp.asarray((3 - a_last[rows]).astype(np.uint8)),
+                    jnp.asarray((3 - c1).astype(np.uint8)))
+            Fw = np.asarray(_mix_pair(fa2, fb2))
+            same = t.keys[tgt] == Fw
+            tstrand = np.where(same, 0, 1)
+            t_in = np.where(tstrand == 0, left_deg[tgt], right_deg[tgt])
+            good = (t_in == 1) & ~palin[tgt]
+            src = 2 * rows + strand
+            nxt[src[good]] = (2 * tgt + tstrand)[good]
+        return right_deg, left_deg, nxt
+
+    max_tip = K if tip_len is None else tip_len
+    while max_tip > 0:
+        rd, ld, nxt = build_links()
+        if not _chain_trim_round(alive, nxt, rd, ld, max_tip):
+            break
+    right_deg, left_deg, nxt = build_links()
 
     head, pos = hash_dbg._pointer_double(nxt)
     alive_ov = np.repeat(alive, 2)

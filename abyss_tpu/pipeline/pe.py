@@ -132,7 +132,10 @@ class PipelineParams:
     lr_files: list = field(default_factory=list)
     # long reads (long=): longseqdist + rescaffold -> name-10.fa
     long_files: list = field(default_factory=list)
-    # paired DBG span (K=, bin/abyss-pe:556-564)
+    # paired DBG (K=, bin/abyss-pe:556-564).  Reference semantics:
+    # when K is set, k= is the SPAN of the k-mer pair and K= the size
+    # of a single k-mer (doc/abyss-pe.1) — a reference user's
+    # `k=80 K=40` means span 80 of two 40-mers.
     K: int = 0
     # gap sealing after scaffolding (abyss-sealer, sealer_ks)
     sealer_ks: list = field(default_factory=list)
@@ -223,11 +226,16 @@ def stage_unitigs_1(p: PipelineParams) -> str:
         return out
     in_files = p.assembly_files()
     if p.K:
-        _log(p, f"stage 1: paired-DBG assembly (k={p.k} K={p.K}) -> {out}")
+        # k = pair span, K = single k-mer size (reference naming);
+        # the engine's (k_single, K_span) argument order is the
+        # module's own
+        _log(p, f"stage 1: paired-DBG assembly (span k={p.k} "
+                f"single K={p.K}) -> {out}")
         from ..dbg import paired_dbg
         batches = [b.codes[:b.num_reads] for b in io_read_batches(
             in_files, p.batch_size, p.max_read_len, q=p.q)]
-        contigs = paired_dbg.assemble_pairs(batches, p.k, p.K, kc=p.kc)
+        contigs = paired_dbg.assemble_pairs(batches, p.K, p.k,
+                                            kc=p.kc)
         with open(out + ".tmp", "w") as f:
             for i, item in enumerate(contigs):
                 seq = item[0] if isinstance(item, tuple) else item

@@ -41,12 +41,19 @@ def fac(path):
 
 
 def breaks(truth, path):
-    contigs = [(r.id, r.seq.upper().replace("N", "A"))
-               for r in fastx.read_fastx(path) if len(r.seq) >= 500]
-    # split scaffolds at N-runs into scaftigs for alignment, like
-    # samtobreak's scaffold/contig distinction
+    # split scaffolds at N-runs into scaftigs first (samtobreak's
+    # scaffold/contig distinction — N gaps are NOT misassemblies)
+    import re
+    contigs = []
+    for r in fastx.read_fastx(path):
+        if len(r.seq) < 500:
+            continue
+        for j, piece in enumerate(re.split("[Nn]+", r.seq)):
+            if len(piece) >= 200:
+                contigs.append((f"{r.id}.{j}", piece.upper()))
     st = contig_breakpoints(truth, contigs, k=32)
     return {"breakpoints": st.breakpoints,
+            "scaftigs": st.contigs,
             "aligned_frac": round(st.aligned_fraction, 4)}
 
 

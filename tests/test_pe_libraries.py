@@ -107,7 +107,8 @@ def test_mp_scaffolding_beats_pe_only(libraries, tmp_path):
 
 @pytest.mark.slow
 def test_pe_paired_dbg_K50_k25(tmp_path):
-    """pe K=50 k=25 — the reference-realistic paired-DBG configuration
+    """pe k=50 K=25 (span 50 of two 25-mers) — the reference-
+    realistic paired-DBG configuration
     the round-1 k<=16 cap made impossible (VERDICT r1 #9)."""
     genome = sim.random_genome(6000, seed=61)
     pr = sim.simulate_paired_reads(genome, coverage=35, read_len=100,
@@ -115,7 +116,7 @@ def test_pe_paired_dbg_K50_k25(tmp_path):
     p1, p2 = str(tmp_path / "k1.fq"), str(tmp_path / "k2.fq")
     pr.write_fastq(p1, p2)
     p = pe.PipelineParams(
-        name="kp", k=25, K=50, in_files=[p1, p2], outdir=str(tmp_path),
+        name="kp", k=50, K=25, in_files=[p1, p2], outdir=str(tmp_path),
         min_pairs=5, verbose=0, batch_size=2048, max_read_len=128)
     artifacts = pe.run(p)
     from abyss_tpu.core import alphabet
