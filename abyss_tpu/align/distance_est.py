@@ -361,9 +361,20 @@ def estimate_distances(links: list[PairLink], hist: Histogram,
         else:
             mle_groups.append((key, samples, vals[0][1], vals[0][2]))
     if mle_groups:
-        dn = estimate_distances_device(mle_groups, pmf, first=min_dist,
-                                       last=max_dist,
-                                       min_align=min_align)
+        if len(mle_groups) < 64:
+            # small workloads: per-bucket jit compilation costs more
+            # than the host scan saves (measured ~20 s compile for ~30
+            # groups at 27-contig scale); the device path wins when
+            # groups number in the hundreds+
+            dn = {key: maximum_likelihood_estimate(
+                samples, pmf, l0, l1, first=min_dist, last=max_dist,
+                min_align=min_align)
+                for key, samples, l0, l1 in mle_groups}
+        else:
+            dn = estimate_distances_device(mle_groups, pmf,
+                                           first=min_dist,
+                                           last=max_dist,
+                                           min_align=min_align)
         for key, (d, n) in dn.items():
             if n < min_pairs:
                 continue
