@@ -218,3 +218,43 @@ def test_bloom_unitig_parity_noisy(ref_bins, noisy_reads, tmp_path):
     common = set(a) & set(b)
     assert len(common) >= 0.95 * len(a)
     assert all(len(s) < 150 for s in sym), sorted(sym, key=len)[-1]
+
+
+@pytest.fixture(scope="module")
+def long_reads_k96(tmp_path_factory):
+    """150 bp error-free pairs — k=96 leaves (150-96+1)=55 windows per
+    read, enough k-mer coverage for the wide-k config (BASELINE #2,
+    README.md:259-263)."""
+    genome = sim.genome_with_repeats(20000, seed=9, n_repeats=4,
+                                     repeat_len=400)
+    reads = sim.simulate_paired_reads(genome, coverage=40, read_len=150,
+                                      seed=10)
+    path = str(tmp_path_factory.mktemp("k96") / "reads.fa")
+    with open(path, "w") as f:
+        for (n1, s1, _), (n2, s2, _) in zip(reads.reads1, reads.reads2):
+            f.write(f">{n1}\n{s1}\n>{n2}\n{s2}\n")
+    return path
+
+
+@pytest.mark.slow
+def test_exact_unitig_parity_k96_wide(ref_bins, long_reads_k96,
+                                      tmp_path):
+    """ABYSS -k96 (multi-word Kmer, MAX_KMER=192) == our wide
+    fingerprint engine at k=96, set-identical — the round-3 verdict #2
+    k=96 parity gate (collision detection verified on the side)."""
+    ref_out = tmp_path / "ref96.fa"
+    subprocess.run([ref_bins["abyss"], "-k96", "-e2", "-E0", "-c0",
+                    "-q0", "--kc=2", long_reads_k96,
+                    "-o", str(ref_out)],
+                   stderr=subprocess.DEVNULL, check=True, timeout=300)
+    from abyss_tpu.dbg import hash_dbg
+    from abyss_tpu.io import read_batches
+    batches = [b.codes for b in read_batches([long_reads_k96], 4096,
+                                             256, q=0)]
+    contigs, t = hash_dbg.assemble_reads(batches, 96, kc=2,
+                                         erode_cov=2)
+    assert t.wide and t.cs is not None   # verified fill ran
+    a = canon_set(read_fa_seqs(ref_out))
+    b = canon_set([s for s, cov in contigs])
+    assert len(a) > 4
+    assert a == b
