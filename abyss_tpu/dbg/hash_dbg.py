@@ -362,11 +362,21 @@ def fill_wide_side(t: KmerTable, batches,
         bad = hit & filled_dev[rows] & (cs_dev[rows] != cso)
         return jnp.sum(bad)
 
+    @jax.jit
+    def apply_fill(filled_dev, cs_dev, r, cs_vals):
+        return (filled_dev.at[r].set(True, mode="drop"),
+                cs_dev.at[r].set(cs_vals, mode="drop"))
+
+    # filled/cs live ON DEVICE across batches (pushing both per batch
+    # cost ~450 MB of H2D per batch over the tunnel at genome scale);
+    # only the small per-batch fill selection crosses
+    filled_dev = jnp.zeros(N, bool)
+    cs_dev = jnp.zeros(N, jnp.uint64)
     collisions = 0
     for codes in batches:
         codes_np = np.asarray(codes, np.uint8)
         need_d, rows_d, fh_d, rh_d, cs_d, hit_d = batch_rows(
-            jnp.asarray(codes_np), jnp.asarray(filled))
+            jnp.asarray(codes_np), filled_dev)
         need = np.asarray(need_d)          # [BW] bool: the only bulk pull
         if need.any():
             occ = np.nonzero(need)[0]
@@ -382,16 +392,27 @@ def fill_wide_side(t: KmerTable, batches,
             win = np.where(flip[:, None], 3 - win[:, ::-1], win)
             text[r] = pack_text(win.astype(np.uint8), k)
             hr[r] = np.where(flip, fh, rh)
+            cs_vals = np.asarray(cs_d[first_d]) if verify \
+                else np.zeros(len(r), np.uint64)
             if verify:
-                cs[r] = np.asarray(cs_d[first_d])
+                cs[r] = cs_vals
             filled[r] = True
+            # pow2-pad the scatter (index N is dropped) so apply_fill
+            # compiles O(log max) programs, not one per batch
+            P = max(64, 1 << (len(r) - 1).bit_length())
+            r_pad = np.full(P, N, np.int64)
+            r_pad[:len(r)] = r
+            v_pad = np.zeros(P, np.uint64)
+            v_pad[:len(r)] = cs_vals
+            filled_dev, cs_dev = apply_fill(
+                filled_dev, cs_dev, jnp.asarray(r_pad),
+                jnp.asarray(v_pad))
         if verify:
             # every occurrence must match the stored checksum (the
             # fill above ran first, so same-batch occurrences verify
             # against the chosen first occurrence too)
             collisions += int(count_mismatch(
-                rows_d, cs_d, hit_d, jnp.asarray(filled),
-                jnp.asarray(cs)))
+                rows_d, cs_d, hit_d, filled_dev, cs_dev))
         elif filled.all():
             break
     if collisions:
