@@ -218,7 +218,8 @@ def _pack_canon_masked(codes, k: int, strand_key: bool):
     return canon_m, strand_m
 
 
-def count_kmers(batches, k: int, strand_counts: bool = False) -> KmerTable:
+def count_kmers(batches, k: int, strand_counts: bool = False,
+                wide_fill: bool = True) -> KmerTable:
     """Load phase (LoadAlgorithm.h:12-178): read batches -> sorted
     unique canonical k-mers with counts.
 
@@ -233,7 +234,7 @@ def count_kmers(batches, k: int, strand_counts: bool = False) -> KmerTable:
     whose forward form IS the canonical form."""
     from ..ops.sorted_filter import SortedKmerCounter
     if k > 32:
-        return _count_kmers_wide(batches, k)
+        return _count_kmers_wide(batches, k, fill=wide_fill)
     strand_key = strand_counts and k <= 31
     ctr = SortedKmerCounter(k, threshold=1)
     sctr = SortedKmerCounter(k, threshold=1) \
@@ -287,10 +288,15 @@ def count_kmers(batches, k: int, strand_counts: bool = False) -> KmerTable:
     return t
 
 
-def _count_kmers_wide(batches, k: int) -> KmerTable:
+def _count_kmers_wide(batches, k: int, fill: bool = True) -> KmerTable:
     """Wide-mode load: key on the canonical ntHash fingerprint, then a
     second pass fills per-distinct-k-mer side arrays (non-canonical
-    hash + packed text) from each fingerprint's first occurrence."""
+    hash + packed text) from each fingerprint's first occurrence.
+
+    fill=False defers the side-array pass (assemble_reads fills AFTER
+    the kc filter + compaction: at genome scale ~90% of distinct
+    fingerprints are sub-threshold error k-mers, and filling them cost
+    the k=96 run ~10x — round-4 profile)."""
     from ..ops import nthash
     from ..ops.sorted_filter import SortedKmerCounter
     batches = list(batches)
@@ -306,6 +312,8 @@ def _count_kmers_wide(batches, k: int) -> KmerTable:
     kmers = np.asarray(f.kmers)
     counts = np.minimum(np.asarray(f.counts), COVERAGE_MAX).astype(np.int32)
     t = KmerTable(k, kmers, counts, np.ones(len(kmers), bool))
+    if not fill:
+        return t
     return fill_wide_side(t, batches)
 
 
@@ -1283,13 +1291,15 @@ def assemble_reads(batches, k: int, kc: int = 2,
     model (setCoverageParameters, CoverageAlgorithm.h:72-113)."""
     strand = (erode_strand or 0) > 0 or (auto_params and
                                          erode_strand is None)
-    t = count_kmers(batches, k, strand_counts=strand)
+    batches = list(batches) if k > 32 else batches
+    t = count_kmers(batches, k, strand_counts=strand, wide_fill=False)
     return assemble_table(
         t, kc=kc, erode_cov=erode_cov, erode_strand=erode_strand,
         tip_len=tip_len,
         auto_coverage=auto_coverage, auto_params=auto_params,
         min_mean_cov=min_mean_cov,
-        bubble_len=bubble_len, bubbles_out=bubbles_out), t
+        bubble_len=bubble_len, bubbles_out=bubbles_out,
+        wide_fill_batches=batches if k > 32 else None), t
 
 
 def auto_coverage_params(h: Histogram) -> tuple[int, int, float]:
@@ -1312,9 +1322,12 @@ def assemble_table(t: KmerTable, kc: int = 2,
                    min_mean_cov: float | None = None,
                    bubble_len: int | None = None,
                    bubbles_out: list | None = None,
+                   wide_fill_batches=None,
                    ) -> list[tuple[str, int]]:
     """Run the post-load phases on an existing table (e.g. one restored
-    from a `.kmer` snapshot)."""
+    from a `.kmer` snapshot).  wide_fill_batches: read batches for a
+    DEFERRED wide-mode side-array fill — run after the kc filter +
+    compaction so only solid rows pay for text/hr/checksum."""
     import time as _time
 
     def _ph(name, t0):
@@ -1350,6 +1363,14 @@ def assemble_table(t: KmerTable, kc: int = 2,
     apply_coverage_threshold(t, kc_eff)
     compact(t)   # later phases pay full-table cost for dead rows
     tt = _ph("kc filter", tt)
+    if t.k > 32 and t.text is None:
+        if wide_fill_batches is None:
+            raise RuntimeError(
+                "wide table has no side arrays and no batches to fill "
+                "them from; pass wide_fill_batches or count with "
+                "wide_fill=True")
+        fill_wide_side(t, wide_fill_batches)
+        tt = _ph("wide fill", tt)
     build_adjacency(t)
     tt = _ph("adjacency", tt)
     tip = tip_len if tip_len is not None else k

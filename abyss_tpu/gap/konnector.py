@@ -923,7 +923,10 @@ def connect_pairs(cbf, pairs, k: int, max_gap: int = 800,
                   max_paths: int = 2, max_frontier: int = 64,
                   max_mismatches: int = 2) -> list[ConnectResult]:
     """Back-compat wrapper: connect with a max fragment length derived
-    from max_gap (the old parameter meant max BFS depth ~ gap bases)."""
+    from max_gap (the old parameter meant max BFS depth ~ gap bases).
+    max_frontier is accepted but ignored — the rebuilt engine uses the
+    reference's cost cap (-C) instead of the old arbitrary frontier
+    cutoff, so callers (sealer) only gain reach."""
     params = ConnectPairsParams(
         max_paths=max_paths,
         max_frag=max_gap + 2 * max((len(p[0]) for p in pairs),

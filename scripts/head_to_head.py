@@ -121,7 +121,9 @@ def main():
         params = pe.PipelineParams(name="ecoli", k=k,
                                    in_files=[r1, r2],
                                    outdir=oursdir, verbose=2,
-                                   engine="exact")
+                                   engine="exact",
+                                   batch_size=int(os.environ.get(
+                                       "H2H_BATCH", 16384)))
         artifacts = pe.run(params)
         walls[tag] = round(time.time() - t0, 1)
         ours8 = artifacts["scaffolds"]
