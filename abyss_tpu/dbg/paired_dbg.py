@@ -342,9 +342,13 @@ def _pair_fp(fa, ra, fb, rb):
     return F, R, jnp.minimum(F, R)
 
 
-def count_pairs_wide(batches, k: int, K: int) -> PairTable:
-    """Count pair fingerprints, then fill side arrays from each
-    fingerprint's first occurrence (the fill_wide_side pattern)."""
+def count_pairs_wide(batches, k: int, K: int,
+                     kc: int = 1) -> PairTable:
+    """Count pair fingerprints, apply the kc filter, THEN fill side
+    arrays from each surviving fingerprint's first occurrence (the
+    deferred fill_wide_side pattern: at genome scale ~90% of distinct
+    pairs are sub-threshold error k-mers and filling them dominated
+    the K-mode wall)."""
     from ..ops import nthash
     from ..ops.sorted_filter import SortedKmerCounter
 
@@ -363,12 +367,15 @@ def count_pairs_wide(batches, k: int, K: int) -> PairTable:
         _, _, canon = _pair_fp(fa, ra, fb, rb)
         ctr.add(canon, va & vb)
     f = ctr.finalize()
-    N = int(f.n)
+    keys = np.asarray(f.kmers)
+    counts = np.minimum(np.asarray(f.counts),
+                        hash_dbg.COVERAGE_MAX).astype(np.int32)
+    if kc > 1:
+        keep = counts >= kc
+        keys, counts = keys[keep], counts[keep]
+    N = len(keys)
     TB = (2 * k + 3) // 4
-    t = PairTable(k, K, np.asarray(f.kmers),
-                  np.minimum(np.asarray(f.counts),
-                             hash_dbg.COVERAGE_MAX).astype(np.int32),
-                  np.ones(N, bool),
+    t = PairTable(k, K, keys, counts, np.ones(N, bool),
                   np.zeros(N, np.uint64), np.zeros(N, np.uint64),
                   np.zeros(N, np.uint64), np.zeros(N, np.uint64),
                   np.zeros((N, TB), np.uint8))
@@ -473,9 +480,14 @@ def _pair_probe_wide(t: PairTable):
                                         jnp.asarray(b_last), c2a)
             _, _, canon = _pair_fp(fa2, ra2, fb2, rb2)
             cols.append(canon)
-    cand = jnp.stack(cols, axis=1).reshape(-1)
-    rows = join_rows(jnp.asarray(t.keys), cand)
-    return np.asarray(rows).reshape(t.n, 32)
+    # one join per Dinuc column: the stacked [N, 32] candidate tensor
+    # OOM'd at genome scale (33M pairs -> 8.5 GB of candidates before
+    # the join's own sort temps)
+    keys_dev = jnp.asarray(t.keys)
+    out = np.empty((t.n, 32), np.int32)
+    for ci, canon in enumerate(cols):
+        out[:, ci] = np.asarray(join_rows(keys_dev, canon))
+    return out
 
 
 def assemble_pairs_wide(batches, k: int, K: int, kc: int = 2,
@@ -486,7 +498,7 @@ def assemble_pairs_wide(batches, k: int, K: int, kc: int = 2,
     path (performTrim, default t = span)."""
     from ..ops import nthash
 
-    t = count_pairs_wide(batches, k, K)
+    t = count_pairs_wide(batches, k, K, kc=kc)
     t.alive &= t.counts >= kc
     nbr = _pair_probe_wide(t)
     if K == 2 * k:

@@ -281,13 +281,14 @@ def stage_unitigs_1(p: PipelineParams) -> str:
                     dist.make_mesh(total_dev, 1), batches, p.k)
                 t = hash_dbg.KmerTable(p.k, keys, counts,
                                        np.ones(len(keys), bool))
-                if p.k > 32:
-                    t = hash_dbg.fill_wide_side(t, batches)
+                # wide side arrays fill AFTER kc + compaction (only
+                # solid rows pay for text/hr/checksum)
                 contigs = hash_dbg.assemble_table(
                     t, kc=p.kc, erode_cov=p.e, erode_strand=p.E,
                     tip_len=p.t, auto_params=True, min_mean_cov=p.c,
                     bubble_len=(p.b - p.k + 1 if p.b is not None
-                                else None))
+                                else None),
+                    wide_fill_batches=batches if p.k > 32 else None)
         else:
             contigs, _ = hash_dbg.assemble_reads(
                 list(batches), p.k, kc=p.kc,
