@@ -419,12 +419,15 @@ class _Side:
         self.e_parent = np.concatenate([self.e_parent, parent])
 
 
-def _make_roll_probe(filt, k: int, forward: bool):
+def _make_roll_probe(k: int, forward: bool):
     """One jitted program: roll the batch one base (x4 candidates),
-    canonicalize, probe the filter."""
+    canonicalize, probe the filter.  The filter is a jit ARGUMENT (a
+    registered pytree), not a closure capture — capturing bakes its
+    bit arrays into the program as constants, which the axon remote
+    compiler rejects above ~100 MB (HTTP 413)."""
 
     @jax.jit
-    def step(fh, rh, c_out, c_in):
+    def step(filt, fh, rh, c_out, c_in):
         roll = nthash.roll_right if forward else nthash.roll_left
         f2, r2 = roll(fh, rh, k, c_out, c_in)
         canon = jnp.minimum(f2, r2)
@@ -551,8 +554,8 @@ def _connect_chunk(filt, pairs, k, params) -> list[ConnectResult]:
             trivial_pairs.add(i)
             common.setdefault(i, [])
 
-    step_f = _make_roll_probe(filt, k, True)
-    step_r = _make_roll_probe(filt, k, False)
+    step_f = _make_roll_probe(k, True)
+    step_r = _make_roll_probe(k, False)
 
     frontier_f = np.arange(len(active), dtype=np.int64)
     frontier_r = np.arange(len(active), dtype=np.int64)
@@ -591,7 +594,7 @@ def _connect_chunk(filt, pairs, k, params) -> list[ConnectResult]:
             co_in[:4 * n] = c_out[rep]
             ci_in[:4 * n] = c_in
             f2d, r2d, canond, solidd = step(
-                jnp.asarray(fh_in), jnp.asarray(rh_in),
+                filt, jnp.asarray(fh_in), jnp.asarray(rh_in),
                 jnp.asarray(co_in), jnp.asarray(ci_in))
             f2 = np.asarray(f2d)[:4 * n]
             r2 = np.asarray(r2d)[:4 * n]
