@@ -255,18 +255,20 @@ def search_scaffold_params(g0: ContigGraph, n_range, s_range,
         return memo[(n, s)]
 
     ns = list(range(n_lo, n_hi + 1, n_step))
-    ss = _s_steps(s_lo, s_hi)
+    # NB: do not name this `ss` — that would shadow the strand-
+    # specific flag captured by run() (the round-4 stage-8 regression)
+    s_steps = _s_steps(s_lo, s_hi)
     best = None
 
     def better(r, cur):
         return cur is None or r.n50 > cur.n50
 
-    if strategy == "line" and len(ns) > 1 and len(ss) > 1:
+    if strategy == "line" and len(ns) > 1 and len(s_steps) > 1:
         # alternate 1-D optimizations until fixpoint (line search)
-        best = run(ns[len(ns) // 2], ss[-1])
+        best = run(ns[len(ns) // 2], s_steps[-1])
         for _ in range(len(ns)):
             prev = (best.n, best.s)
-            for s in ss:
+            for s in s_steps:
                 r = run(best.n, s)
                 if better(r, best):
                     best = r
@@ -278,7 +280,7 @@ def search_scaffold_params(g0: ContigGraph, n_range, s_range,
                 break
     else:
         for n in ns:
-            for s in ss:
+            for s in s_steps:
                 r = run(n, s)
                 if better(r, best):
                     best = r

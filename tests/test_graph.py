@@ -250,13 +250,18 @@ def test_assemble_stranded():
     g.add_edge(node(0, 0), node(1, 0), None)
     g.add_edge(node(1, 0), node(2, 0), None)
     chains = alg.assemble_stranded(g)
-    # both the forward chain and its complement are reported separately
-    assert len(chains) == 2
-    assert [c[0] & 1 for c in sorted(chains)] in ([0, 1], [0, 0], [1, 1]) \
-        or len({tuple(c) for c in chains}) == 2
-    fwd = [node(0, 0), node(1, 0), node(2, 0)]
-    rev = [node(2, 1), node(1, 1), node(0, 1)]
-    assert fwd in chains and rev in chains
+    # round-4 correction: the IsPositive predicate
+    # (ContigGraphAlgorithms.h:228-253) merges only edges whose BOTH
+    # endpoints are forward-sense, so the chain is reported ONCE in
+    # its forward orientation; the rc mirror (all sense-1 vertices)
+    # fails the predicate and is not merged separately
+    assert chains == [[node(0, 0), node(1, 0), node(2, 0)]]
+    # a mixed-orientation edge never merges in ss mode
+    g2 = ContigGraph()
+    for i in range(2):
+        g2.add_contig(str(i), 100)
+    g2.add_edge(node(0, 0), node(1, 1), None)
+    assert alg.assemble_stranded(g2) == []
 
 
 def test_native_adjacency_matches_python():
