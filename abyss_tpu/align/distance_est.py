@@ -152,16 +152,20 @@ def _make_mle_kernel(pmf: PMF, filter_size: int, T: int, n: int):
     import jax
     import jax.numpy as jnp
 
-    probs = jnp.asarray(pmf.probs, jnp.float32)
+    # float64 throughout: the host reference path accumulates in
+    # float64, and the path taken depends only on group count — a
+    # precision split would let near-tie argmaxes differ between
+    # workload sizes (round-4 advisor #4)
+    probs = jnp.asarray(pmf.probs, jnp.float64)
     I = probs.shape[0]
     logp_tab = jnp.log(probs)
     log_minp = float(np.log(pmf.minp))
     # prefix sums for the trapezoid window closed form: P0[j] =
     # sum_{i<=j} pmf[i], P1[j] = sum_{i<=j} i*pmf[i]; index -1 -> 0
-    P0 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(probs)])
-    P1 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(
-        probs * jnp.arange(I, dtype=jnp.float32))])
-    filt = jnp.asarray(_hann(filter_size), jnp.float32)
+    P0 = jnp.concatenate([jnp.zeros(1, jnp.float64), jnp.cumsum(probs)])
+    P1 = jnp.concatenate([jnp.zeros(1, jnp.float64), jnp.cumsum(
+        probs * jnp.arange(I, dtype=jnp.float64))])
+    filt_np = _hann(filter_size)
     half = filter_size // 2
 
     def p0(j):
@@ -187,7 +191,7 @@ def _make_mle_kernel(pmf: PMF, filter_size: int, T: int, n: int):
         p_gt = jnp.where(inside, probs[jnp.clip(x, 0, I - 1)],
                          pmf.minp)
         nsup = jnp.sum((p_gt > pmf.minp) & m, axis=2)   # [G, T]
-        nsamp = jnp.sum(smask, axis=1).astype(jnp.float32)  # [G]
+        nsamp = jnp.sum(smask, axis=1).astype(jnp.float64)  # [G]
 
         # c(theta) via prefix sums: regions of the trapezoid
         A = theta
@@ -195,19 +199,21 @@ def _make_mle_kernel(pmf: PMF, filter_size: int, T: int, n: int):
         C = theta + x2[:, None]
         D = theta + x3[:, None]
         S1 = p0(A)
-        S2 = (p1(B - 1) - p1(A)) - A.astype(jnp.float32) * \
+        S2 = (p1(B - 1) - p1(A)) - A.astype(jnp.float64) * \
             (p0(B - 1) - p0(A))
-        S3 = x1[:, None].astype(jnp.float32) * (p0(C - 1) - p0(B - 1))
-        S4 = D.astype(jnp.float32) * (p0(D - 1) - p0(C - 1)) - \
+        S3 = x1[:, None].astype(jnp.float64) * (p0(C - 1) - p0(B - 1))
+        S4 = D.astype(jnp.float64) * (p0(D - 1) - p0(C - 1)) - \
             (p1(D - 1) - p1(C - 1))
         S5 = p0(jnp.full_like(A, I - 1)) - p0(D - 1)
-        c = (S1 + S2 + S3 + S4 + S5) / x1[:, None].astype(jnp.float32)
+        c = (S1 + S2 + S3 + S4 + S5) / x1[:, None].astype(jnp.float64)
         ll = ll - nsamp[:, None] * jnp.log(jnp.maximum(c, 1e-300))
 
-        # Hann smoothing along T (valid region), masked argmax
-        ll = ll.astype(jnp.float32)
-        sm = jax.lax.conv_general_dilated(
-            ll[:, None, :], filt[None, None, :], (1,), "VALID")[:, 0, :]
+        # Hann smoothing along T (valid region), masked argmax: the
+        # filter is tiny (2*0.05*mean + 3 taps), so an unrolled
+        # shift-multiply-add keeps float64 (lax.conv has no f64 on TPU)
+        sm = jnp.zeros((G, T - 2 * half), jnp.float64)
+        for w in range(filter_size):
+            sm = sm + float(filt_np[w]) * ll[:, w:T - 2 * half + w]
         cand_n = nsup[:, half:T - half]
         tt = jnp.arange(sm.shape[1])[None, :]
         valid = (tt < jnp.maximum(tcount[:, None] - 2 * half, 0)) & \

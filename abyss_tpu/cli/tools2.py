@@ -878,18 +878,23 @@ def paireddbg_main(argv=None):
     """abyss-paired-dbg: assemble with KmerPair vertices (PairedDBG/)."""
     ap = argparse.ArgumentParser(prog="abyss-tpu paired-dbg")
     ap.add_argument("reads", nargs="+")
-    ap.add_argument("-k", "--kmer", type=int, required=True,
-                    help="single k-mer size")
-    ap.add_argument("-K", "--span", type=int, required=True,
-                    help="k-mer pair span")
+    # reference flag convention (bin/abyss-pe:556-564, abyss-paired-dbg):
+    # -k is the SPAN of the k-mer pair, -K the SINGLE k-mer size
+    ap.add_argument("-k", "--span", type=int, required=True,
+                    help="k-mer pair span (reference -k)")
+    ap.add_argument("-K", "--single", type=int, required=True,
+                    help="single k-mer size (reference -K)")
     ap.add_argument("--kc", type=int, default=2)
     ap.add_argument("-o", "--out", default="-")
     args = ap.parse_args(argv)
+    if args.span < 2 * args.single:
+        ap.error(f"k-mer pair span -k{args.span} must be >= twice the "
+                 f"single k-mer size -K{args.single}")
     from ..dbg import paired_dbg
     from ..io import read_batches
     batches = [b.codes[:b.num_reads]
                for b in read_batches(args.reads, 4096, 512)]
-    contigs = paired_dbg.assemble_pairs(batches, args.kmer, args.span,
+    contigs = paired_dbg.assemble_pairs(batches, args.single, args.span,
                                         kc=args.kc)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:

@@ -37,6 +37,7 @@ probes key on canonical ntHash, exactly like the wide-mode engines.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -45,6 +46,7 @@ import numpy as np
 
 from ..core import alphabet
 from ..ops import nthash
+from . import konnector_dev
 
 NO_LIMIT = (1 << 32) - 1
 _U2 = np.uint64(2)
@@ -531,9 +533,52 @@ def _connect_chunk(filt, pairs, k, params) -> list[ConnectResult]:
     g_fh = np.asarray(fh2)[:, 0]
     g_rh = np.asarray(rh2)[:, 0]
 
-    F = _Side(active.astype(np.int64), np.minimum(s_fh, s_rh),
+    # trivial start == goal (visitor ctor special case)
+    s_canon = np.minimum(s_fh, s_rh)
+    g_canon = np.minimum(g_fh, g_rh)
+    triv = np.nonzero((s_canon == g_canon) &
+                      np.all(s_words == g_words, axis=1))[0]
+    trivial_pairs = set()
+    seed_code_of = {}
+    for j in triv:
+        i = int(active[j])
+        if min_plen[i] <= 1:
+            trivial_pairs.add(i)
+            seed_code_of[i] = s_k[j]
+
+    # ---- device-resident multi-level BFS (gap/konnector_dev): many
+    # levels per dispatch; falls back to the host engine below on
+    # capacity overflow or unsupported filter/params ------------------
+    if (os.environ.get("ABYSS_TPU_KONNECTOR", "device") != "host"
+            and params.max_branches == NO_LIMIT
+            and konnector_dev.device_capable(filt)):
+        art = konnector_dev.search(
+            filt, P, active.astype(np.int64), s_k, g_k, s_words,
+            g_words, s_fh, s_rh, g_fh, g_rh, max_depth_f, max_depth_r,
+            k, params)
+        if art is not None:
+            Fd, Rd, cost, fail, meets, _ = art
+            common: dict[int, list] = {}
+            seen: set[tuple] = set()
+            for i, fi, ri in meets:
+                ck = (i, int(Fd.canon[fi]), int(Rd.canon[ri]))
+                if ck in seen:
+                    continue
+                seen.add(ck)
+                common.setdefault(i, []).append((fi, ri))
+            n_common = np.zeros(P, np.int64)
+            for i, lst in common.items():
+                n_common[i] = len(lst)
+            return _finish_chunk(
+                pairs, results, P, status, fail, cost, n_common,
+                common, trivial_pairs, Fd, Rd, seed_code_of, min_plen,
+                max_plen, max_depth_f, max_depth_r, r2_codes, s_pos,
+                g_pos, k, params)
+
+    # ---- host-level fallback engine ----------------------------------
+    F = _Side(active.astype(np.int64), s_canon,
               s_fh, s_rh, s_words, np.zeros(len(active), np.int32))
-    R = _Side(active.astype(np.int64), np.minimum(g_fh, g_rh),
+    R = _Side(active.astype(np.int64), g_canon,
               g_fh, g_rh, g_words, np.zeros(len(active), np.int32))
 
     cost = np.zeros(P, np.int64)
@@ -541,18 +586,6 @@ def _connect_chunk(filt, pairs, k, params) -> list[ConnectResult]:
     common = {}  # pair -> list[(f_node, r_node)]
     common_seen: set[tuple] = set()
     fail = np.zeros(P, np.int8)  # 0 ok, else reason code
-    FAIL = {1: "TOO_MANY_PATHS", 2: "TOO_MANY_BRANCHES",
-            3: "MAX_COST_EXCEEDED"}
-
-    # trivial start == goal (visitor ctor special case)
-    triv = np.nonzero((F.canon == R.canon) &
-                      (np.all(F.words == R.words, axis=1)))[0]
-    trivial_pairs = set()
-    for j in triv:
-        i = int(F.pair[j])
-        if min_plen[i] <= 1:
-            trivial_pairs.add(i)
-            common.setdefault(i, [])
 
     step_f = _make_roll_probe(k, True)
     step_r = _make_roll_probe(k, False)
@@ -625,8 +658,16 @@ def _connect_chunk(filt, pairs, k, params) -> list[ConnectResult]:
             cw = (_shift_right(side.words[cparent], k, c_in_k) if fwd
                   else _shift_left(side.words[cparent], k, c_in_k))
 
-            # meet detection: candidate in OTHER side's visited
+            # meet detection: candidate in OTHER side's visited.
+            # Hits are verified against the packed k-mer TEXT: a text
+            # mismatch is a 64-bit fingerprint collision — the nodes
+            # are distinct k-mers, so it is not a meet (round-4
+            # advisor #2; mirrors fill_wide_side's checksum check).
             om = other.lookup(cpair, canon)
+            hit = om >= 0
+            if hit.any():
+                om[hit & ~np.all(other.words[np.maximum(om, 0)] == cw,
+                                 axis=1)] = -1
             # common edge requires parent depth < this side's cap
             pd_ok = (par_depth[rep][idx] <
                      (mdepth[cpair] if isinstance(mdepth, np.ndarray)
@@ -648,8 +689,13 @@ def _connect_chunk(filt, pairs, k, params) -> list[ConnectResult]:
                 if n_common[i] > params.max_paths:
                     fail[i] = 1
 
-            # visited lookup on own side (non-tree edges)
+            # visited lookup on own side (non-tree edges); same
+            # text-verified collision guard as the meet lookup
             sm = side.lookup(cpair, canon)
+            shit = sm >= 0
+            if shit.any():
+                sm[shit & ~np.all(side.words[np.maximum(sm, 0)] == cw,
+                                  axis=1)] = -1
             is_old = (sm >= 0) & ~is_meet
             # record non-tree parent edges (traversal-DAG alternates)
             side.append_edges(sm[is_old], cparent[is_old])
@@ -697,7 +743,23 @@ def _connect_chunk(filt, pairs, k, params) -> list[ConnectResult]:
             else:
                 frontier_r = new_frontier
 
-    # ---- per-pair classification + path building -----------------------
+    return _finish_chunk(pairs, results, P, status, fail, cost,
+                         n_common, common, trivial_pairs, F, R,
+                         seed_code_of, min_plen, max_plen, max_depth_f,
+                         max_depth_r, r2_codes, s_pos, g_pos, k, params)
+
+
+FAIL = {1: "TOO_MANY_PATHS", 2: "TOO_MANY_BRANCHES",
+        3: "MAX_COST_EXCEEDED"}
+
+
+def _finish_chunk(pairs, results, P, status, fail, cost, n_common,
+                  common, trivial_pairs, F, R, seed_code_of, min_plen,
+                  max_plen, max_depth_f, max_depth_r, r2_codes, s_pos,
+                  g_pos, k, params) -> list[ConnectResult]:
+    """Per-pair classification + path building, shared by the device
+    (konnector_dev) and host search engines: F/R expose .pair/.canon/
+    .words/.depth node arrays + .e_child/.e_parent traversal-DAG edges."""
     # group each side's edge list by pair once (not per pair)
     def _edge_groups(side):
         ep = side.pair[side.e_child] if len(side.e_child) else \
@@ -754,9 +816,8 @@ def _connect_chunk(filt, pairs, k, params) -> list[ConnectResult]:
         paths_seqs: list[np.ndarray] = []
         cyclic = False
         if i in trivial_pairs:
-            # start == goal
-            j = np.nonzero((F.pair == i) & (F.depth == 0))[0][0]
-            paths_seqs.append(_words_to_codes(F.words[j:j + 1], k)[0])
+            # start == goal: the path is the seed k-mer itself
+            paths_seqs.append(np.asarray(seed_code_of[i], np.uint8))
         if edges:
             budget = params.max_cost - int(cost[i])
             for fnode, rnode in edges:
@@ -853,9 +914,23 @@ def _merge_pair(s1: str, r2_codes: np.ndarray, paths_seqs, s_pos: int,
                                  start_pos=s_pos, goal_pos=g_pos)
 
     r2s = alphabet.decode(r2_codes)
-    prefix = s1[:s_pos]
-    suffix = r2s[len(r2s) - g_pos:] if g_pos > 0 else ""
-    merged = prefix + connecting + suffix
+    if params.preserve_reads:
+        # --preserve-reads (konnector.h:339-357): the merged pseudo-read
+        # keeps the FULL read1 / rc(read2) as prefix/suffix and trims
+        # the connecting sequence by the read overlaps; overlapping
+        # reads (trims exceeding the connecting length) fail NO_PATH.
+        trim_left = len(s1) - s_pos
+        trim_right = len(r2s) - g_pos
+        if trim_left + trim_right > len(connecting):
+            return ConnectResult(None, npaths, "NO_PATH",
+                                 path_mismatches=path_mismatches,
+                                 start_pos=s_pos, goal_pos=g_pos)
+        mid = connecting[trim_left:len(connecting) - trim_right]
+        merged = s1 + mid + r2s
+    else:
+        prefix = s1[:s_pos]
+        suffix = r2s[len(r2s) - g_pos:] if g_pos > 0 else ""
+        merged = prefix + connecting + suffix
 
     merged, read_mismatches = mask_new(s1, r2s, merged, params.mask)
     rp_len = len(s1) + len(r2s)

@@ -229,6 +229,11 @@ def stage_unitigs_1(p: PipelineParams) -> str:
         # k = pair span, K = single k-mer size (reference naming);
         # the engine's (k_single, K_span) argument order is the
         # module's own
+        if p.k < 2 * p.K:
+            raise ValueError(
+                f"paired-DBG mode: k ({p.k}) is the k-mer PAIR SPAN and "
+                f"must be >= 2*K (K={p.K} is the single k-mer size); "
+                f"cf. bin/abyss-pe:556-564")
         _log(p, f"stage 1: paired-DBG assembly (span k={p.k} "
                 f"single K={p.K}) -> {out}")
         from ..dbg import paired_dbg
