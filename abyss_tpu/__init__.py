@@ -43,7 +43,11 @@ _cache_dir = _os.environ.get(
                                      ".jax_cache"))
 try:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # Cache even fast-compiling programs: through the axon tunnel a
+    # "1 s" compile still costs several round trips, and the cold-vs-
+    # steady e2e gap (BENCH_NOTES round 4: 262.6 s vs 210.8 s) is the
+    # sum of dozens of such programs.
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:  # older jax without these options
     pass
 

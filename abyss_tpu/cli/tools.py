@@ -8,6 +8,7 @@ abyss-todot.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -302,17 +303,36 @@ def konnector_main(argv=None):
                             bloom_bytes=parse_size(args.bloom_size),
                             min_cov=1)
     if args.cascade >= 2:
+        # solid = seen >= L times.  The reference implements this with
+        # an L-level CascadingBloomFilter (Konnector/konnector.cc); the
+        # TPU-native default is the EXACT sorted counter at threshold L
+        # — identical solidity decisions minus the cascade's false
+        # positives, and it feeds the device-resident BFS
+        # (gap/konnector_dev; the cascade forces the host fallback).
+        # ABYSS_TPU_KONN_FILTER=cascade restores the memory-lean
+        # Bloom-cascade semantics.
         from ..ops import nthash
-        from ..ops.bloom import CascadingBloomFilter
-        size = 1 << (max(parse_size(args.bloom_size) // args.cascade,
-                         2).bit_length() - 1)
-        cbf = CascadingBloomFilter.create(size, args.kmer,
-                                          depth=args.cascade)
         import jax.numpy as jnp
-        for batch in io_read_batches([args.reads1, args.reads2], 4096, 512):
-            _, _, canon, valid = nthash.kmer_hashes(
-                jnp.asarray(batch.codes), args.kmer)
-            cbf = cbf.insert(canon, valid)
+        if os.environ.get("ABYSS_TPU_KONN_FILTER") == "cascade":
+            from ..ops.bloom import CascadingBloomFilter
+            size = 1 << (max(parse_size(args.bloom_size) // args.cascade,
+                             2).bit_length() - 1)
+            cbf = CascadingBloomFilter.create(size, args.kmer,
+                                              depth=args.cascade)
+            for batch in io_read_batches([args.reads1, args.reads2],
+                                         4096, 512):
+                _, _, canon, valid = nthash.kmer_hashes(
+                    jnp.asarray(batch.codes), args.kmer)
+                cbf = cbf.insert(canon, valid)
+        else:
+            from ..ops.sorted_filter import SortedKmerCounter
+            ctr = SortedKmerCounter(args.kmer, threshold=args.cascade)
+            for batch in io_read_batches([args.reads1, args.reads2],
+                                         4096, 512):
+                _, _, canon, valid = nthash.kmer_hashes(
+                    jnp.asarray(batch.codes), args.kmer)
+                ctr.add(canon, valid)
+            cbf = ctr.finalize()
     else:
         cbf = bloom_dbg.load_filter(
             io_read_batches([args.reads1, args.reads2], 4096, 512), params)

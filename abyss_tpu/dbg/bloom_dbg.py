@@ -170,10 +170,12 @@ def _extend_both(cbf, seeds: np.ndarray, params: AssemblyParams):
     """
     k, trim = params.k, params.trim_len
     width, chunk = params.lookahead_width, params.chunk
+    cmax = params.chunk_max
     # left extension: FORWARD walk on the reverse complement
     rc_seeds = alphabet.revcomp_codes(seeds)
     lbuf, llen, lstat = ext.extend_forward(
-        cbf, rc_seeds, k, trim, width, chunk, params.max_contig_len)
+        cbf, rc_seeds, k, trim, width, chunk, params.max_contig_len,
+        chunk_max=cmax)
     M = seeds.shape[0]
     seqs = []
     # batched length-aware reverse complement of every left walk
@@ -195,11 +197,12 @@ def _extend_both(cbf, seeds: np.ndarray, params: AssemblyParams):
     if warm:
         rbuf, rlen, rstat = ext.extend_forward(
             cbf, seeds, k, trim, width, chunk, params.max_contig_len,
-            prev_base=prev_base)
+            prev_base=prev_base, chunk_max=cmax)
         off = 1
     else:
         rbuf, rlen, rstat = ext.extend_forward(
-            cbf, seeds, k, trim, width, chunk, params.max_contig_len)
+            cbf, seeds, k, trim, width, chunk, params.max_contig_len,
+            chunk_max=cmax)
         off = 0
     for i in range(M):
         right_ext = rbuf[i, off + k:rlen[i]]
@@ -346,7 +349,14 @@ class Assembler:
         lengths[batch.num_reads:] = 0
 
         tick = time.time() if p.verbose >= 3 else 0.0
-        for round_no in range(64):
+        # adaptive seed cap: a fresh batch at genome scale has thousands
+        # of eligible reads that all sit on the same few long unitigs;
+        # seeding them all walks each unitig from every lane (the round-4
+        # DNF).  Seed a few lanes first, let the visited filter absorb
+        # their unitigs, and only grow the cap while walks stay short
+        # (shattered graphs drain at full width within a few rounds).
+        seed_cap = max(int(p.seeds_per_round), 1)
+        for round_no in range(4096):
             cls = _classify_batch(
                 self.cbf, self.visited, batch.codes, lengths, k,
                 p.fp_look_ahead, p.lookahead_width)
@@ -374,9 +384,10 @@ class Assembler:
                             outcome = "EXTENDED"
                         self.trace_out.write(
                             f"{batch.ids[i]}\t{outcome}\n")
-            rows = np.nonzero(cls["eligible"])[0]
-            if not len(rows):
+            rows_all = np.nonzero(cls["eligible"])[0]
+            if not len(rows_all):
                 break
+            rows = rows_all[:seed_cap]
             # batched k-window gather (a Python per-read loop here
             # dominated large batches, VERDICT r1 weak #9)
             starts = cls["first_unvisited"][rows]
@@ -445,6 +456,17 @@ class Assembler:
                       f"{len(emitted)} contigs {now - tick:.2f}s",
                       file=sys.stderr, flush=True)
                 tick = now
+            # cap growth: only widen while the walks of this round were
+            # short (long walks mean few unitigs — stay narrow and let
+            # the visited filter drop the rest of the batch next round)
+            max_walk = max((len(s) for s in seqs), default=0)
+            if max_walk < 4 * k + 2048:
+                seed_cap = min(seed_cap * 4, 1 << 22)
+            # fixpoint guard: every eligible read was seeded and nothing
+            # was emitted or newly marked — re-classifying would repeat
+            # the identical round (tips/redundant walks) forever
+            if not emitted and len(rows) == len(rows_all):
+                break
             # next round re-classifies: reads whose k-mers are now covered
             # drop out; remaining reads seed their next unassembled k-mer
         return out

@@ -430,24 +430,42 @@ def _resolve(cbf: CountingBloomFilter, st: ExtendState, k: int, trim: int,
         has_prev=st.has_prev)
 
 
-def _full_cycle_check(seq: np.ndarray, k: int) -> bool:
-    """True if the final head k-mer (or its rc) occurs earlier in `seq` —
-    the exact analogue of the visited-set cycle stop
-    (ExtendPath.h:648-658)."""
-    L = len(seq)
-    if L <= k:
-        return False
-    head = seq[L - k:L].tobytes()
-    hrc = alphabet.revcomp_codes(seq[L - k:L]).tobytes()
-    body = seq[:L - 1].tobytes()
-    return body.find(head) != -1 or body.find(hrc) != -1
+def _first_revisit(canon: np.ndarray) -> int:
+    """Window index of the first k-mer whose canonical hash was already
+    seen at an earlier window; -1 if all distinct.
+
+    The host-side analogue of the visited-set cycle stop
+    (ExtendPath.h:648-658), made independent of the chunk size: with
+    large device chunks a small cycle can wrap many times before the
+    host looks, so the path must be truncated at the FIRST revisit, not
+    merely popped by one vertex.  Uses 64-bit canonical ntHash values
+    (collision odds ~L^2/2^64 per path — negligible for a Bloom-mode
+    engine that is itself probabilistic)."""
+    L = len(canon)
+    if L < 2:
+        return -1
+    order = np.argsort(canon, kind="stable")
+    s = canon[order]
+    dup = s[1:] == s[:-1]
+    if not dup.any():
+        return -1
+    return int(order[1:][dup].min())
 
 
 def extend_forward(cbf: CountingBloomFilter, seed_codes: np.ndarray,
                    k: int, trim: int, width: int = 16, chunk: int = 512,
                    max_len: int = 1 << 22, prev_base=None,
+                   chunk_max: int = 1 << 15,
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Extend [P, k] seeds FORWARD to their unitig ends.
+
+    The per-dispatch step budget DOUBLES at every warm restart (chunk →
+    chunk_max): long unitig walks are inherently serial, and on a
+    tunneled TPU each dispatch pays a ~35-60 ms round trip, so a 1 Mb
+    walk at a fixed 512-step chunk is ~2000 round trips (the round-4
+    genome-scale Bloom DNF, BENCH_NOTES).  Doubling bounds the dispatch
+    count at O(L/chunk_max + log(chunk_max/chunk)) while short walks
+    never allocate the big buffers.
 
     Returns (bufs uint8[P, L*], lengths int32[P], status int8[P]) where
     status is one of DEAD_END / AMBI_IN / AMBI_OUT / CYCLE / CHUNK_LIMIT.
@@ -468,8 +486,9 @@ def extend_forward(cbf: CountingBloomFilter, seed_codes: np.ndarray,
         s[P0:] = DEAD_END
         st = st._replace(status=jnp.asarray(s))
     out_bufs = None
+    cur_chunk = chunk
     while True:
-        st = fast_extend(cbf, st, k, chunk)
+        st = fast_extend(cbf, st, k, cur_chunk)
         status = np.asarray(st.status)
         if ((status == NEED_B) | (status == NEED_F)).any():
             st = _resolve(cbf, st, k, trim, width)
@@ -496,15 +515,30 @@ def extend_forward(cbf: CountingBloomFilter, seed_codes: np.ndarray,
                     out_len[i] += n_ext
                 out_status[i] = status[i]
             out_bufs = new
-        # exact cross-chunk cycle detection on paths that are still going
-        for i in np.nonzero(out_status == CHUNK_LIMIT)[0]:
-            if _full_cycle_check(out_bufs[i, :out_len[i]], k):
-                out_status[i] = CYCLE
-                out_len[i] -= 1  # pop the repeated head vertex
+        # exact cross-chunk cycle detection on paths that are still
+        # going: one joined device hash call for all of them, truncating
+        # each at its first revisited vertex (reference visited-set stop)
+        going = np.nonzero(out_status == CHUNK_LIMIT)[0]
+        if len(going):
+            sep = np.full(1, alphabet.BAD, np.uint8)
+            joined = np.concatenate(
+                [x for i in going
+                 for x in (out_bufs[i, :out_len[i]], sep)])
+            _, _, canon, _ = nthash.kmer_hashes_padded(joined, k)
+            canon = np.asarray(canon)
+            pos = 0
+            for i in going:
+                L = int(out_len[i])
+                r = _first_revisit(canon[pos:pos + L - k + 1])
+                if r >= 0:
+                    out_status[i] = CYCLE
+                    out_len[i] = r + k - 1
+                pos += L + 1
         if not (out_status == CHUNK_LIMIT).any() or \
                 out_bufs.shape[1] >= max_len:
             break
-        # warm restart for chunk-limited paths
+        # warm restart for chunk-limited paths, with a doubled budget
+        cur_chunk = min(cur_chunk * 2, chunk_max)
         cont = out_status == CHUNK_LIMIT
         seeds = np.zeros((P, k), np.uint8)
         prevb = np.zeros(P, np.uint8)
@@ -512,7 +546,7 @@ def extend_forward(cbf: CountingBloomFilter, seed_codes: np.ndarray,
             L = out_len[i]
             seeds[i] = out_bufs[i, L - k:L]
             prevb[i] = out_bufs[i, L - k - 1] if L > k else 0
-        st = init_state(seeds, k + 1 + chunk, k, prev_base=prevb)
+        st = init_state(seeds, k + 1 + cur_chunk, k, prev_base=prevb)
         # freeze already-terminal paths
         st = st._replace(status=jnp.asarray(
             np.where(cont, ACTIVE, out_status).astype(np.int8)))

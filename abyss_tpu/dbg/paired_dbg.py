@@ -19,6 +19,7 @@ reference has).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -342,6 +343,48 @@ def _pair_fp(fa, ra, fb, rb):
     return F, R, jnp.minimum(F, R)
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _pair_canon_batch(codes, k: int, K: int):
+    """Fused per-batch pair ingest: (masked canon fingerprints,) ONE
+    program per batch shape — the wide-pair analogue of
+    hash_dbg._pack_canon_masked (an eager per-batch hash+mix chain
+    costs several tunnel round trips per batch at genome scale)."""
+    from ..ops import nthash
+    off = K - k
+    W = codes.shape[-1] - K + 1
+    fh, rh, _, v = nthash.kmer_hashes(codes, k)
+    fa, ra, va = fh[..., :W], rh[..., :W], v[..., :W]
+    fb, rb, vb = (fh[..., off:off + W], rh[..., off:off + W],
+                  v[..., off:off + W])
+    _, _, canon = _pair_fp(fa, ra, fb, rb)
+    return jnp.where(va & vb, canon,
+                     jnp.uint64(0xFFFFFFFFFFFFFFFF)).reshape(-1)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _pair_fill_batch(codes, k: int, K: int):
+    """Per-batch fill-pass quantities (canon, valid, is_fwd, hashes),
+    kept on device; the caller gathers only the selected first
+    occurrences (pulling the full hash tensors cost ~30 MB/batch of
+    D2H over the tunnel in round 4)."""
+    from ..ops import nthash
+    off = K - k
+    W = codes.shape[-1] - K + 1
+    fh, rh, _, v = nthash.kmer_hashes(codes, k)
+    fa, ra, va = fh[..., :W], rh[..., :W], v[..., :W]
+    fb, rb, vb = (fh[..., off:off + W], rh[..., off:off + W],
+                  v[..., off:off + W])
+    F, R, canon = _pair_fp(fa, ra, fb, rb)
+    return (canon.reshape(-1), (va & vb).reshape(-1),
+            (F == canon).reshape(-1), fa.reshape(-1), ra.reshape(-1),
+            fb.reshape(-1), rb.reshape(-1))
+
+
+@jax.jit
+def _gather_u64(arrs, idx):
+    return tuple(a[idx] for a in arrs)
+
+
 def count_pairs_wide(batches, k: int, K: int,
                      kc: int = 1) -> PairTable:
     """Count pair fingerprints, apply the kc filter, THEN fill side
@@ -349,23 +392,14 @@ def count_pairs_wide(batches, k: int, K: int,
     deferred fill_wide_side pattern: at genome scale ~90% of distinct
     pairs are sub-threshold error k-mers and filling them dominated
     the K-mode wall)."""
-    from ..ops import nthash
     from ..ops.sorted_filter import SortedKmerCounter
 
     batches = [np.asarray(b) for b in batches]
-    off = K - k
     ctr = SortedKmerCounter(k, threshold=1)
     for codes in batches:
-        L = codes.shape[-1]
-        W = L - K + 1
-        if W <= 0:
+        if codes.shape[-1] - K + 1 <= 0:
             continue
-        fh, rh, _, v = nthash.kmer_hashes(jnp.asarray(codes), k)
-        fa, ra, va = fh[..., :W], rh[..., :W], v[..., :W]
-        fb, rb, vb = (fh[..., off:off + W], rh[..., off:off + W],
-                      v[..., off:off + W])
-        _, _, canon = _pair_fp(fa, ra, fb, rb)
-        ctr.add(canon, va & vb)
+        ctr.add(_pair_canon_batch(jnp.asarray(codes), k, K))
     f = ctr.finalize()
     keys = np.asarray(f.kmers)
     counts = np.minimum(np.asarray(f.counts),
@@ -380,19 +414,16 @@ def count_pairs_wide(batches, k: int, K: int,
                   np.zeros(N, np.uint64), np.zeros(N, np.uint64),
                   np.zeros((N, TB), np.uint8))
     filled = np.zeros(N, bool)
+    off = K - k
     for codes in batches:
         L = codes.shape[-1]
         W = L - K + 1
         if W <= 0:
             continue
-        fh, rh, _, v = nthash.kmer_hashes(jnp.asarray(codes), k)
-        fa, ra, va = fh[..., :W], rh[..., :W], v[..., :W]
-        fb, rb, vb = (fh[..., off:off + W], rh[..., off:off + W],
-                      v[..., off:off + W])
-        F, R, canon = _pair_fp(fa, ra, fb, rb)
-        canon_np = np.asarray(canon).reshape(-1)
-        valid_np = np.asarray(va & vb).reshape(-1)
-        is_fwd = np.asarray(F == canon).reshape(-1)
+        canon_d, valid_d, isfwd_d, fa_d, ra_d, fb_d, rb_d = \
+            _pair_fill_batch(jnp.asarray(codes), k, K)
+        canon_np = np.asarray(canon_d)
+        valid_np = np.asarray(valid_d)
         idx = np.searchsorted(t.keys, canon_np)
         idx = np.minimum(idx, max(N - 1, 0))
         hit = valid_np & (t.keys[idx] == canon_np)
@@ -403,7 +434,6 @@ def count_pairs_wide(batches, k: int, K: int,
             continue
         # first occurrence per row wins
         rows = idx[need]
-        first = np.zeros(N, np.int64)
         srcpos = np.nonzero(need)[0]
         order = np.argsort(rows, kind="stable")
         rows_s = rows[order]
@@ -412,27 +442,32 @@ def count_pairs_wide(batches, k: int, K: int,
         rows_u = rows_s[uniq]
         src_u = src_s[uniq]
         # store hashes in STORED (canonical) orientation: when the rc
-        # fingerprint won, the stored pair is (rc(b), rc(a))
-        fwd_here = is_fwd[src_u]
-        fa_f = np.asarray(fa).reshape(-1)[src_u]
-        ra_f = np.asarray(ra).reshape(-1)[src_u]
-        fb_f = np.asarray(fb).reshape(-1)[src_u]
-        rb_f = np.asarray(rb).reshape(-1)[src_u]
+        # fingerprint won, the stored pair is (rc(b), rc(a)); gather
+        # ONLY the selected occurrences off the device (full-tensor
+        # pulls were ~30 MB/batch of tunnel D2H in round 4)
+        src_u_d = jnp.asarray(src_u)
+        fa_f, ra_f, fb_f, rb_f, isf = (np.asarray(x) for x in _gather_u64(
+            (fa_d, ra_d, fb_d, rb_d, isfwd_d), src_u_d))
+        fwd_here = isf.astype(bool)
         t.fa[rows_u] = np.where(fwd_here, fa_f, rb_f)
         t.ra[rows_u] = np.where(fwd_here, ra_f, fb_f)
         t.fb[rows_u] = np.where(fwd_here, fb_f, ra_f)
         t.rb[rows_u] = np.where(fwd_here, rb_f, fa_f)
-        # packed text of (a, b) in stored orientation
+        # packed text of (a, b) in stored orientation — batched window
+        # gathers (the per-occurrence Python loop here packed one text
+        # row at a time: ~100 s at 33M pairs in round 4)
         codes_flat = codes.reshape(-1, L)
-        Wn = W
-        for j, (row, sp) in enumerate(zip(rows_u, src_u)):
-            read_i, win = divmod(int(sp), Wn)
-            awin = codes_flat[read_i, win:win + k]
-            bwin = codes_flat[read_i, win + off:win + off + k]
-            if not fwd_here[j]:
-                awin, bwin = (3 - bwin[::-1]), (3 - awin[::-1])
-            both = np.concatenate([awin, bwin]).astype(np.uint8)
-            t.text[row] = hash_dbg.pack_text(both[None], 2 * k)[0]
+        read_i, win = np.divmod(src_u, W)
+        cols = np.arange(k)[None, :]
+        awin = codes_flat[read_i[:, None], win[:, None] + cols]
+        bwin = codes_flat[read_i[:, None], win[:, None] + off + cols]
+        arc = (3 - bwin[:, ::-1]).astype(np.uint8)
+        brc = (3 - awin[:, ::-1]).astype(np.uint8)
+        both = np.concatenate(
+            [np.where(fwd_here[:, None], awin, arc),
+             np.where(fwd_here[:, None], bwin, brc)],
+            axis=1).astype(np.uint8)
+        t.text[rows_u] = hash_dbg.pack_text(both, 2 * k)
         filled[rows_u] = True
     return t
 
@@ -451,43 +486,165 @@ def _pair_end_bases(t: PairTable):
             base_at(2 * k - 1).astype(np.uint8))
 
 
-def _pair_probe_wide(t: PairTable):
-    """nbr int32[N, 32] by rolling both k-mer hashes one base per
-    Dinuc component (right 16, then left 16)."""
+@partial(jax.jit, static_argnums=(0, 1))
+def _probe_col_hashes(k: int, right: bool, fa, ra, fb, rb, a_end, b_end,
+                      c1, c2):
+    """Rolled fingerprints of ONE Dinuc column: (walk-orientation match
+    key, canonical).  The match key is the fingerprint of the candidate
+    in the WALK orientation (right edges walk the stored orientation ->
+    forward mix; left edges walk the rc -> rc mix), so
+    `keys[tgt] == match_key` IS the host build_links `same` test."""
     from ..ops import nthash
+    c1b = jnp.broadcast_to(jnp.uint8(c1), fa.shape)
+    c2b = jnp.broadcast_to(jnp.uint8(c2), fb.shape)
+    if right:
+        fa2, ra2 = nthash.roll_right(fa, ra, k, a_end, c1b)
+        fb2, rb2 = nthash.roll_right(fb, rb, k, b_end, c2b)
+    else:
+        fa2, ra2 = nthash.roll_left(fa, ra, k, a_end, c1b)
+        fb2, rb2 = nthash.roll_left(fb, rb, k, b_end, c2b)
+    F, R, canon = _pair_fp(fa2, ra2, fb2, rb2)
+    return (F if right else R), canon
+
+
+@jax.jit
+def _col_post(keys, rows, match_key, gate):
+    """Join post-processing for one column: gated neighbor row + the
+    walk-orientation strand bit of the target."""
+    rows = jnp.where(gate, rows, -1)
+    same = (rows >= 0) & (keys[jnp.clip(rows, 0)] == match_key)
+    return rows.astype(jnp.int32), same
+
+
+def _pair_probe_dev(t: PairTable, zero_gap: bool):
+    """Device 32-column Dinuc neighbor probe.
+
+    Returns (nbr [32, N] int32 device, ts uint32[N] device) where ts
+    bit ci says the column-ci neighbor is stored in the walk
+    orientation (tstrand 0).  One join per column — the stacked [N, 32]
+    candidate tensor OOM'd at genome scale (33M pairs -> 8.5 GB before
+    the join's own sort temps) — with the per-column tstrand computed
+    at probe time so trim rounds never re-roll hashes
+    (PairedDBG/KmerPair.h:14; round-4 verdict #4)."""
     from ..ops.sort_join import join_rows
 
     k = t.k
     a_first, a_last, b_first, b_last = _pair_end_bases(t)
+    af_d, al_d = jnp.asarray(a_first), jnp.asarray(a_last)
+    bf_d, bl_d = jnp.asarray(b_first), jnp.asarray(b_last)
     fa, ra = jnp.asarray(t.fa), jnp.asarray(t.ra)
     fb, rb = jnp.asarray(t.fb), jnp.asarray(t.rb)
-    cols = []
-    for c1 in range(4):
-        c1a = jnp.full(t.n, c1, jnp.uint8)
-        fa2, ra2 = nthash.roll_right(fa, ra, k, jnp.asarray(a_first), c1a)
-        for c2 in range(4):
-            c2a = jnp.full(t.n, c2, jnp.uint8)
-            fb2, rb2 = nthash.roll_right(fb, rb, k,
-                                         jnp.asarray(b_first), c2a)
-            _, _, canon = _pair_fp(fa2, ra2, fb2, rb2)
-            cols.append(canon)
-    for c1 in range(4):
-        c1a = jnp.full(t.n, c1, jnp.uint8)
-        fa2, ra2 = nthash.roll_left(fa, ra, k, jnp.asarray(a_last), c1a)
-        for c2 in range(4):
-            c2a = jnp.full(t.n, c2, jnp.uint8)
-            fb2, rb2 = nthash.roll_left(fb, rb, k,
-                                        jnp.asarray(b_last), c2a)
-            _, _, canon = _pair_fp(fa2, ra2, fb2, rb2)
-            cols.append(canon)
-    # one join per Dinuc column: the stacked [N, 32] candidate tensor
-    # OOM'd at genome scale (33M pairs -> 8.5 GB of candidates before
-    # the join's own sort temps)
     keys_dev = jnp.asarray(t.keys)
-    out = np.empty((t.n, 32), np.int32)
-    for ci, canon in enumerate(cols):
-        out[:, ci] = np.asarray(join_rows(keys_dev, canon))
-    return out
+    nbr_cols = []
+    ts = jnp.zeros(t.n, jnp.uint32)
+    for ci in range(32):
+        right = ci < 16
+        c1, c2 = (ci % 16) >> 2, ci & 3
+        mk, canon = _probe_col_hashes(
+            k, right, fa, ra, fb, rb, af_d if right else al_d,
+            bf_d if right else bl_d, c1, c2)
+        rows = join_rows(keys_dev, canon)
+        # zero-gap consistency (removePairedDBGInconsistentEdges,
+        # PairedDBG/PairedDBGAlgorithms.h:10-41): when span == 2k the
+        # junction base is covered by both tracks
+        if zero_gap:
+            gate = (bf_d == c1) if right else (al_d == c2)
+        else:
+            gate = jnp.ones(t.n, bool)
+        rows, same = _col_post(keys_dev, rows, mk, gate)
+        nbr_cols.append(rows)
+        ts = ts | (same.astype(jnp.uint32) << np.uint32(ci))
+    return jnp.stack(nbr_cols), ts
+
+
+@jax.jit
+def _nxt_pair(nbr32, ts32, palin, alive):
+    """Unique-successor links for the pair graph: the device form of
+    the host build_links, with target strands read off the probe-time
+    ts bits (chain_ops._nxt_wide's role for Dinuc edges)."""
+    N = alive.shape[0]
+    ok = (nbr32 >= 0) & alive[jnp.clip(nbr32, 0)]
+    rd = ok[:16].sum(axis=0, dtype=jnp.int32)
+    ld = ok[16:].sum(axis=0, dtype=jnp.int32)
+
+    def one_strand(strand):
+        cols = nbr32[:16] if strand == 0 else nbr32[16:]
+        okc = ok[:16] if strand == 0 else ok[16:]
+        sub = jnp.where(okc, cols, -1)
+        tgt = jnp.max(sub, axis=0)
+        ci = jnp.argmax(sub, axis=0).astype(jnp.uint32) + \
+            np.uint32(0 if strand == 0 else 16)
+        tgt_c = jnp.clip(tgt, 0)
+        same = ((ts32 >> ci) & jnp.uint32(1)).astype(bool)
+        tstrand = jnp.where(same, 0, 1)
+        deg = rd if strand == 0 else ld
+        t_in = jnp.where(same, ld[tgt_c], rd[tgt_c])
+        good = alive & (deg == 1) & ~palin & (tgt >= 0) & \
+            (t_in == 1) & ~palin[tgt_c]
+        ov_t = 2 * tgt_c.astype(jnp.int32) + tstrand
+        return jnp.where(good, ov_t, -1)
+
+    from .chain_ops import _interleave
+    return _interleave(one_strand(0), one_strand(1))
+
+
+class DevicePairDBG:
+    """Device-resident pair-graph chain phases, reusing chain_ops'
+    capped-rank trim and sorted chain decomposition (the round-4 host
+    loop re-built [N, 32] link state and re-ranked 2N pointers on host
+    EVERY trim round: 1330 s vs the reference binary's 494.8 s on
+    BASELINE config #4)."""
+
+    def __init__(self, t: PairTable, zero_gap: bool):
+        self.t = t
+        self.nbr_d, self.ts_d = _pair_probe_dev(t, zero_gap)
+        F = _mix_pair(jnp.asarray(t.fa), jnp.asarray(t.fb))
+        R = _mix_pair(jnp.asarray(t.rb), jnp.asarray(t.ra))
+        self.palin_d = F == R
+        self.alive_d = jnp.asarray(t.alive)
+        self.counts_d = jnp.asarray(t.counts)
+
+    def _nxt(self):
+        return _nxt_pair(self.nbr_d, self.ts_d, self.palin_d,
+                         self.alive_d)
+
+    def _deg_ov(self):
+        from .chain_ops import _interleave
+        ok = (self.nbr_d >= 0) & self.alive_d[jnp.clip(self.nbr_d, 0)]
+        rd = ok[:16].sum(axis=0, dtype=jnp.int32)
+        ld = ok[16:].sum(axis=0, dtype=jnp.int32)
+        return _interleave(rd, ld), _interleave(ld, rd)
+
+    def trim(self, max_tip: int) -> int:
+        from . import chain_ops
+        if max_tip <= 0:
+            return 0
+        rounds_t = max(int(np.ceil(np.log2(max_tip))), 0) \
+            if max_tip > 1 else 0
+        total = 0
+        while True:
+            outdeg, indeg = self._deg_ov()
+            self.alive_d, removed = chain_ops._trim_round_impl(
+                self._nxt(), outdeg, indeg, self.alive_d,
+                self.counts_d, jnp.int32(max_tip), rounds_t)
+            removed = int(removed)
+            if removed == 0:
+                return total
+            total += removed
+
+    def chains(self):
+        from . import chain_ops
+        ov_s_d, start_d, cnt_d = chain_ops._chains_sorted_dev(
+            self._nxt(), self.alive_d)
+        a = int(cnt_d)
+        if a == 0:
+            return (np.zeros(0, np.int32), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64))
+        ov_s = np.asarray(ov_s_d[:a])
+        start = np.asarray(start_d[:a])
+        sidx = np.flatnonzero(start)
+        lengths = np.diff(np.append(sidx, a))
+        return ov_s, sidx, lengths
 
 
 def assemble_pairs_wide(batches, k: int, K: int, kc: int = 2,
@@ -495,102 +652,54 @@ def assemble_pairs_wide(batches, k: int, K: int, kc: int = 2,
                         ) -> list[tuple[str, int]]:
     """Wide-mode paired assembly: same chain machinery as the packed
     path, driven by rolled fingerprints; trims tips like the packed
-    path (performTrim, default t = span)."""
-    from ..ops import nthash
+    path (performTrim, default t = span).
 
+    The probe/trim/chain phases run device-resident (DevicePairDBG):
+    the host loop of rounds 1-4 rebuilt [N, 32] link state in numpy and
+    re-ranked 2N pointers per trim round, which lost BASELINE config #4
+    2.7x; per round now costs one fused device program + a scalar
+    sync."""
     t = count_pairs_wide(batches, k, K, kc=kc)
     t.alive &= t.counts >= kc
-    nbr = _pair_probe_wide(t)
-    if K == 2 * k:
-        _af, _al, _bf, _bl = _pair_end_bases(t)
-        nbr = _filter_inconsistent_zero_gap(nbr, _bf, _al)
-    N = t.n
-    alive = t.alive
-    # palindromic pair: fwd fingerprint equals rc fingerprint
-    F = np.asarray(_mix_pair(jnp.asarray(t.fa), jnp.asarray(t.fb)))
-    R = np.asarray(_mix_pair(jnp.asarray(t.rb), jnp.asarray(t.ra)))
-    palin = F == R
-
-    a_first, a_last, b_first, b_last = _pair_end_bases(t)
-
-    def build_links():
-        ok = (nbr >= 0) & np.where(nbr >= 0,
-                                   alive[np.maximum(nbr, 0)], False)
-        ok &= alive[:, None]
-        right_deg = ok[:, :16].sum(axis=1)
-        left_deg = ok[:, 16:].sum(axis=1)
-        nxt = np.full(2 * N, -1, np.int64)
-        for strand in (0, 1):
-            deg = right_deg if strand == 0 else left_deg
-            cols = slice(0, 16) if strand == 0 else slice(16, 32)
-            rows = np.nonzero(alive & (deg == 1) & ~palin)[0]
-            if not len(rows):
-                continue
-            sub = np.where(ok[rows, cols], nbr[rows, cols], -1)
-            tgt = sub.max(axis=1)
-            din = np.argmax(sub, axis=1)
-            c1, c2 = (din >> 2).astype(np.uint8), (din & 3).astype(np.uint8)
-            if strand == 0:
-                fa2, ra2 = nthash.roll_right(
-                    jnp.asarray(t.fa[rows]), jnp.asarray(t.ra[rows]), k,
-                    jnp.asarray(a_first[rows]), jnp.asarray(c1))
-                fb2, rb2 = nthash.roll_right(
-                    jnp.asarray(t.fb[rows]), jnp.asarray(t.rb[rows]), k,
-                    jnp.asarray(b_first[rows]), jnp.asarray(c2))
-            else:
-                # rc walk: pair becomes (rc(b), rc(a)); a LEFT Dinuc
-                # (c1, c2) is a right Dinuc (3-c2, 3-c1) on the rc,
-                # where rc(a)'s hash state is (ra, fa) and its first
-                # base is the complement of a's last base
-                fa2, ra2 = nthash.roll_right(
-                    jnp.asarray(t.rb[rows]), jnp.asarray(t.fb[rows]), k,
-                    jnp.asarray((3 - b_last[rows]).astype(np.uint8)),
-                    jnp.asarray((3 - c2).astype(np.uint8)))
-                fb2, rb2 = nthash.roll_right(
-                    jnp.asarray(t.ra[rows]), jnp.asarray(t.fa[rows]), k,
-                    jnp.asarray((3 - a_last[rows]).astype(np.uint8)),
-                    jnp.asarray((3 - c1).astype(np.uint8)))
-            Fw = np.asarray(_mix_pair(fa2, fb2))
-            same = t.keys[tgt] == Fw
-            tstrand = np.where(same, 0, 1)
-            t_in = np.where(tstrand == 0, left_deg[tgt], right_deg[tgt])
-            good = (t_in == 1) & ~palin[tgt]
-            src = 2 * rows + strand
-            nxt[src[good]] = (2 * tgt + tstrand)[good]
-        return right_deg, left_deg, nxt
-
+    if t.n == 0:
+        return []
+    d = DevicePairDBG(t, zero_gap=(K == 2 * k))
     max_tip = K if tip_len is None else tip_len
-    while max_tip > 0:
-        rd, ld, nxt = build_links()
-        if not _chain_trim_round(alive, nxt, rd, ld, max_tip):
-            break
-    right_deg, left_deg, nxt = build_links()
+    if max_tip > 0:
+        d.trim(max_tip)
+        t.alive = np.array(d.alive_d)
+    ov_s, sidx, lengths = d.chains()
 
-    head, pos = hash_dbg._pointer_double(nxt)
-    alive_ov = np.repeat(alive, 2)
-    order = np.lexsort((pos, head))
-    order = order[alive_ov[order]]
-    heads = head[order]
-    bounds = np.nonzero(np.concatenate([[True], heads[1:] != heads[:-1]]))[0]
+    # unpack the packed text of alive rows once: [M, 2k] base codes
+    alive_rows = np.flatnonzero(t.alive)
+    inv = np.full(t.n, -1, np.int64)
+    inv[alive_rows] = np.arange(len(alive_rows))
+    jj = np.arange(2 * k)
+    codes2k = ((t.text[alive_rows][:, jj // 4] >>
+                (6 - 2 * (jj % 4))) & 3).astype(np.uint8)
+
     contigs = []
     seen = set()
     span = K
-    for bi, s in enumerate(bounds):
-        e = bounds[bi + 1] if bi + 1 < len(bounds) else len(order)
-        chain = order[s:e]
+    cols_k = np.arange(k)
+    for s, L in zip(sidx, lengths):
+        chain = ov_s[s:s + L]
         rows_, strands = chain >> 1, chain & 1
-        n_steps = len(chain)
-        total = n_steps - 1 + span
+        cw = codes2k[inv[rows_]]                      # [L, 2k]
+        a_codes = np.where(strands[:, None] == 0, cw[:, :k],
+                           3 - cw[:, k:][:, ::-1])
+        b_codes = np.where(strands[:, None] == 0, cw[:, k:],
+                           3 - cw[:, :k][:, ::-1])
+        total = int(L) - 1 + span
         buf = np.full(total, 4, np.uint8)
-        for j, (r, st) in enumerate(zip(rows_, strands)):
-            both = np.concatenate([
-                ((t.text[r, jj // 4] >> (6 - 2 * (jj % 4))) & 3,)
-                for jj in range(2 * k)]).astype(np.uint8)
-            a_codes, b_codes = both[:k], both[k:]
-            if st == 1:
-                a_codes, b_codes = (3 - b_codes[::-1]), (3 - a_codes[::-1])
-            buf[j:j + k] = a_codes
-            buf[j + span - k:j + span] = b_codes
+        # write order matches the host loop: every b write precedes any
+        # later a write (b tracks start >= k past their own a track, so
+        # within a single fancy assignment duplicate positions only
+        # ever carry agreeing values)
+        j = np.arange(int(L))
+        buf[(j[:, None] + span - k + cols_k[None, :]).ravel()] = \
+            b_codes.ravel()
+        buf[(j[:, None] + cols_k[None, :]).ravel()] = a_codes.ravel()
         seq = alphabet.decode(buf)
         canon = min(seq, alphabet.revcomp(seq))
         if canon in seen:

@@ -24,6 +24,13 @@ class AssemblyParams:
     max_read_len: int = 512
     # extension engine shape knobs (static; trade FLOPs for fidelity)
     chunk: int = 1024            # bases extended per device super-step
+    chunk_max: int = 1 << 15     # super-step budget cap (doubles per chunk)
+    # initial seeds extended per batch round: at genome scale every read
+    # of a fresh batch is eligible at once, and uncapped seeding walks
+    # the same megabase unitig from thousands of lanes (round-4 DNF);
+    # the cap grows 4x per round while walks stay short, so shattered
+    # graphs still drain in a few rounds
+    seeds_per_round: int = 256
     lookahead_width: int = 16    # BFS frontier cap in branch resolution
     max_contig_len: int = 20_000_000
     verbose: int = 0

@@ -42,6 +42,8 @@ rank correctly, but their end-vertex stats truncate).
 
 from __future__ import annotations
 
+import os
+import sys
 from dataclasses import dataclass
 from functools import partial
 
@@ -407,8 +409,11 @@ def _fill_wide_sharded(t: ShardedKmerTable, sharded_batches,
     occurrence's text words are compared against the stored row —
     fingerprint collisions (distinct texts sharing a canonical 64-bit
     ntHash, ~n^2/2^65 expected: ~11 at the reference's 20.3e9
-    human-scale k-mers, Assembly/DBG.h:106-121) raise instead of
-    silently merging k-mers (round-3 verdict #3)."""
+    human-scale k-mers, Assembly/DBG.h:106-121) are EXCISED: the
+    merged row is marked dead on its owner shard, so no wrong bases
+    can be spliced and the run completes with clean chain breaks at
+    the collision sites (round-4 verdict #5).
+    ABYSS_TPU_COLLISION=raise restores the strict fail-fast."""
     from ..ops import nthash
     mesh, k = t.mesh, t.k
     ax = table_axes(mesh)
@@ -448,19 +453,24 @@ def _fill_wide_sharded(t: ShardedKmerTable, sharded_batches,
 
         return stage_a
 
+    coll_mask = jax.device_put(
+        np.zeros((n_dev, S), bool),
+        jax.sharding.NamedSharding(mesh, P(ax, None)))
+
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(ax),) * (2 + W + 4),
-             out_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)))
+             in_specs=(P(ax),) * (2 + W + 5),
+             out_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax)))
     def stage_b(canon_r2, hr_r2, *rest):
         words_r = [rest[i][0] for i in range(W)]
-        keys2, filled2, hr2, text3 = rest[W:]
+        keys2, filled2, hr2, text3, coll2 = rest[W:]
         canon_r = canon_r2[0]
         hr_r = hr_r2[0]
         keys = keys2[0]
         filledl = filled2[0]
         hrl = hr2[0]
         textl = text3[0]
+        colll = coll2[0]
         idx = jnp.searchsorted(keys, canon_r)
         idx = jnp.minimum(idx, S - 1)
         hit = (keys[idx] == canon_r) & (canon_r != SENTINEL)
@@ -480,8 +490,9 @@ def _fill_wide_sharded(t: ShardedKmerTable, sharded_batches,
         for w in range(W):
             same = same & (textl[idx, w] == words_r[w])
         bad = hit & ~same
+        colll = colll.at[jnp.where(bad, idx, S)].set(True, mode="drop")
         coll = jax.lax.psum(jnp.sum(bad), ax)
-        return (filledl[None], hrl[None], textl[None],
+        return (filledl[None], hrl[None], textl[None], colll[None],
                 unfilled.reshape(1), coll.reshape(1))
 
     stages = {}
@@ -493,19 +504,30 @@ def _fill_wide_sharded(t: ShardedKmerTable, sharded_batches,
         dest, canon, hrv, *words = stages[shape](sharded)
         routed = _route_records(mesh, dest, tuple([canon, hrv] + words),
                                 dest >= 0, canon.shape[-1], fills)
-        filled, hr, text, unfilled, coll = stage_b(
-            routed[0], routed[1], *routed[2:], t.keys, filled, hr, text)
+        filled, hr, text, coll_mask, unfilled, coll = stage_b(
+            routed[0], routed[1], *routed[2:], t.keys, filled, hr, text,
+            coll_mask)
         if verify:
             collisions += int(np.asarray(coll)[0])
         elif int(np.asarray(unfilled)[0]) == 0:
             break
     if collisions:
-        raise RuntimeError(
-            f"wide-mode fingerprint collision detected on the mesh: "
-            f"{collisions} occurrence(s) disagree with the stored "
-            f"k-mer text at k={t.k}; two distinct k-mers share a "
-            f"64-bit canonical ntHash. Re-run with a different k (or "
-            f"the packed k<=32 engine).")
+        if os.environ.get("ABYSS_TPU_COLLISION") == "raise":
+            raise RuntimeError(
+                f"wide-mode fingerprint collision detected on the "
+                f"mesh: {collisions} occurrence(s) disagree with the "
+                f"stored k-mer text at k={t.k}; two distinct k-mers "
+                f"share a 64-bit canonical ntHash "
+                f"(ABYSS_TPU_COLLISION=raise).")
+        n_rows = int(np.asarray(coll_mask).sum())
+        t.alive = jax.jit(
+            lambda a, c: a & ~c,
+            out_shardings=jax.sharding.NamedSharding(mesh, P(ax, None))
+        )(t.alive, coll_mask)
+        print(f"[sharded-table] wide-mode fingerprint collision: "
+              f"excised {n_rows} merged row(s) on their owner shards "
+              f"({collisions} mismatching occurrence(s) at k={t.k})",
+              file=sys.stderr, flush=True)
     t.hr = hr
     t.text = text
 

@@ -53,22 +53,58 @@ def collided(monkeypatch):
     return _make_fixture(monkeypatch)
 
 
-def test_collision_is_detected(collided):
-    """The checksum pass catches the planted collision (round-3
-    verdict #3: detected, not merely survived)."""
+def test_collision_is_detected_and_raises_in_strict_mode(
+        collided, monkeypatch):
+    """ABYSS_TPU_COLLISION=raise keeps the round-4 fail-fast."""
     k, genome, codes, target_a, target_b = collided
+    monkeypatch.setenv("ABYSS_TPU_COLLISION", "raise")
     with pytest.raises(RuntimeError, match="collision"):
         hash_dbg.count_kmers([codes], k)
 
 
-def test_collision_detected_on_mesh(collided):
-    """The sharded wide engine detects it too (routed text words
-    compared at the owner, first-wins store)."""
+def test_collision_recovery_completes_with_correct_output(collided):
+    """Round-4 verdict #5: a detected collision must not kill the run.
+    The merged row is EXCISED (both k-mers lost, chain breaks cleanly)
+    and the assembly completes with every contig a true substring of
+    the genome — no chimeric bases from the aliased text."""
+    k, genome, codes, target_a, target_b = collided
+    t = hash_dbg.count_kmers([codes], k)
+    # the merged row is present in the table but dead
+    hits = np.searchsorted(t.kmers, target_a)
+    assert t.kmers[hits] == target_a
+    assert not t.alive[hits]
+    contigs = hash_dbg.assemble_table(t, kc=1, erode_cov=0)
+    total = sum(len(s) for s, c in contigs)
+    assert total > 0.8 * len(genome)
+    grc = alphabet.revcomp(genome)
+    for s, _ in contigs:
+        assert s in genome or s in grc, "chimeric contig after recovery"
+
+
+def test_collision_recovery_on_mesh(collided):
+    """The sharded wide engine excises on the owner shard and the
+    merged host table carries the dead row (strict mode still
+    raises)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     from abyss_tpu.parallel import distributed as dist
     from abyss_tpu.parallel import sharded_table as st
     k, genome, codes, target_a, target_b = collided
+    mesh = dist.make_mesh(8, 1)
+    t = st.build_sharded_table(mesh, [codes], k)
+    host = t.host_table()
+    hits = np.searchsorted(host.kmers, target_a)
+    assert host.kmers[hits] == target_a
+    assert not host.alive[hits]
+
+
+def test_collision_raises_on_mesh_in_strict_mode(collided, monkeypatch):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from abyss_tpu.parallel import distributed as dist
+    from abyss_tpu.parallel import sharded_table as st
+    k, genome, codes, target_a, target_b = collided
+    monkeypatch.setenv("ABYSS_TPU_COLLISION", "raise")
     mesh = dist.make_mesh(8, 1)
     with pytest.raises(RuntimeError, match="collision"):
         st.build_sharded_table(mesh, [codes], k)
