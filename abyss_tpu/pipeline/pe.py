@@ -128,6 +128,12 @@ class PipelineParams:
     # latency (the tunnel round trip) and raise sort efficiency
     batch_size: int = 16384
     max_read_len: int = 256
+    # colour-space input (bin/abyss-pe:673-697 `ifdef cs`): None = auto
+    # from the first input record; True skips PathConsensus, merges
+    # paths into name-cs.fa and converts to nucleotides via anchored
+    # read consensus (pipeline/cs.py)
+    cs: bool | None = None
+    cs_orig_files: list = field(default_factory=list)
     # linked reads (lr=, bin/abyss-pe:752-849): tigmint cut + arcs
     lr_files: list = field(default_factory=list)
     # long reads (long=): longseqdist + rescaffold -> name-10.fa
@@ -488,6 +494,14 @@ def stage_dist_5(p: PipelineParams) -> str:
                                    p.lib_l(lib))
         with open(p.path("3.hist", lib.name), "w") as f:
             f.write(hist.to_text())
+        if hist.size() == 0:
+            # no proper pairs mapped (e.g. single-end-only input):
+            # DistanceEst has no fragment PMF to fit — skip the library
+            # (the reference's pipe would emit an empty .dist the same
+            # way since ParseAligns finds no FR pairs)
+            _log(p, f"stage 4-5: library {lib.name} produced no "
+                    f"fragment histogram; skipping DistanceEst")
+            continue
         t0 = time.time()
         est = distance_est.estimate_distances(
             links, hist, min_pairs=p.lib_n(lib),
@@ -578,6 +592,33 @@ def stage_contigs_6(p: PipelineParams) -> str:
     # PathOverlap --assemble -> -4.path3
     assembled = path_overlap.assemble_overlapping_paths(merged, ss=p.ss)
     pathtools.write_paths(assembled, g, p.path("4.path3"), start_id=0)
+
+    if p.cs:
+        # colour-space branch (bin/abyss-pe:673-697 `ifdef cs`):
+        # PathConsensus is skipped (-5 symlinks -4), paths merge to
+        # name-cs.fa, then KAligner|Consensus produce nucleotides
+        from . import cs as cs_mod
+        next_id = max((int(n) for n in g.names if n.isdigit()),
+                      default=-1) + 1
+        used = set()
+        cs_contigs, cs_covs = [], []
+        for pth in assembled:
+            seq = pathtools.materialize_path(pth, g, seqs, k=p.k)
+            cov = sum(g.coverages[v >> 1] for v in pth
+                      if not pa.is_amb(v))
+            cs_contigs.append((str(next_id), seq))
+            cs_covs.append(cov)
+            next_id += 1
+            used.update(v >> 1 for v in pth if not pa.is_amb(v))
+        for cid in g.contigs():
+            if cid not in used:
+                n = g.names[cid]
+                cs_contigs.append((n, seqs[n]))
+                cs_covs.append(g.coverages[cid])
+        cs_fa = p.path("cs.fa")
+        _write_contigs(cs_fa, cs_contigs, cs_covs)
+        graphio.write_dot(g, p.path("5.dot"), k=p.k)
+        return cs_mod.finish_nt(p, cs_fa)
 
     # PathConsensus -> -5.{path,fa,dot} (resolve ambiguous N entries)
     res = path_consensus.resolve_paths(
@@ -857,10 +898,25 @@ def run(p: PipelineParams) -> dict[str, str]:
         _log(p, f"[wall] {label}: {time.time() - ts:.1f}s")
         return r
 
+    from . import cs as cs_mod
+    if p.cs is None:
+        p.cs = bool(p.in_files) and cs_mod.detect(p.in_files)
+    if p.cs and not p.cs_orig_files:
+        _log(p, "colour-space input: letter-encoding colours "
+                "(bin/abyss-pe:673-697 cs flow)")
+        cs_mod.prepare(p)
+
     artifacts["unitigs1"] = timed("stage 1 (unitigs)", stage_unitigs_1, p)
     artifacts["unitigs"], _ = timed("stage 2-3 (graph)", stage_graph_2_3, p)
     artifacts["dist"] = timed("stage 4-5 (map+dist)", stage_dist_5, p)
     artifacts["contigs"] = timed("stage 6 (contigs)", stage_contigs_6, p)
+    if p.cs:
+        # the cs flow ends at nucleotide contigs (-6.fa); mate-pair
+        # scaffolding over nt contigs would need nt mate maps the cs
+        # libraries cannot provide directly
+        artifacts["stats"] = stage_stats(p)
+        _log(p, f"done in {time.time() - t0:.1f}s")
+        return artifacts
     artifacts["scaffolds"] = timed("stage 7-8 (scaffolds)",
                                    stage_scaffolds_8, p)
     sealed = timed("sealer", stage_sealer, p)
