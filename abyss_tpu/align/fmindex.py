@@ -4,12 +4,22 @@ Reimplements the role of /root/reference/FMIndex/ (FMIndex.h:20-45,
 sais.hxx suffix array, BitArrays.h occurrence tables, sampled SA) used
 by abyss-index / abyss-map / abyss-count / abyss-overlap.
 
-Host/numpy implementation: the suffix array is built by prefix doubling
-(radix argsort), the occurrence table is a checkpointed cumulative
-count, and `locate` uses a sampled SA.  The production read mapper uses
-the k-mer seed index (align/mapper.py) — on a vector machine a sorted
-hash join beats a pointer-chasing backward search — but the FM-index is
-provided for the toolchain's substring/count/overlap capabilities.
+TPU-native build: the suffix array comes from prefix doubling with
+DEVICE sorts — each round packs (rank, successor-rank) into one u64 and
+runs a single `jax.lax.sort` at memory bandwidth, so the O(n log n)
+rounds beat a host SA-IS in wall clock while staying trivially correct
+(the reference links sais.hxx, an induced-sort; a sequential induced
+sort is exactly the pointer-chasing shape a vector machine loses on).
+Small inputs build on host numpy to skip dispatch overhead.
+
+Memory (the round-4 advisor note): the occurrence table is checkpointed
+every OCC_BLOCK positions (int32 ranks) with the in-block remainder
+counted from the BWT on query — ~0.4 B/base instead of round-4's 40
+B/base dense table — and SA samples are stored densely behind a packed
+sample bitmask (+ rank checkpoints), ~1.3 B/base at the default rate.
+The production read mapper remains the k-mer seed index
+(align/mapper.py); the FM-index serves the substring/count/overlap
+toolchain (abyss-count, abyss-dawg, abyss-overlap).
 """
 
 from __future__ import annotations
@@ -19,10 +29,12 @@ from dataclasses import dataclass
 import numpy as np
 
 SENTINEL = 0  # '$' < all codes; stored text uses codes+1 internally
+OCC_BLOCK = 64
+_DEVICE_MIN = 1 << 20   # build on device above ~1M bases
 
 
-def suffix_array(text: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (O(n log^2 n) with numpy sorts)."""
+def _suffix_array_host(text: np.ndarray) -> np.ndarray:
+    """Prefix doubling with numpy sorts (small inputs)."""
     n = len(text)
     rank = text.astype(np.int64)
     sa = np.argsort(rank, kind="stable")
@@ -45,12 +57,60 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
     return sa
 
 
+def _suffix_array_device(text: np.ndarray) -> np.ndarray:
+    """Prefix doubling with device sorts: each round is one u64 sort of
+    packed (rank << 32 | succ-rank) keys plus two scans."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    n = len(text)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def round_(rank, k: int):
+        succ = jnp.concatenate(
+            [rank[k:], jnp.zeros(min(k, n), rank.dtype)]) + 1
+        succ = succ[:n]   # ranks+1 so "no successor" (0) sorts first
+        key = (rank.astype(jnp.uint64) << jnp.uint64(32)) | \
+            succ.astype(jnp.uint64)
+        ks, order = jax.lax.sort(
+            (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+            is_stable=False)
+        newgrp = jnp.concatenate(
+            [jnp.zeros(1, jnp.int64), (ks[1:] != ks[:-1]).astype(jnp.int64)])
+        ranks_sorted = jnp.cumsum(newgrp)
+        new_rank = jnp.zeros(n, jnp.int64).at[order].set(ranks_sorted)
+        done = ranks_sorted[-1] == n - 1
+        return new_rank.astype(jnp.uint32), order, done
+
+    rank = jnp.asarray(text.astype(np.uint32))
+    order = None
+    k = 1
+    while k < n:
+        rank, order, done = round_(rank, k)
+        if bool(done):
+            break
+        k *= 2
+    if order is None:   # n == 1
+        return np.zeros(1, np.int64)
+    return np.asarray(order).astype(np.int64)
+
+
+def suffix_array(text: np.ndarray) -> np.ndarray:
+    """Suffix array of `text` (int codes; caller appends the sentinel)."""
+    if len(text) >= _DEVICE_MIN:
+        return _suffix_array_device(text)
+    return _suffix_array_host(text)
+
+
 @dataclass
 class FMIndex:
     bwt: np.ndarray        # uint8[n] (values 0..4; 0 = sentinel)
     C: np.ndarray          # int64[6] cumulative symbol starts
-    occ: np.ndarray        # int64[n+1, 5] prefix occurrence counts
-    sa_sample: np.ndarray  # sampled suffix array values
+    occ_ck: np.ndarray     # int32[n//B + 1, 5] block-start counts
+    sa_vals: np.ndarray    # int64[n_sampled] dense sampled SA values
+    sa_mask: np.ndarray    # bool[n] position i is sampled
+    sa_rank: np.ndarray    # int32[n//B + 1] sampled-count checkpoints
     sa_rate: int
     n: int
 
@@ -65,22 +125,40 @@ class FMIndex:
         counts = np.bincount(text, minlength=6)
         C = np.zeros(6, np.int64)
         C[1:] = np.cumsum(counts)[:-1]
-        onehot = np.zeros((n + 1, 5), np.int64)
+        # checkpointed occurrences: counts of each symbol BEFORE each
+        # block start (BitArrays.h's rank structure, block-rank form)
+        nb = n // OCC_BLOCK + 1
+        occ_ck = np.zeros((nb, 5), np.int32)
         for s in range(5):
-            onehot[1:, s] = np.cumsum(bwt == s)
+            hits = (bwt == s)
+            block_sums = np.add.reduceat(
+                hits, np.arange(0, n, OCC_BLOCK))
+            occ_ck[1:, s] = np.cumsum(block_sums)[:nb - 1]
         keep = sa % sa_rate == 0
-        # store (position in SA order) -> text position for sampled rows
-        sa_sample = np.full(n, -1, np.int64)
-        sa_sample[keep] = sa[keep]
-        return FMIndex(bwt=bwt, C=C, occ=onehot, sa_sample=sa_sample,
+        sa_vals = sa[keep]
+        sa_rank = np.zeros(nb, np.int32)
+        ksums = np.add.reduceat(keep, np.arange(0, n, OCC_BLOCK))
+        sa_rank[1:] = np.cumsum(ksums)[:nb - 1]
+        return FMIndex(bwt=bwt, C=C, occ_ck=occ_ck, sa_vals=sa_vals,
+                       sa_mask=keep, sa_rank=sa_rank,
                        sa_rate=sa_rate, n=n)
+
+    def occ(self, i: int, c: int) -> int:
+        """Occurrences of symbol c in bwt[:i]."""
+        b, r = divmod(i, OCC_BLOCK)
+        base = int(self.occ_ck[b, c])
+        if r:
+            base += int(np.count_nonzero(
+                self.bwt[b * OCC_BLOCK:b * OCC_BLOCK + r] == c))
+        return base
 
     def backward_search(self, pattern: np.ndarray) -> tuple[int, int]:
         """SA interval [lo, hi) of the pattern (codes 0..3)."""
         lo, hi = 0, self.n
         for c in pattern[::-1].astype(np.int64) + 1:
-            lo = self.C[c] + self.occ[lo, c]
-            hi = self.C[c] + self.occ[hi, c]
+            c = int(c)
+            lo = int(self.C[c]) + self.occ(lo, c)
+            hi = int(self.C[c]) + self.occ(hi, c)
             if lo >= hi:
                 return 0, 0
         return int(lo), int(hi)
@@ -91,11 +169,14 @@ class FMIndex:
 
     def _sa_at(self, i: int) -> int:
         steps = 0
-        while self.sa_sample[i] < 0:
+        while not self.sa_mask[i]:
             c = int(self.bwt[i])
-            i = int(self.C[c] + self.occ[i, c])
+            i = int(self.C[c]) + self.occ(i, c)
             steps += 1
-        return int((self.sa_sample[i] + steps) % self.n)
+        b = i // OCC_BLOCK
+        r = int(self.sa_rank[b]) + int(np.count_nonzero(
+            self.sa_mask[b * OCC_BLOCK:i]))
+        return int((self.sa_vals[r] + steps) % self.n)
 
     def locate(self, pattern: np.ndarray, limit: int = 100) -> list[int]:
         lo, hi = self.backward_search(pattern)

@@ -138,3 +138,35 @@ def test_samtobreak_counts_misjoins():
     assert stats.per_contig["chim"] == 2
     assert stats.breakpoints == 1
     assert stats.aligned_fraction > 0.9
+
+
+def test_fmindex_scale_device_build():
+    """Scale-tier FM build (round-4 verdict #8): the device prefix-
+    doubling path (n >= 1M triggers it; CPU backend here) must build a
+    multi-Mbp index whose count/locate agree with brute force."""
+    import time
+    import numpy as np
+    from abyss_tpu import sim
+    from abyss_tpu.core import alphabet
+    from abyss_tpu.align.fmindex import FMIndex
+
+    genome = sim.random_genome(3_000_000, seed=9)
+    codes = alphabet.encode(genome)
+    t0 = time.time()
+    fm = FMIndex.build(codes)
+    wall = time.time() - t0
+    # memory tier: bwt + checkpointed occ + dense samples + mask
+    bytes_per_base = (fm.bwt.nbytes + fm.occ_ck.nbytes + fm.sa_vals.nbytes
+                      + fm.sa_mask.nbytes + fm.sa_rank.nbytes) / fm.n
+    assert bytes_per_base < 4.0, f"{bytes_per_base:.1f} B/base"
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        s = int(rng.integers(0, len(genome) - 40))
+        pat = genome[s:s + 40]
+        exp = genome.count(pat)
+        assert fm.count(alphabet.encode(pat)) == exp
+        assert s in fm.locate(alphabet.encode(pat), limit=50)
+    absent = "ACGT" * 10 + "A"
+    if absent not in genome:
+        assert fm.count(alphabet.encode(absent)) == 0
+    print(f"3 Mbp FM build: {wall:.1f}s, {bytes_per_base:.2f} B/base")
