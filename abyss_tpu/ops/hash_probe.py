@@ -144,6 +144,22 @@ def lookup(tab, vtab, queries):
     return found, val
 
 
+def lookup_slot(tab, vtab, queries):
+    """Like lookup, additionally returning the matching slot index
+    (int32[C]; undefined where not found) so callers can patch the
+    stored value in place."""
+    size = tab.shape[0] - B
+    base = (mix64(queries) & jnp.uint64(size - 1)).astype(jnp.int32)
+    idx = base[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :]
+    got = jnp.take(tab, idx)
+    hit = got == queries[:, None]
+    found = jnp.any(hit, axis=1)
+    col = jnp.argmax(hit, axis=1)
+    slot = base + col.astype(jnp.int32)
+    val = jnp.where(found, jnp.take(vtab, slot), jnp.int32(-1))
+    return found, val, slot
+
+
 def insert(tab, vtab, keys, vals, live):
     """Device insert of (keys -> vals) where live; B rounds of
     attempt-scatter + readback (losing racers retry the next slot).
