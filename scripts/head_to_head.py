@@ -82,29 +82,38 @@ def main():
               f"{time.time() - t0:.0f}s", flush=True)
     truth = next(iter(fastx.read_fastx(truth_fa))).seq
 
-    # ---- reference chain ----
-    refdir = os.path.join(outdir, "ref")
-    ref8 = os.path.join(refdir, "ref-8.fa")
-    ref_stages = {}
-    if not os.path.exists(ref8):
-        t0 = time.time()
-        p = subprocess.run(
-            ["sh", os.path.join(ROOT, "scripts", "ref_pipeline.sh"),
-             refdir, str(k), r1, r2, "2"],
-            capture_output=True, text=True)
-        print(p.stdout[-2000:], flush=True)
-        if p.returncode != 0:
-            print(p.stderr[-2000:], flush=True)
-            sys.exit(1)
-        for line in p.stdout.splitlines():
-            if line.startswith("STAGE "):
-                _, label, secs = line.split()
-                ref_stages[label] = float(secs)
-        with open(os.path.join(refdir, "stages.json"), "w") as f:
-            json.dump(ref_stages, f)
-    else:
-        with open(os.path.join(refdir, "stages.json")) as f:
-            ref_stages = json.load(f)
+    # ---- reference chains: hash-DBG (classic) AND bloom-DBG (the
+    # reference's flagship 2.0 mode and its faster stage-1 here) —
+    # "matching-or-beating" must beat the reference's BEST config
+    # (round-4 verdict #3/weak #5)
+    def run_ref(engine):
+        refdir = os.path.join(
+            outdir, "ref" if engine == "hash" else "ref_bloom")
+        ref8 = os.path.join(refdir, "ref-8.fa")
+        stages = {}
+        if not os.path.exists(ref8):
+            env = dict(os.environ, ENGINE=engine)
+            p = subprocess.run(
+                ["sh", os.path.join(ROOT, "scripts", "ref_pipeline.sh"),
+                 refdir, str(k), r1, r2, "2"],
+                capture_output=True, text=True, env=env)
+            print(p.stdout[-2000:], flush=True)
+            if p.returncode != 0:
+                print(p.stderr[-2000:], flush=True)
+                sys.exit(1)
+            for line in p.stdout.splitlines():
+                if line.startswith("STAGE "):
+                    _, label, secs = line.split()
+                    stages[label] = float(secs)
+            with open(os.path.join(refdir, "stages.json"), "w") as f:
+                json.dump(stages, f)
+        else:
+            with open(os.path.join(refdir, "stages.json")) as f:
+                stages = json.load(f)
+        return ref8, stages
+
+    ref8, ref_stages = run_ref("hash")
+    ref8b, ref_stages_b = run_ref("bloom")
 
     # ---- our pipeline: cold (fresh-process compile) + steady-state
     # (2nd run in the same process; the axon tunnel pays a large
@@ -143,9 +152,13 @@ def main():
         "genome_bp": genome_bp, "k": k,
         "ref_wall_s": ref_stages.get("TOTAL"),
         "ref_stages": ref_stages,
+        "ref_bloom_wall_s": ref_stages_b.get("TOTAL"),
+        "ref_bloom_stages": ref_stages_b,
         "ours_wall_s": walls,
-        "ref_fac": fac(ref8), "ours_fac": fac(ours8),
+        "ref_fac": fac(ref8), "ref_bloom_fac": fac(ref8b),
+        "ours_fac": fac(ours8),
         "ref_breaks": cached_breaks("ref", ref8),
+        "ref_bloom_breaks": cached_breaks("ref_bloom", ref8b),
         "ours_breaks": cached_breaks("ours", ours8),
     }
     print("HEADTOHEAD " + json.dumps(out), flush=True)

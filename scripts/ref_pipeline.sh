@@ -1,7 +1,13 @@
 #!/bin/sh
-# Run the REFERENCE's complete default stage chain (hash-DBG mode,
-# one paired-end library) with the binaries from scripts/refbuild —
-# the full-pipeline head-to-head denominator (round-3 verdict #1).
+# Run the REFERENCE's complete default stage chain (one paired-end
+# library) with the binaries from scripts/refbuild — the full-pipeline
+# head-to-head denominator (round-3 verdict #1).
+#
+# ENGINE=hash (default) runs `ABYSS` for stage 1 (bin/abyss-pe:566);
+# ENGINE=bloom runs `abyss-bloom-dbg -b$B` (bin/abyss-pe:553-555), the
+# reference's flagship 2.0 mode and its FASTER stage-1 on this fixture
+# — the round-4 verdict required the head-to-head to beat the
+# reference's BEST configuration, so head_to_head.py runs both.
 #
 # Mirrors bin/abyss-pe:553-749 recipes with the default parameters:
 #   q=3 kc=2 m=0(k<=50) p=0.9 l=40 s=1000 n=10 S=100-5000 N=15-20
@@ -11,6 +17,8 @@
 # Usage: scripts/ref_pipeline.sh <workdir> <k> <reads1> <reads2> [j]
 set -e
 BIN=${BIN:-/tmp/refbuild}
+ENGINE=${ENGINE:-hash}
+B=${B:-400M}
 WORK=$1; k=$2; R1=$3; R2=$4; j=${5:-2}
 name=ref
 q=3; kc=2; p=0.9; l=40; s=1000; n=10; S=100-5000; N=15-20
@@ -26,9 +34,15 @@ lap() {  # lap <label> <t0>
 
 T0=$(stamp)
 t=$(stamp)
-$BIN/ABYSS -k$k -q$q --kc=$kc --coverage-hist=coverage.hist \
-    -s $name-bubbles.fa -o $name-1.fa "$R1" "$R2" 2> $name-1.log
-lap "1-unitigs(ABYSS)" $t
+if [ "$ENGINE" = "bloom" ]; then
+    $BIN/abyss-bloom-dbg -k$k -q$q --kc=$kc -b$B -j$j \
+        "$R1" "$R2" > $name-1.fa 2> $name-1.log
+    lap "1-unitigs(bloom-dbg)" $t
+else
+    $BIN/ABYSS -k$k -q$q --kc=$kc --coverage-hist=coverage.hist \
+        -s $name-bubbles.fa -o $name-1.fa "$R1" "$R2" 2> $name-1.log
+    lap "1-unitigs(ABYSS)" $t
+fi
 
 t=$(stamp)
 $BIN/AdjList -k$k -m$m --dot $name-1.fa > $name-1.dot
