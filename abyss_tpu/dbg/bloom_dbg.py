@@ -108,7 +108,7 @@ def load_filter(batches: Iterable[fastx.ReadBatch], params: AssemblyParams,
 
 
 def _classify_batch(cbf, visited, codes, lengths, k, fp_look_ahead,
-                    lookahead_width):
+                    lookahead_width, wf=None):
     """Per-read eligibility + first unassembled k-mer index.
 
     Implements the processRead guards (bloom-dbg.h:804-846): length >= k,
@@ -150,10 +150,10 @@ def _classify_batch(cbf, visited, codes, lengths, k, fp_look_ahead,
     last = np.take_along_axis(
         codes, start[:, None] + np.arange(k)[None, :], axis=1)
     last = np.where(ok_len[:, None], last, 0).astype(np.uint8)
-    ok_left = ext.lookahead_ok(cbf, first_rc, k, fp_look_ahead,
-                               width=lookahead_width)
-    ok_right = ext.lookahead_ok(cbf, last, k, fp_look_ahead,
-                                width=lookahead_width)
+    ok_left = ext.lookahead_ok(wf if wf is not None else cbf, first_rc,
+                               k, fp_look_ahead, width=lookahead_width)
+    ok_right = ext.lookahead_ok(wf if wf is not None else cbf, last,
+                                k, fp_look_ahead, width=lookahead_width)
     blunt = ~(ok_left & ok_right)
 
     eligible = all_solid & ~all_visited & ~blunt
@@ -294,6 +294,10 @@ class Assembler:
     def __init__(self, cbf, params: AssemblyParams,
                  counters: AssemblyCounters | None = None):
         self.cbf = cbf
+        # in-loop walk probes go through an exact hash-probe table for
+        # sorted filters (ext.walk_filter docstring); bulk classify
+        # queries stay on the filter's own fast paths
+        self.wf = ext.walk_filter(cbf)
         self.params = params
         _, visited_size = bloom_ops.recommended_sizes(params.bloom_bytes)
         # reference visited filter is bits (1/9 of budget); we store a byte
@@ -359,7 +363,7 @@ class Assembler:
         for round_no in range(4096):
             cls = _classify_batch(
                 self.cbf, self.visited, batch.codes, lengths, k,
-                p.fp_look_ahead, p.lookahead_width)
+                p.fp_look_ahead, p.lookahead_width, wf=self.wf)
             if p.verbose >= 3:
                 now = time.time()
                 print(f"[bloom-dbg]   round {round_no}: classify "
@@ -393,7 +397,7 @@ class Assembler:
             starts = cls["first_unvisited"][rows]
             seeds = batch.codes[rows[:, None],
                                 starts[:, None] + np.arange(k)[None, :]]
-            seqs, lstat, rstat = _extend_both(self.cbf, seeds, p)
+            seqs, lstat, rstat = _extend_both(self.wf, seeds, p)
             if p.verbose >= 3:
                 now = time.time()
                 print(f"[bloom-dbg]   round {round_no}: extend "
@@ -407,7 +411,7 @@ class Assembler:
 
             keep = [j for j in range(len(rows)) if not tips[j]]
             trimmed = _trim_branch_kmers_batch(
-                self.cbf, [seqs[j] for j in keep], p)
+                self.wf, [seqs[j] for j in keep], p)
             trimmed_of = dict(zip(keep, trimmed))
 
             # candidate contigs of this round: ONE device round trip for

@@ -73,6 +73,21 @@ def bucket_size(n: int, lo: int = 64) -> int:
     return max(lo, 1 << max(n - 1, 1).bit_length())
 
 
+def walk_filter(cbf):
+    """The solidity structure to probe INSIDE the walk loops.
+
+    A SortedKmerFilter answers `contains` by searchsorted — fine for
+    bulk batch queries, but per-iteration inside `lax.while_loop` it
+    ran minutes per dispatch on the tunneled TPU (round-5 BENCH_NOTES);
+    walks probe an exact open-addressing table of the solid keys
+    instead (one [C, 8] gather per step).  Counting-Bloom filters
+    probe their own bit arrays, already one-gather-per-step."""
+    from ..ops import hash_probe as hp
+    if hasattr(cbf, "kmers") and hasattr(cbf, "threshold"):
+        return hp.ProbeSet(hp.solid_table(cbf))
+    return cbf
+
+
 def doubling_schedule(trim: int) -> list[int]:
     """successor()'s branch-depth schedule: 0, 1, 2, 4, ... trim
     (ExtendPath.h:355 `i = (i == 0) ? 1 : min(trim, 2*i)`)."""

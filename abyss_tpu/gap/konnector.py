@@ -1029,6 +1029,7 @@ def extend_outward(cbf, seqs: list[str], k: int,
     keep = [i for i, s in enumerate(seqs) if s and len(s) >= k]
     if not keep:
         return list(seqs)
+    cbf = ext.walk_filter(cbf)
     trim = trim if trim is not None else k
     M = len(keep)
     right_seeds = np.zeros((M, k), np.uint8)

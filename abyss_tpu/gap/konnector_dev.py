@@ -444,22 +444,7 @@ def _bucket(n: int, lo: int = 64) -> int:
     return max(lo, 1 << max(int(n) - 1, 1).bit_length())
 
 
-_PTAB_CACHE: dict[int, tuple] = {}
-
-
-def solid_table(filt):
-    """Device hash table of the filter's solid keys (cached per filter)."""
-    key = id(filt)
-    hit = _PTAB_CACHE.get(key)
-    if hit is not None:
-        return hit[1]
-    kmers = np.asarray(filt.kmers)
-    counts = np.asarray(filt.counts)
-    tab = jnp.asarray(hp.build(kmers[counts >= filt.threshold]))
-    if len(_PTAB_CACHE) > 3:
-        _PTAB_CACHE.clear()
-    _PTAB_CACHE[key] = (filt, tab)
-    return tab
+solid_table = hp.solid_table
 
 
 def device_capable(filt) -> bool:

@@ -118,6 +118,49 @@ def build_kv(keys: np.ndarray, vals: np.ndarray,
         size *= 2
 
 
+class ProbeSet:
+    """Pytree view of a membership table with the filter `contains`
+    API: one [C, B] gather + compare per probe, safe INSIDE device
+    loop bodies (a searchsorted probe per while-loop iteration is the
+    measured round-5 pathology on this backend — the bloom engine's
+    extension loop at 32k steps/dispatch ran minutes per dispatch
+    through it)."""
+
+    def __init__(self, tab):
+        self.tab = tab
+
+    def contains(self, q, mask=None):
+        hit = contains(self.tab, jnp.asarray(q, jnp.uint64).reshape(-1)
+                       ).reshape(jnp.shape(q))
+        if mask is not None:
+            hit = hit & mask
+        return hit
+
+
+jax.tree_util.register_pytree_node(
+    ProbeSet, lambda p: ((p.tab,), None),
+    lambda _, c: ProbeSet(c[0]))
+
+
+_SOLID_CACHE: dict[int, tuple] = {}
+
+
+def solid_table(filt):
+    """Device hash table of a counting filter's solid keys (exact:
+    count >= threshold), cached per filter object."""
+    key = id(filt)
+    hit = _SOLID_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    kmers = np.asarray(filt.kmers)
+    counts = np.asarray(filt.counts)
+    tab = jnp.asarray(build(kmers[counts >= filt.threshold]))
+    if len(_SOLID_CACHE) > 3:
+        _SOLID_CACHE.clear()
+    _SOLID_CACHE[key] = (filt, tab)
+    return tab
+
+
 def contains(tab, queries):
     """Device membership probe: bool[C].  tab: uint64[size + B]."""
     size = tab.shape[0] - B

@@ -146,6 +146,15 @@ class SortedKmerCounter:
         self._merged = None  # (keys, counts, n) running device table
         self._pending = 0
         self._reduce_every = reduce_every
+        # singleton side-stash (round-4 verdict #2): keys seen ONCE in
+        # a reduce window skip the running merge — at k=96 the 0.5%
+        # read error rate makes ~90% of 44M distinct fingerprints
+        # global singletons, and carrying them through every
+        # incremental merge sort dominated stage 1 (1026.6 s).  They
+        # are resolved EXACTLY by one sort+RLE at finalize (a key
+        # singleton in window A and seen again in window B sums there).
+        self._singles: list = []
+        self._n_singles = 0
 
     @staticmethod
     @jax.jit
@@ -211,24 +220,24 @@ class SortedKmerCounter:
         if self._pending >= self._reduce_every:
             self._reduce()
 
-    def _reduce(self):
-        """Fold pending hash chunks into the running merged table —
-        all on device, all at pow2-bucketed shapes.
+    @staticmethod
+    @jax.jit
+    def _split_singles(keys, counts):
+        """Separate count-1 keys (pushed to the stash) from multi-count
+        keys, each compacted by one sort."""
+        single = counts == 1
+        multi = (counts >= 2)
+        sk = jnp.sort(jnp.where(single, keys,
+                                jnp.uint64(0xFFFFFFFFFFFFFFFF)),
+                      stable=False)
+        mk, mc = jax.lax.sort(
+            (jnp.where(multi, keys, jnp.uint64(0xFFFFFFFFFFFFFFFF)),
+             jnp.where(multi, counts, 0)), num_keys=1, is_stable=False)
+        return (sk, jnp.sum(single, dtype=jnp.int32),
+                mk, mc, jnp.sum(multi, dtype=jnp.int32))
 
-        One `_merge_pairs` per reduce over concat(running, fresh RLE):
-        the running table stays compacted (an LSM-free running merge),
-        peak memory ~2x the final distinct set, and the program shapes
-        are pow2 buckets so compiles amortize across reduces AND runs
-        (a data-dependent shape costs a fresh multi-minute remote
-        compile on this platform).  Only a scalar count crosses to
-        host per reduce."""
-        if not self._hash_chunks:
-            return
-        allh = _pad_pow2(jnp.concatenate(self._hash_chunks))
-        self._hash_chunks = []
-        self._pending = 0
-        keys, counts = self._sort_rle(allh)
-        del allh
+    def _fold(self, keys, counts):
+        """Merge compacted (keys, counts) into the running table."""
         counts = counts.astype(jnp.int64)
         if self._merged is not None:
             k0, c0, _ = self._merged
@@ -242,8 +251,63 @@ class SortedKmerCounter:
                         jnp.minimum(counts[:m], COUNTER_MAX
                                     ).astype(jnp.int32), n)
 
+    def _reduce(self, stash: bool = True):
+        """Fold pending hash chunks into the running merged table —
+        all on device, all at pow2-bucketed shapes.
+
+        One `_merge_pairs` per reduce over concat(running, fresh RLE):
+        the running table stays compacted (an LSM-free running merge),
+        peak memory ~2x the final distinct set, and the program shapes
+        are pow2 buckets so compiles amortize across reduces AND runs
+        (a data-dependent shape costs a fresh multi-minute remote
+        compile on this platform).  Only two scalar counts cross to
+        host per reduce.
+
+        Window singletons go to the side stash (stash=True) instead of
+        the running merge."""
+        if not self._hash_chunks:
+            return
+        parts = self._hash_chunks
+        self._hash_chunks = []
+        self._pending = 0
+        allh = _pad_pow2(jnp.concatenate(parts)) if len(parts) > 1 \
+            else _pad_pow2(parts[0])
+        keys, counts = self._sort_rle(allh)
+        del allh
+        if stash:
+            sk, n_s, keys, counts, _ = self._split_singles(keys, counts)
+            ns = int(n_s)
+            if ns:
+                sb = 1 << max(int(ns - 1).bit_length(), 0)
+                self._singles.append(sk[:min(sb, sk.shape[0])])
+                self._n_singles += ns
+        self._fold(keys, counts)
+
+    def _fold_stash(self):
+        """Resolve the singleton stash: sort+RLE it in bounded groups
+        and merge each into the running table (a key stashed in two
+        windows — true count 2 — sums across the merges; EXACT).
+        Bounded groups keep the peak device footprint at the same
+        level as a normal reduce (one giant concat OOM'd a 16 GB chip
+        at genome scale)."""
+        singles, self._singles, self._n_singles = self._singles, [], 0
+        group: list = []
+        size = 0
+        for arr in singles + [None]:
+            if arr is not None:
+                group.append(arr)
+                size += arr.shape[0]
+            if (arr is None or size >= self._reduce_every) and group:
+                allh = _pad_pow2(jnp.concatenate(group)) \
+                    if len(group) > 1 else _pad_pow2(group[0])
+                keys, counts = self._sort_rle(allh)
+                del allh
+                self._fold(keys, counts)
+                group, size = [], 0
+
     def finalize(self) -> SortedKmerFilter:
         self._reduce()
+        self._fold_stash()
         if self._merged is None:
             return SortedKmerFilter(
                 kmers=jnp.zeros(0, jnp.uint64),

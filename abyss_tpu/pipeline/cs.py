@@ -44,8 +44,6 @@ from ..core import alphabet
 from ..io import fastx
 
 _COLOUR_TO_LETTER = {"0": "A", "1": "C", "2": "G", "3": "T"}
-_LETTER = np.array([_COLOUR_TO_LETTER.get(str(i), "N")
-                    for i in range(4)])
 
 
 def detect(in_files) -> bool:
