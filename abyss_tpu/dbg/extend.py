@@ -169,13 +169,31 @@ def fast_extend(cbf: CountingBloomFilter, st: ExtendState, k: int,
     behind check first (AMBI_IN), then forward successor; paths with >=2
     raw candidate branches in either direction stop with NEED_B/NEED_F
     for the host-side resolution pass.
-    """
+
+    The device loop carries only the rolling k-base head WINDOW plus
+    the hash/status lanes and emits one base column per step through
+    `lax.scan`'s stacked outputs; the sequence buffer is written by ONE
+    scatter after the scan.  (Carrying buf itself cost a full-buffer
+    copy per step on this backend — ~0.4 ms/step at [256, 32k] u8,
+    46 s per 256-seed extension round at genome scale; see BENCH_NOTES
+    round 5.)"""
     P, BUF = st.buf.shape
 
-    def step(carry):
-        st, n = carry
-        active = st.status == ACTIVE
-        fc, rc, fb, rb = _candidate_hashes(st, k)
+    # head window buf[length-k : length] (take_along_axis, one gather)
+    win_idx = st.length[:, None] - k + jnp.arange(k)[None, :]
+    window0 = jnp.take_along_axis(
+        st.buf, jnp.clip(win_idx, 0, BUF - 1), axis=1)
+
+    def step(carry, _):
+        window, length, f, r, status, has_prev = carry
+        active = status == ACTIVE
+        bases = jnp.arange(4, dtype=jnp.int32)
+        c_out_f = window[:, 0].astype(jnp.int32)
+        c_out_b = window[:, k - 1].astype(jnp.int32)
+        fc, rc = nthash.roll_right(f[:, None], r[:, None], k,
+                                   c_out_f[:, None], bases[None, :])
+        fb, rb = nthash.roll_left(f[:, None], r[:, None], k,
+                                  c_out_b[:, None], bases[None, :])
         canon_f = jnp.minimum(fc, rc)
         canon_b = jnp.minimum(fb, rb)
         both = jnp.concatenate([canon_f, canon_b], axis=1)  # [P, 8]
@@ -185,7 +203,7 @@ def fast_extend(cbf: CountingBloomFilter, st: ExtendState, k: int,
         n_fwd = jnp.sum(solid_f, axis=1)
         n_back = jnp.sum(solid_b, axis=1)
 
-        need_b = st.has_prev & (n_back >= 2)
+        need_b = has_prev & (n_back >= 2)
         dead = n_fwd == 0
         need_f = n_fwd >= 2
 
@@ -196,7 +214,7 @@ def fast_extend(cbf: CountingBloomFilter, st: ExtendState, k: int,
                                     axis=1)[:, 0]
         new_canon = jnp.minimum(new_f, new_r)
         cycle = new_canon == st.seed_canon
-        room = st.length < BUF
+        room = length < BUF
 
         advance = active & ~need_b & ~dead & ~need_f & ~cycle & room
 
@@ -208,27 +226,32 @@ def fast_extend(cbf: CountingBloomFilter, st: ExtendState, k: int,
                                           jnp.where(cycle, CYCLE,
                                                     jnp.where(room, ACTIVE,
                                                               CHUNK_LIMIT))))),
-            st.status).astype(jnp.int8)
+            status).astype(jnp.int8)
 
-        rows = jnp.arange(P)
-        wpos = jnp.where(advance, st.length, BUF)  # BUF -> dropped
-        buf = st.buf.at[rows, wpos].set(base, mode="drop")
-        st = st._replace(
-            buf=buf,
-            length=jnp.where(advance, st.length + 1, st.length),
-            f=jnp.where(advance, new_f, st.f),
-            r=jnp.where(advance, new_r, st.r),
-            status=new_status,
-            has_prev=st.has_prev | advance,
-        )
-        return st, n + 1
+        window = jnp.where(
+            advance[:, None],
+            jnp.concatenate([window[:, 1:], base[:, None]], axis=1),
+            window)
+        carry = (window,
+                 jnp.where(advance, length + 1, length),
+                 jnp.where(advance, new_f, f),
+                 jnp.where(advance, new_r, r),
+                 new_status,
+                 has_prev | advance)
+        return carry, (base, advance)
 
-    def cond(carry):
-        st, n = carry
-        return (n < max_steps) & jnp.any(st.status == ACTIVE)
+    init = (window0, st.length, st.f, st.r, st.status, st.has_prev)
+    (window, length, f, r, status, has_prev), (bases_T, adv_T) = \
+        jax.lax.scan(step, init, None, length=max_steps)
 
-    st, _ = jax.lax.while_loop(cond, step, (st, jnp.int32(0)))
-    return st
+    # assemble: the t-th advance of lane i lands at length0 + t' where
+    # t' is the running advance count — one scatter for the whole scan
+    pos = jnp.cumsum(adv_T.astype(jnp.int32), axis=0)      # [T, P]
+    wpos = jnp.where(adv_T, st.length[None, :] + pos - 1, BUF)
+    buf = st.buf.at[jnp.arange(P)[None, :], wpos].set(
+        bases_T, mode="drop")
+    return st._replace(buf=buf, length=length, f=f, r=r, status=status,
+                       has_prev=has_prev)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
