@@ -460,11 +460,14 @@ class Assembler:
                       f"{len(emitted)} contigs {now - tick:.2f}s",
                       file=sys.stderr, flush=True)
                 tick = now
-            # cap growth: only widen while the walks of this round were
-            # short (long walks mean few unitigs — stay narrow and let
-            # the visited filter drop the rest of the batch next round)
+            # cap growth: widen while seeding is PRODUCTIVE — either
+            # the walks are short (shattered graph: full width drains
+            # fastest) or most seeds yielded distinct contigs (low
+            # duplication: lanes are NOT piling onto the same unitig).
+            # Only high duplication with long walks keeps the cap low.
             max_walk = max((len(s) for s in seqs), default=0)
-            if max_walk < 4 * k + 2048:
+            if max_walk < 4 * k + 2048 or \
+                    len(emitted) * 2 >= len(rows):
                 seed_cap = min(seed_cap * 4, 1 << 22)
             # fixpoint guard: every eligible read was seeded and nothing
             # was emitted or newly marked — re-classifying would repeat

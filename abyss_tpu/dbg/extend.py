@@ -355,28 +355,28 @@ class _StuckView(NamedTuple):
     r: np.ndarray
 
 
-def _gather_stuck(st: ExtendState, k: int, which: int) -> _StuckView:
-    status = np.asarray(st.status)
-    idx = np.nonzero(status == which)[0]
-    buf = np.asarray(st.buf)[idx]
-    length = np.asarray(st.length)[idx]
-    M = len(idx)
-    if M == 0:
-        return _StuckView(idx, np.zeros((0, k), np.uint8),
-                          np.zeros(0, np.int64),
-                          np.asarray(st.f)[idx], np.asarray(st.r)[idx])
-    # batched gathers of each path's trailing k-mer + preceding base
-    # (per-path Python loops here dominate at 100 Mb+ scale)
-    start = np.maximum(length - k, 0)
-    head = np.take_along_axis(
-        buf, start[:, None] + np.arange(k)[None, :], axis=1
-    ).astype(np.uint8)
+@partial(jax.jit, static_argnums=(1,))
+def _stuck_heads(buf, k: int, length):
+    """Device gathers of each path's trailing k-mer + preceding base
+    (pulling the whole [P, BUF] buffer to host per resolution cost the
+    round-5 bloom pass 2 ~8 MB of tunnel traffic each way per resolve)."""
+    BUF = buf.shape[1]
+    start = jnp.maximum(length - k, 0)
+    head = jnp.take_along_axis(
+        buf, jnp.clip(start[:, None] + jnp.arange(k)[None, :], 0,
+                      BUF - 1), axis=1)
     prev_idx = length - k - 1
-    prev_val = np.take_along_axis(
-        buf, np.maximum(prev_idx, 0)[:, None], axis=1)[:, 0]
-    prev = np.where(prev_idx >= 0, prev_val, 0).astype(np.int64)
-    return _StuckView(idx, head, prev,
-                      np.asarray(st.f)[idx], np.asarray(st.r)[idx])
+    prev_val = jnp.take_along_axis(
+        buf, jnp.clip(prev_idx, 0, BUF - 1)[:, None], axis=1)[:, 0]
+    prev = jnp.where(prev_idx >= 0, prev_val, 0)
+    return head, prev
+
+
+def _gather_stuck(st: ExtendState, k: int, which: int,
+                  heads_np, prev_np, status_np) -> _StuckView:
+    idx = np.nonzero(status_np == which)[0]
+    return _StuckView(idx, heads_np[idx], prev_np[idx].astype(np.int64),
+                      None, None)
 
 
 def _branch_info(cbf, roots: np.ndarray, k: int, trim: int, width: int,
@@ -399,22 +399,39 @@ def _branch_info(cbf, roots: np.ndarray, k: int, trim: int, width: int,
     return present, depths
 
 
+@jax.jit
+def _apply_resolution(buf, length, f, r, status_new, idx, base, nf, nr):
+    """One scatter applying the forward-resolution advances: lane idx
+    appends `base` at its current length and reactivates (pad rows
+    carry idx == P and are dropped)."""
+    P, BUF = buf.shape
+    idx_c = jnp.clip(idx, 0, P - 1)
+    wpos = jnp.where(idx < P, jnp.take(length, idx_c), BUF)
+    buf = buf.at[jnp.where(idx < P, idx, P), wpos].set(base, mode="drop")
+    oob = jnp.where(idx < P, idx, P)
+    length = length.at[oob].add(1, mode="drop")
+    f = f.at[oob].set(nf, mode="drop")
+    r = r.at[oob].set(nr, mode="drop")
+    return buf, length, f, r, status_new
+
+
 def _resolve(cbf: CountingBloomFilter, st: ExtendState, k: int, trim: int,
              width: int) -> ExtendState:
     """Resolve NEED_B / NEED_F paths with batched branch look-aheads.
 
     Outcomes: behind-ambiguous paths stop AMBI_IN; forward forks either
     pick a unique true branch (path advances one base and reactivates),
-    die (DEAD_END), or stop AMBI_OUT.
-    """
+    die (DEAD_END), or stop AMBI_OUT.  Only the [P, k] head windows and
+    small per-lane arrays cross to the host; buffer updates are one
+    device scatter."""
     status = np.asarray(st.status).copy()
-    buf = np.asarray(st.buf).copy()
-    length = np.asarray(st.length).copy()
-    f_arr = np.asarray(st.f).copy()
-    r_arr = np.asarray(st.r).copy()
+    length = np.asarray(st.length)
+    heads_d, prev_d = _stuck_heads(st.buf, k, st.length)
+    heads_np = np.asarray(heads_d)
+    prev_np = np.asarray(prev_d)
 
     # ---- behind resolution -------------------------------------------------
-    sb = _gather_stuck(st, k, NEED_B)
+    sb = _gather_stuck(st, k, NEED_B, heads_np, prev_np, status)
     if len(sb.idx):
         # predecessor candidates: base c + head[:-1]; evaluated by REVERSE
         # depth == FORWARD depth of the reverse complement k-mer.
@@ -431,8 +448,11 @@ def _resolve(cbf: CountingBloomFilter, st: ExtendState, k: int, trim: int,
         status[sb.idx[~ok]] = AMBI_IN
 
     # ---- forward resolution ------------------------------------------------
-    sf = _gather_stuck(
-        st._replace(status=jnp.asarray(status)), k, NEED_F)
+    sf = _gather_stuck(st, k, NEED_F, heads_np, prev_np, status)
+    adv_idx: list[int] = []
+    adv_base: list[int] = []
+    adv_f: list[int] = []
+    adv_r: list[int] = []
     if len(sf.idx):
         M = len(sf.idx)
         roots = np.zeros((M * 4, k), np.uint8)
@@ -443,6 +463,7 @@ def _resolve(cbf: CountingBloomFilter, st: ExtendState, k: int, trim: int,
             cbf, roots, k, trim, width, M, return_hashes=True)
         code, base = successor_decision(depths, present, trim)
         seed_canon = np.asarray(st.seed_canon)[sf.idx]
+        BUF = st.buf.shape[1]
         for j in range(M):
             i = sf.idx[j]
             if code[j] == ACTIVE:
@@ -450,22 +471,35 @@ def _resolve(cbf: CountingBloomFilter, st: ExtendState, k: int, trim: int,
                 ncanon = min(rfm[j, b], rrm[j, b])
                 if ncanon == seed_canon[j]:
                     status[i] = CYCLE
-                elif length[i] >= buf.shape[1]:
+                elif length[i] >= BUF:
                     status[i] = CHUNK_LIMIT
                 else:
-                    buf[i, length[i]] = b
-                    length[i] += 1
-                    f_arr[i] = rfm[j, b]
-                    r_arr[i] = rrm[j, b]
+                    adv_idx.append(int(i))
+                    adv_base.append(b)
+                    adv_f.append(rfm[j, b])
+                    adv_r.append(rrm[j, b])
                     status[i] = ACTIVE
             else:
                 status[i] = code[j]
 
+    P = st.buf.shape[0]
+    nb = bucket_size(max(len(adv_idx), 1), lo=8)
+    idx_p = np.full(nb, P, np.int64)
+    base_p = np.zeros(nb, np.uint8)
+    f_p = np.zeros(nb, np.uint64)
+    r_p = np.zeros(nb, np.uint64)
+    if adv_idx:
+        idx_p[:len(adv_idx)] = adv_idx
+        base_p[:len(adv_idx)] = adv_base
+        f_p[:len(adv_idx)] = adv_f
+        r_p[:len(adv_idx)] = adv_r
+    buf, length_d, f_d, r_d, status_d = _apply_resolution(
+        st.buf, st.length, st.f, st.r, jnp.asarray(status),
+        jnp.asarray(idx_p), jnp.asarray(base_p), jnp.asarray(f_p),
+        jnp.asarray(r_p))
     return ExtendState(
-        buf=jnp.asarray(buf), length=jnp.asarray(length),
-        f=jnp.asarray(f_arr), r=jnp.asarray(r_arr),
-        status=jnp.asarray(status), seed_canon=st.seed_canon,
-        has_prev=st.has_prev)
+        buf=buf, length=length_d, f=f_d, r=r_d, status=status_d,
+        seed_canon=st.seed_canon, has_prev=st.has_prev)
 
 
 def _first_revisit(canon: np.ndarray) -> int:
