@@ -42,12 +42,21 @@ _cache_dir = _os.environ.get(
     "ABYSS_TPU_CACHE", _os.path.join(_os.path.dirname(__file__), "..",
                                      ".jax_cache"))
 try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    # Cache even fast-compiling programs: through the axon tunnel a
-    # "1 s" compile still costs several round trips, and the cold-vs-
-    # steady e2e gap (BENCH_NOTES round 4: 262.6 s vs 210.8 s) is the
-    # sum of dozens of such programs.
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # TPU-backend only: this jaxlib's CPU AOT serialization is broken
+    # in this image (cache writes segfault; loads warn about
+    # mismatched machine features / SIGILL), so CPU runs — including
+    # the test suite's forced-cpu backend — must not touch the
+    # persistent cache.
+    _cpu = (_plat == "cpu"
+            or getattr(_jax.config, "jax_platforms", None) == "cpu")
+    if not _cpu:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        # Cache even fast-compiling programs: through the axon tunnel
+        # a "1 s" compile still costs several round trips, and the
+        # cold-vs-steady e2e gap (BENCH_NOTES round 4: 262.6 s vs
+        # 210.8 s) is the sum of dozens of such programs.
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:  # older jax without these options
     pass
 

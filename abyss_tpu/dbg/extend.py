@@ -170,30 +170,20 @@ def fast_extend(cbf: CountingBloomFilter, st: ExtendState, k: int,
     raw candidate branches in either direction stop with NEED_B/NEED_F
     for the host-side resolution pass.
 
-    The device loop carries only the rolling k-base head WINDOW plus
-    the hash/status lanes and emits one base column per step through
-    `lax.scan`'s stacked outputs; the sequence buffer is written by ONE
-    scatter after the scan.  (Carrying buf itself cost a full-buffer
-    copy per step on this backend — ~0.4 ms/step at [256, 32k] u8,
-    46 s per 256-seed extension round at genome scale; see BENCH_NOTES
-    round 5.)"""
+    The loop is a `lax.while_loop` with a data-dependent cond: a
+    constant-trip `lax.scan` here was UNROLLED by this platform's
+    compiler (one T=512 program compiled >45 min locally — round-5
+    BENCH_NOTES), and the dynamic cond also exits early when every
+    lane is terminal.  The carried [P, BUF] buffer costs a copy per
+    step (~50 ns/KB), so callers keep P tight via lane compaction
+    (extend_forward) — the chunk ladder grows BUF only as surviving
+    lanes shrink."""
     P, BUF = st.buf.shape
 
-    # head window buf[length-k : length] (take_along_axis, one gather)
-    win_idx = st.length[:, None] - k + jnp.arange(k)[None, :]
-    window0 = jnp.take_along_axis(
-        st.buf, jnp.clip(win_idx, 0, BUF - 1), axis=1)
-
-    def step(carry, _):
-        window, length, f, r, status, has_prev = carry
-        active = status == ACTIVE
-        bases = jnp.arange(4, dtype=jnp.int32)
-        c_out_f = window[:, 0].astype(jnp.int32)
-        c_out_b = window[:, k - 1].astype(jnp.int32)
-        fc, rc = nthash.roll_right(f[:, None], r[:, None], k,
-                                   c_out_f[:, None], bases[None, :])
-        fb, rb = nthash.roll_left(f[:, None], r[:, None], k,
-                                  c_out_b[:, None], bases[None, :])
+    def step(carry):
+        st, n = carry
+        active = st.status == ACTIVE
+        fc, rc, fb, rb = _candidate_hashes(st, k)
         canon_f = jnp.minimum(fc, rc)
         canon_b = jnp.minimum(fb, rb)
         both = jnp.concatenate([canon_f, canon_b], axis=1)  # [P, 8]
@@ -203,7 +193,7 @@ def fast_extend(cbf: CountingBloomFilter, st: ExtendState, k: int,
         n_fwd = jnp.sum(solid_f, axis=1)
         n_back = jnp.sum(solid_b, axis=1)
 
-        need_b = has_prev & (n_back >= 2)
+        need_b = st.has_prev & (n_back >= 2)
         dead = n_fwd == 0
         need_f = n_fwd >= 2
 
@@ -214,7 +204,7 @@ def fast_extend(cbf: CountingBloomFilter, st: ExtendState, k: int,
                                     axis=1)[:, 0]
         new_canon = jnp.minimum(new_f, new_r)
         cycle = new_canon == st.seed_canon
-        room = length < BUF
+        room = st.length < BUF
 
         advance = active & ~need_b & ~dead & ~need_f & ~cycle & room
 
@@ -226,32 +216,27 @@ def fast_extend(cbf: CountingBloomFilter, st: ExtendState, k: int,
                                           jnp.where(cycle, CYCLE,
                                                     jnp.where(room, ACTIVE,
                                                               CHUNK_LIMIT))))),
-            status).astype(jnp.int8)
+            st.status).astype(jnp.int8)
 
-        window = jnp.where(
-            advance[:, None],
-            jnp.concatenate([window[:, 1:], base[:, None]], axis=1),
-            window)
-        carry = (window,
-                 jnp.where(advance, length + 1, length),
-                 jnp.where(advance, new_f, f),
-                 jnp.where(advance, new_r, r),
-                 new_status,
-                 has_prev | advance)
-        return carry, (base, advance)
+        rows = jnp.arange(P)
+        wpos = jnp.where(advance, st.length, BUF)  # BUF -> dropped
+        buf = st.buf.at[rows, wpos].set(base, mode="drop")
+        st = st._replace(
+            buf=buf,
+            length=jnp.where(advance, st.length + 1, st.length),
+            f=jnp.where(advance, new_f, st.f),
+            r=jnp.where(advance, new_r, st.r),
+            status=new_status,
+            has_prev=st.has_prev | advance,
+        )
+        return st, n + 1
 
-    init = (window0, st.length, st.f, st.r, st.status, st.has_prev)
-    (window, length, f, r, status, has_prev), (bases_T, adv_T) = \
-        jax.lax.scan(step, init, None, length=max_steps)
+    def cond(carry):
+        st, n = carry
+        return (n < max_steps) & jnp.any(st.status == ACTIVE)
 
-    # assemble: the t-th advance of lane i lands at length0 + t' where
-    # t' is the running advance count — one scatter for the whole scan
-    pos = jnp.cumsum(adv_T.astype(jnp.int32), axis=0)      # [T, P]
-    wpos = jnp.where(adv_T, st.length[None, :] + pos - 1, BUF)
-    buf = st.buf.at[jnp.arange(P)[None, :], wpos].set(
-        bases_T, mode="drop")
-    return st._replace(buf=buf, length=length, f=f, r=r, status=status,
-                       has_prev=has_prev)
+    st, _ = jax.lax.while_loop(cond, step, (st, jnp.int32(0)))
+    return st
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
@@ -559,6 +544,12 @@ def extend_forward(cbf: CountingBloomFilter, seed_codes: np.ndarray,
         st = st._replace(status=jnp.asarray(s))
     out_bufs = None
     cur_chunk = chunk
+    # lane_map[j] = output row of state row j; pad rows map to -1.
+    # Warm restarts COMPACT to the continuing lanes: the carried
+    # [P, BUF] buffer costs a copy per step, and long walks leave few
+    # survivors — the ladder grows BUF exactly as P shrinks.
+    lane_map = np.full(P, -1, np.int64)
+    lane_map[:P0] = np.arange(P0)
     while True:
         st = fast_extend(cbf, st, k, cur_chunk)
         status = np.asarray(st.status)
@@ -572,20 +563,23 @@ def extend_forward(cbf: CountingBloomFilter, seed_codes: np.ndarray,
         length = np.asarray(st.length)
         if out_bufs is None:
             out_bufs, out_len, out_status = \
-                buf.copy(), length.copy(), status.copy()
+                buf[:P0].copy(), length[:P0].copy(), status[:P0].copy()
         else:
             skip = k + 1  # continuation chunks start with [prev_base + seed]
             grow = buf.shape[1] - skip
-            new = np.full((P, out_bufs.shape[1] + grow), alphabet.BAD,
+            new = np.full((P0, out_bufs.shape[1] + grow), alphabet.BAD,
                           np.uint8)
             new[:, :out_bufs.shape[1]] = out_bufs
-            for i in np.nonzero(out_status == CHUNK_LIMIT)[0]:
-                n_ext = length[i] - skip  # bases beyond warm seed
+            for j in range(buf.shape[0]):
+                i = lane_map[j]
+                if i < 0 or out_status[i] != CHUNK_LIMIT:
+                    continue
+                n_ext = length[j] - skip  # bases beyond warm seed
                 if n_ext > 0:
                     new[i, out_len[i]:out_len[i] + n_ext] = \
-                        buf[i, skip:length[i]]
+                        buf[j, skip:length[j]]
                     out_len[i] += n_ext
-                out_status[i] = status[i]
+                out_status[i] = status[j]
             out_bufs = new
         # exact cross-chunk cycle detection on paths that are still
         # going: one joined device hash call for all of them, truncating
@@ -609,20 +603,24 @@ def extend_forward(cbf: CountingBloomFilter, seed_codes: np.ndarray,
         if not (out_status == CHUNK_LIMIT).any() or \
                 out_bufs.shape[1] >= max_len:
             break
-        # warm restart for chunk-limited paths, with a doubled budget
+        # warm restart for the surviving lanes only, doubled budget
         cur_chunk = min(cur_chunk * 2, chunk_max)
-        cont = out_status == CHUNK_LIMIT
-        seeds = np.zeros((P, k), np.uint8)
-        prevb = np.zeros(P, np.uint8)
-        for i in np.nonzero(cont)[0]:
+        cont = np.nonzero(out_status == CHUNK_LIMIT)[0]
+        Pc = bucket_size(len(cont), lo=8)
+        lane_map = np.full(Pc, -1, np.int64)
+        lane_map[:len(cont)] = cont
+        seeds = np.zeros((Pc, k), np.uint8)
+        prevb = np.zeros(Pc, np.uint8)
+        for j, i in enumerate(cont):
             L = out_len[i]
-            seeds[i] = out_bufs[i, L - k:L]
-            prevb[i] = out_bufs[i, L - k - 1] if L > k else 0
+            seeds[j] = out_bufs[i, L - k:L]
+            prevb[j] = out_bufs[i, L - k - 1] if L > k else 0
         st = init_state(seeds, k + 1 + cur_chunk, k, prev_base=prevb)
-        # freeze already-terminal paths
-        st = st._replace(status=jnp.asarray(
-            np.where(cont, ACTIVE, out_status).astype(np.int8)))
-    return out_bufs[:P0], out_len[:P0], out_status[:P0]
+        if Pc > len(cont):  # pad rows are inert
+            s = np.asarray(st.status).copy()
+            s[len(cont):] = DEAD_END
+            st = st._replace(status=jnp.asarray(s))
+    return out_bufs, out_len, out_status
 
 
 def lookahead_ok(cbf: CountingBloomFilter, root_codes, k: int, depth: int,
