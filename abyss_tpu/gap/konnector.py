@@ -442,7 +442,7 @@ def _make_roll_probe(k: int, forward: bool):
 def connect_pairs_full(filt, pairs, k: int,
                        params: ConnectPairsParams | None = None,
                        stats: ConnectStats | None = None,
-                       chunk: int = 65536,
+                       chunk: int = 8192,
                        ) -> list[ConnectResult]:
     """Connect [(seq1, seq2)] read pairs (seq2 in sequencing
     orientation).  Returns one ConnectResult per pair.  `filt` is any

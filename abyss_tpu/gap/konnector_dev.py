@@ -410,11 +410,15 @@ def run_segment(st: SegState, fz_f: FrozenSide, fz_r: FrozenSide, ptab,
         return st._replace(lvl=st.lvl + 1)
 
     def cond(st):
-        room = ((st.f.s_n + 4 * F_cap <= SegCap) &
-                (st.r.s_n + 4 * F_cap <= SegCap) &
-                (st.f.e_n + 12 * F_cap <= SegE) &
-                (st.r.e_n + 12 * F_cap <= SegE) &
-                (st.m_n + 8 * F_cap <= SegM))
+        # room for the NEXT level's worst case given the CURRENT
+        # frontiers (a static 4*F_cap bound made every segment exit
+        # after ~2 levels at wide frontiers — the round-5 konnector
+        # steady run spent one dispatch+merge+sync per LEVEL)
+        room = ((st.f.s_n + 4 * st.f.fr_count <= SegCap) &
+                (st.r.s_n + 4 * st.r.fr_count <= SegCap) &
+                (st.f.e_n + 12 * st.f.fr_count <= SegE) &
+                (st.r.e_n + 12 * st.r.fr_count <= SegE) &
+                (st.m_n + 4 * (st.f.fr_count + st.r.fr_count) <= SegM))
         return ((st.lvl < T) & (st.hard == 0) & room &
                 ((st.f.fr_count > 0) | (st.r.fr_count > 0)) &
                 (st.f.fr_count <= F_cap) & (st.r.fr_count <= F_cap))
@@ -530,8 +534,8 @@ def _grow_side(fz: FrozenSide, N2: int, S2: int, GE2: int):
 
 def _fresh_seg(F_cap: int, SegCap: int, SegE: int, SegM: int, W: int,
                P: int, cost, fail, ncom, fr_f, fr_r) -> SegState:
-    SegTab = 8 * SegCap
-    SegMT = 8 * SegM
+    SegTab = 4 * SegCap
+    SegMT = 4 * SegM
 
     def mkside(fr):
         return SegSide(
@@ -662,7 +666,7 @@ def search(filt, P: int, active: np.ndarray, s_k: np.ndarray,
     fr_r = init_frontier(active, g_fh, g_rh, g_words, F_cap)
 
     for _round in range(100000):
-        SegCap = max(1 << 13, 8 * F_cap)
+        SegCap = max(1 << 13, 16 * F_cap)
         SegE = 4 * SegCap
         SegM = max(1 << 12, 16 * F_cap)
         st = _fresh_seg(F_cap, SegCap, SegE, SegM, W, P, cost, fail,
